@@ -1,0 +1,20 @@
+from .core import Bullet, BulletNode
+from .crt import BulletCRT
+from .middleware import BulletMiddleware
+from .query import BulletQuery
+from .serializer import BulletSerializer
+from .storage import BulletMemoryStorage, BulletStorage
+from .validation import BulletValidation, ValidationError
+
+__all__ = [
+    "Bullet",
+    "BulletNode",
+    "BulletCRT",
+    "BulletMiddleware",
+    "BulletQuery",
+    "BulletSerializer",
+    "BulletMemoryStorage",
+    "BulletStorage",
+    "BulletValidation",
+    "ValidationError",
+]

@@ -1,0 +1,439 @@
+"""Peer-to-peer networking: TTL-bounded flood over a TCP/NDJSON transport.
+
+Behavioral twin of /root/reference/src/bullet-network.js with WebSockets
+replaced by newline-delimited JSON over TCP (the reference's only hard
+dependency was the ``ws`` package; the protocol semantics are what matter):
+
+* handshake / handshake-response carrying the peer id (:159-199, :261-269)
+* self-connection rejection (:80-84, :186-190) and duplicate-connection
+  arbitration preferring existing outbound links (:96-115)
+* auth hooks: ``connection_handler`` (:86-92) and
+  ``prepare_connection_headers`` (:148-153)
+* message dedup via a processed-id set pruned 10% past ``message_cache_size``
+  (:289-302), TTL-bounded flood relay with ``max_ttl`` (:14, :378-396)
+* ``broadcast`` (:404-418), ``send_to_peer`` (:355-370), reconnect every 5 s
+  (:204-217, :253-258), and the sync manager hook (:26-28)
+
+Peer URLs accept ``tcp://host:port``, ``ws://host:port`` or ``host:port``.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import socket
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+from .sync import BulletNetworkSync
+
+
+class EventEmitter:
+    def __init__(self) -> None:
+        self._event_listeners: Dict[str, List[Callable]] = {}
+
+    def on(self, event: str, listener: Callable) -> None:
+        self._event_listeners.setdefault(event, []).append(listener)
+
+    def emit(self, event: str, *args) -> None:
+        for listener in list(self._event_listeners.get(event, ())):
+            try:
+                listener(*args)
+            except Exception:  # noqa: BLE001 - listener isolation
+                pass
+
+
+def parse_peer_url(url: str):
+    for prefix in ("tcp://", "ws://", "wss://", "http://"):
+        if url.startswith(prefix):
+            url = url[len(prefix) :]
+            break
+    host, _, port = url.partition(":")
+    return host or "127.0.0.1", int(port or 8765)
+
+
+class _PeerConnection:
+    """One live link: socket + writer lock + reader thread."""
+
+    def __init__(self, sock: socket.socket, peer_id: str, outbound: bool, url=None):
+        self.socket = sock
+        self.peer_id = peer_id
+        self.outbound = outbound
+        self.url = url
+        self.connected_at = time.time()
+        self._write_lock = threading.Lock()
+        self.open = True
+
+    def send(self, message: dict) -> bool:
+        data = (json.dumps(message, default=str) + "\n").encode("utf-8")
+        with self._write_lock:
+            try:
+                self.socket.sendall(data)
+                return True
+            except OSError:
+                self.open = False
+                return False
+
+    def close(self) -> None:
+        self.open = False
+        try:
+            self.socket.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
+            self.socket.close()
+        except OSError:
+            pass
+
+
+class BulletNetwork(EventEmitter):
+    def __init__(self, bullet, options: Optional[dict] = None) -> None:
+        super().__init__()
+        self.bullet = bullet
+        opts = options or {}
+        self.options = {
+            "port": opts.get("port", 8765),
+            "host": opts.get("host", "0.0.0.0"),
+            "peers": list(opts.get("peers", ())),
+            "max_ttl": opts.get("max_ttl", opts.get("maxTTL", 32)),
+            "message_cache_size": opts.get(
+                "message_cache_size", opts.get("messageCacheSize", 10000)
+            ),
+            "enable_sync": opts.get("enable_sync", opts.get("enableSync", True)),
+            "connection_handler": opts.get(
+                "connection_handler", opts.get("connectionHandler")
+            ),
+            "prepare_connection_headers": opts.get(
+                "prepare_connection_headers", opts.get("prepareConnectionHeaders")
+            ),
+            "server": opts.get("server", True),
+            "reconnect_interval": opts.get("reconnect_interval", 5.0),
+            "sync_options": {
+                k: v
+                for k, v in opts.items()
+                if k
+                in (
+                    "chunk_size",
+                    "sync_interval",
+                    "initial_sync_timeout",
+                    "retry_interval",
+                    "max_sync_attempts",
+                    "progress_update_interval",
+                    "connect_sync_delay",
+                )
+            },
+        }
+
+        self.local_peer_id = bullet.id
+        self.peers: Dict[str, _PeerConnection] = {}
+        self.server_socket: Optional[socket.socket] = None
+        self.port: Optional[int] = None  # actual bound port
+        self.processed_messages: "dict[str, None]" = {}  # insertion-ordered set
+        self._closed = False
+        self._threads: List[threading.Thread] = []
+        self._reconnect_timers: List[threading.Timer] = []
+        self._lock = threading.RLock()
+
+        self.sync = (
+            BulletNetworkSync(bullet, self, self.options["sync_options"])
+            if self.options["enable_sync"]
+            else None
+        )
+
+        if self.options["server"] is not False:
+            self._start_listening()
+        self._connect_to_peers()
+
+    # ------------------------------------------------------------- lifecycle
+
+    def _start_listening(self) -> None:
+        try:
+            srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            srv.bind((self.options["host"], self.options["port"]))
+            srv.listen(64)
+            self.server_socket = srv
+            self.port = srv.getsockname()[1]
+            t = threading.Thread(target=self._accept_loop, daemon=True)
+            t.start()
+            self._threads.append(t)
+        except OSError as err:
+            self.emit("error", err)
+
+    def _accept_loop(self) -> None:
+        while not self._closed and self.server_socket is not None:
+            try:
+                sock, _addr = self.server_socket.accept()
+            except OSError:
+                return
+            t = threading.Thread(
+                target=self._handle_incoming_connection, args=(sock,), daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+
+    def _handle_incoming_connection(self, sock: socket.socket) -> None:
+        """Wait for the handshake, apply auth/duplicate policies
+        (bullet-network.js:71-118)."""
+        sock.settimeout(10.0)
+        reader = sock.makefile("rb")
+        try:
+            line = reader.readline()
+            message = json.loads(line)
+        except (OSError, ValueError):
+            sock.close()
+            return
+        if message.get("type") != "handshake":
+            sock.close()
+            return
+        remote_peer_id = message.get("peerId")
+        headers = message.get("headers") or {}
+        if not remote_peer_id or remote_peer_id == self.local_peer_id:
+            sock.close()
+            return
+        handler = self.options["connection_handler"]
+        if callable(handler) and handler(headers, sock, remote_peer_id) is False:
+            sock.close()
+            return
+        with self._lock:
+            existing = self.peers.get(remote_peer_id)
+            if existing is not None and existing.open:
+                if existing.outbound:
+                    sock.close()
+                    return
+                existing.close()
+        sock.settimeout(None)
+        self._setup_peer_connection(sock, reader, remote_peer_id, outbound=False)
+
+    def _connect_to_peers(self) -> None:
+        for peer_url in self.options["peers"]:
+            self._connect_to_peer(peer_url)
+
+    def _connect_to_peer(self, peer_url: str) -> None:
+        """Dial a peer, send the handshake, await the response
+        (bullet-network.js:139-218)."""
+        if self._closed:
+            return
+        try:
+            host, port = parse_peer_url(peer_url)
+            sock = socket.create_connection((host, port), timeout=10.0)
+            headers = {"x-peer-id": self.local_peer_id}
+            prepare = self.options["prepare_connection_headers"]
+            if callable(prepare):
+                custom = prepare(peer_url)
+                if isinstance(custom, dict):
+                    headers.update(custom)
+            handshake = {
+                "type": "handshake",
+                "id": self._generate_id(),
+                "peerId": self.local_peer_id,
+                "headers": headers,
+            }
+            sock.sendall((json.dumps(handshake) + "\n").encode("utf-8"))
+            reader = sock.makefile("rb")
+            line = reader.readline()
+            message = json.loads(line)
+            if message.get("type") not in ("handshake", "handshake-response"):
+                sock.close()
+                raise ConnectionError("no handshake response")
+            remote_peer_id = message.get("peerId")
+            if not remote_peer_id or remote_peer_id == self.local_peer_id:
+                sock.close()
+                return
+            sock.settimeout(None)
+            self._setup_peer_connection(sock, reader, remote_peer_id, True, peer_url)
+        except (OSError, ValueError, ConnectionError) as err:
+            self.emit("error", err)
+            self._schedule_reconnect(peer_url)
+
+    def _schedule_reconnect(self, peer_url: str) -> None:
+        if self._closed:
+            return
+        timer = threading.Timer(
+            self.options["reconnect_interval"], self._connect_to_peer, args=(peer_url,)
+        )
+        timer.daemon = True
+        timer.start()
+        self._reconnect_timers.append(timer)
+
+    def _setup_peer_connection(
+        self, sock, reader, peer_id: str, outbound: bool, peer_url=None
+    ) -> None:
+        """Register the link, start its reader, emit peer:connect
+        (bullet-network.js:228-278)."""
+        conn = _PeerConnection(sock, peer_id, outbound, peer_url)
+        with self._lock:
+            self.peers[peer_id] = conn
+        if not outbound:
+            conn.send(
+                {
+                    "type": "handshake-response",
+                    "id": self._generate_id(),
+                    "peerId": self.local_peer_id,
+                }
+            )
+        t = threading.Thread(
+            target=self._read_loop, args=(conn, reader), daemon=True
+        )
+        t.start()
+        self._threads.append(t)
+        self.emit("peer:connect", peer_id)
+
+    def _read_loop(self, conn: _PeerConnection, reader) -> None:
+        while conn.open and not self._closed:
+            try:
+                line = reader.readline()
+            except OSError:
+                break
+            if not line:
+                break
+            try:
+                message = json.loads(line)
+            except ValueError:
+                continue
+            try:
+                self._handle_peer_message(conn.peer_id, message)
+            except Exception as err:  # noqa: BLE001
+                self.emit("error", err)
+        # disconnect handling (bullet-network.js:248-259)
+        conn.open = False
+        with self._lock:
+            if self.peers.get(conn.peer_id) is conn:
+                del self.peers[conn.peer_id]
+        self.emit("peer:disconnect", conn.peer_id)
+        if (
+            not self._closed
+            and conn.outbound
+            and conn.url
+            and conn.url in self.options["peers"]
+        ):
+            self._schedule_reconnect(conn.url)
+
+    # -------------------------------------------------------------- messages
+
+    def _handle_peer_message(self, peer_id: str, message: dict) -> None:
+        """Dedup, dispatch, relay (bullet-network.js:286-324)."""
+        if not isinstance(message, dict) or not message.get("type"):
+            return
+        msg_id = message.get("id")
+        if msg_id is not None:
+            with self._lock:
+                if msg_id in self.processed_messages:
+                    return
+                self.processed_messages[msg_id] = None
+                cache_size = self.options["message_cache_size"]
+                if len(self.processed_messages) > cache_size:
+                    for key in list(self.processed_messages)[: cache_size // 10]:
+                        del self.processed_messages[key]
+
+        self.emit("message", peer_id, message)
+
+        mtype = message["type"]
+        if mtype in ("handshake", "handshake-response"):
+            return
+        if mtype == "put":
+            self._handle_put(peer_id, message)
+        elif not mtype.startswith("sync-"):
+            self.emit("unknown-message", peer_id, message)
+
+    def _handle_put(self, peer_id: str, message: dict) -> None:
+        """Apply a remote put and relay it (bullet-network.js:332-346).
+        Note: like the reference, only object payloads get the
+        ``__fromNetwork`` tag — scalar puts apply as local writes."""
+        path, data, ttl = message.get("path"), message.get("data"), message.get("ttl")
+        if ttl is not None and ttl <= 0:
+            return
+        network_data = {**data, "__fromNetwork": True} if isinstance(data, dict) else data
+        self.bullet.set_data(path, network_data, broadcast=False)
+        self._relay_message(message, peer_id)
+
+    def send_to_peer(self, peer_id: str, message: dict) -> bool:
+        conn = self.peers.get(peer_id)
+        if conn is None or not conn.open:
+            return False
+        return conn.send(message)
+
+    sendToPeer = send_to_peer
+
+    def _relay_message(self, message: dict, source_peer_id: str) -> None:
+        """TTL-decremented relay to everyone but the source
+        (bullet-network.js:378-396)."""
+        ttl = message.get("ttl")
+        if ttl is not None and ttl <= 0:
+            return
+        relay = {
+            **message,
+            "id": message.get("id") or self._generate_id(),
+            "ttl": (ttl if ttl is not None else self.options["max_ttl"]) - 1,
+        }
+        with self._lock:
+            self.processed_messages[relay["id"]] = None
+            peer_ids = list(self.peers)
+        for peer_id in peer_ids:
+            if peer_id != source_peer_id:
+                self.send_to_peer(peer_id, relay)
+
+    def broadcast(self, path: str, data: Any) -> None:
+        """Flood a put to all peers (bullet-network.js:404-418)."""
+        message = {
+            "id": self._generate_id(),
+            "type": "put",
+            "path": path,
+            "data": data,
+            "ttl": self.options["max_ttl"],
+        }
+        with self._lock:
+            self.processed_messages[message["id"]] = None
+            peer_ids = list(self.peers)
+        for peer_id in peer_ids:
+            self.send_to_peer(peer_id, message)
+
+    def _generate_id(self) -> str:
+        return (
+            f"{self.local_peer_id[:8]}-{int(time.time() * 1000)}-"
+            f"{random.randrange(36**9):09x}"
+        )
+
+    # ------------------------------------------------------------------ sync
+
+    def request_sync(self, peer_id: Optional[str] = None, options=None) -> None:
+        """Explicit sync with one or all peers (bullet-network.js:437-451)."""
+        if self.sync is None:
+            return
+        if peer_id:
+            self.sync.request_sync(peer_id, options)
+        else:
+            for pid in list(self.peers):
+                self.sync.request_sync(pid, options)
+
+    requestSync = request_sync
+
+    def get_sync_stats(self):
+        if self.sync is None:
+            return None
+        return self.sync.get_sync_stats()
+
+    getSyncStats = get_sync_stats
+
+    # ----------------------------------------------------------------- close
+
+    def close(self) -> None:
+        """Tear down sync, links, server (bullet-network.js:469-497)."""
+        self._closed = True
+        if self.sync is not None:
+            self.sync.close()
+        for timer in self._reconnect_timers:
+            timer.cancel()
+        with self._lock:
+            conns = list(self.peers.values())
+            self.peers.clear()
+            self.processed_messages.clear()
+        for conn in conns:
+            conn.close()
+        if self.server_socket is not None:
+            try:
+                self.server_socket.close()
+            except OSError:
+                pass
+            self.server_socket = None

@@ -1,0 +1,556 @@
+"""Anti-entropy synchronization between peers.
+
+Behavioral twin of /root/reference/src/bullet-network-sync.js: the 6-message
+protocol ``sync-request/-response/-chunk/-complete/-progress/-resume``
+(:43-62), auto-sync 1 s after ``peer:connect`` (:66-70), periodic sync
+(:72-76), chunking (50 entries, :18, :713-723), ``since``-timestamp
+incremental filters (:602-604), timeouts (30 s initial, ≥1 s/chunk,
+:108-110, :237-239) with ≤3 retries (:435-455) and missing-chunk resume
+(:338-349, :478-521 — the resume handler restarts a full sync, matching the
+reference), tombstone entries from ``meta[path].deleted`` (:651-661), the
+per-peer state machine (:761-780), monitoring events, and ``get_sync_stats``
+(:797-836).
+"""
+
+from __future__ import annotations
+
+import secrets
+import threading
+import time
+from typing import Any, Dict, List, Optional
+
+
+class BulletNetworkSync:
+    def __init__(self, bullet, network, options: Optional[dict] = None) -> None:
+        self.bullet = bullet
+        self.network = network
+        opts = options or {}
+        self.options = {
+            "chunk_size": opts.get("chunk_size", 50),
+            "sync_interval": opts.get("sync_interval", 5 * 60.0),
+            "initial_sync_timeout": opts.get("initial_sync_timeout", 30.0),
+            "retry_interval": opts.get("retry_interval", 5.0),
+            "max_sync_attempts": opts.get("max_sync_attempts", 3),
+            "progress_update_interval": opts.get("progress_update_interval", 10),
+            "connect_sync_delay": opts.get("connect_sync_delay", 1.0),
+        }
+        self.sync_state: Dict[str, dict] = {}
+        self._timers: List[threading.Timer] = []
+        self._closed = False
+        self._lock = threading.RLock()
+        self._init_sync()
+
+    # ----------------------------------------------------------------- wiring
+
+    def _init_sync(self) -> None:
+        """Register message handlers + connect/periodic triggers
+        (bullet-network-sync.js:38-76)."""
+        self.network.on("message", self._dispatch)
+        self.network.on("peer:connect", self._on_peer_connect)
+        self._arm_periodic()
+
+    def _dispatch(self, peer_id: str, message: dict) -> None:
+        handlers = {
+            "sync-request": self._handle_sync_request,
+            "sync-response": self._handle_sync_response,
+            "sync-chunk": self._handle_sync_chunk,
+            "sync-complete": self._handle_sync_complete,
+            "sync-progress": self._handle_sync_progress,
+            "sync-resume": self._handle_sync_resume,
+        }
+        handler = handlers.get(message.get("type"))
+        if handler is not None:
+            handler(peer_id, message)
+
+    def _on_peer_connect(self, peer_id: str) -> None:
+        self._after(self.options["connect_sync_delay"], self.request_sync, peer_id)
+
+    def _arm_periodic(self) -> None:
+        def tick():
+            if self._closed:
+                return
+            self._periodic_sync()
+            self._arm_periodic()
+
+        self._after(self.options["sync_interval"], tick)
+
+    def _after(self, delay: float, fn, *args) -> Optional[threading.Timer]:
+        if self._closed:
+            return None
+        timer = threading.Timer(delay, fn, args=args)
+        timer.daemon = True
+        timer.start()
+        self._timers.append(timer)
+        # opportunistic GC of finished timers
+        if len(self._timers) > 256:
+            self._timers = [t for t in self._timers if t.is_alive()]
+        return timer
+
+    # --------------------------------------------------------------- requests
+
+    def request_sync(self, peer_id: str, options: Optional[dict] = None) -> None:
+        """Start a sync with a peer (bullet-network-sync.js:84-117)."""
+        if self._closed:
+            return
+        options = options or {}
+        state = self._peer_state(peer_id)
+        with self._lock:
+            if state["status"] == "in-progress":
+                return
+            request = {
+                "type": "sync-request",
+                "id": self._generate_id(),
+                "since": state["last_sync_time_ms"] or 0,
+                "partial": bool(options.get("partial")),
+                "paths": list(options.get("paths", ())),
+            }
+            state.update(
+                status="requested",
+                request_id=request["id"],
+                start_time=time.time(),
+                attempts=state["attempts"] + 1,
+            )
+            self._cancel(state, "timeout_timer")
+            state["timeout_timer"] = self._after(
+                self.options["initial_sync_timeout"],
+                self._handle_sync_timeout,
+                peer_id,
+                request["id"],
+            )
+        self.network.send_to_peer(peer_id, request)
+        self.network.emit("sync:requested", {"peerId": peer_id, "request": request})
+
+    requestSync = request_sync
+
+    # -------------------------------------------------------------- responder
+
+    def _handle_sync_request(self, peer_id: str, message: dict) -> None:
+        """Serve a full/partial state transfer in chunks
+        (bullet-network-sync.js:125-198)."""
+        entries = self._collect_sync_data(
+            message.get("since", 0), message.get("partial"), message.get("paths")
+        )
+        chunk_size = self.options["chunk_size"]
+        chunks = [
+            entries[i : i + chunk_size] for i in range(0, len(entries), chunk_size)
+        ]
+        request_id = message.get("id")
+        self.network.send_to_peer(
+            peer_id,
+            {
+                "type": "sync-response",
+                "id": self._generate_id(),
+                "requestId": request_id,
+                "totalChunks": len(chunks),
+                "totalEntries": len(entries),
+                "timestamp": int(time.time() * 1000),
+            },
+        )
+        for index, chunk in enumerate(chunks):
+            self.network.send_to_peer(
+                peer_id,
+                {
+                    "type": "sync-chunk",
+                    "id": self._generate_id(),
+                    "requestId": request_id,
+                    "chunkIndex": index,
+                    "totalChunks": len(chunks),
+                    "entries": chunk,
+                    "isLastChunk": index == len(chunks) - 1,
+                },
+            )
+            if (
+                len(chunks) > 10
+                and index % self.options["progress_update_interval"] == 0
+            ):
+                self.network.send_to_peer(
+                    peer_id,
+                    {
+                        "type": "sync-progress",
+                        "id": self._generate_id(),
+                        "requestId": request_id,
+                        "chunkIndex": index,
+                        "totalChunks": len(chunks),
+                        "progress": int(index / len(chunks) * 100),
+                    },
+                )
+        self.network.send_to_peer(
+            peer_id,
+            {
+                "type": "sync-complete",
+                "id": self._generate_id(),
+                "requestId": request_id,
+                "timestamp": int(time.time() * 1000),
+            },
+        )
+
+    # -------------------------------------------------------------- requester
+
+    def _handle_sync_response(self, peer_id: str, message: dict) -> None:
+        """(bullet-network-sync.js:206-248)"""
+        state = self._peer_state(peer_id)
+        if state["request_id"] != message.get("requestId"):
+            return
+        with self._lock:
+            self._cancel(state, "timeout_timer")
+            state.update(
+                status="in-progress",
+                total_chunks=message.get("totalChunks", 0),
+                total_entries=message.get("totalEntries", 0),
+                received_chunks=set(),
+                last_activity=time.time(),
+            )
+            self._cancel(state, "sync_timeout_timer")
+            state["sync_timeout_timer"] = self._after(
+                max(30.0, state["total_chunks"] * 1.0),
+                self._handle_sync_timeout,
+                peer_id,
+                message.get("requestId"),
+            )
+        self.network.emit(
+            "sync:started",
+            {
+                "peerId": peer_id,
+                "totalChunks": state["total_chunks"],
+                "totalEntries": state["total_entries"],
+            },
+        )
+        if state["total_chunks"] == 0:
+            self._finish_sync(peer_id, message.get("requestId"))
+
+    def _handle_sync_chunk(self, peer_id: str, message: dict) -> None:
+        """(bullet-network-sync.js:256-292)"""
+        state = self._peer_state(peer_id)
+        if state["request_id"] != message.get("requestId"):
+            return
+        with self._lock:
+            state["last_activity"] = time.time()
+            state.setdefault("received_chunks", set()).add(message.get("chunkIndex"))
+        self._process_sync_entries(message.get("entries", ()), peer_id)
+        total = message.get("totalChunks", 0)
+        if len(state["received_chunks"]) == total or message.get("isLastChunk"):
+            self._finish_sync(peer_id, message.get("requestId"))
+        self.network.emit(
+            "sync:chunk",
+            {
+                "peerId": peer_id,
+                "chunkIndex": message.get("chunkIndex"),
+                "totalChunks": total,
+                "progress": int(len(state["received_chunks"]) / total * 100)
+                if total
+                else 100,
+            },
+        )
+
+    def _handle_sync_progress(self, peer_id: str, message: dict) -> None:
+        self.network.emit(
+            "sync:progress",
+            {
+                "peerId": peer_id,
+                "chunkIndex": message.get("chunkIndex"),
+                "totalChunks": message.get("totalChunks"),
+                "progress": message.get("progress"),
+            },
+        )
+
+    def _handle_sync_complete(self, peer_id: str, message: dict) -> None:
+        """(bullet-network-sync.js:324-349)"""
+        state = self._peer_state(peer_id)
+        if state["request_id"] != message.get("requestId"):
+            return
+        if len(state.get("received_chunks", ())) < state.get("total_chunks", 0):
+            missing = self._missing_chunks(state)
+            self._request_missing_chunks(peer_id, message.get("requestId"), missing)
+            return
+        self._finish_sync(peer_id, message.get("requestId"))
+
+    def _handle_sync_resume(self, peer_id: str, message: dict) -> None:
+        """Resume = acknowledge then restart a full sync, matching the
+        reference's simplification (bullet-network-sync.js:357-383)."""
+        self.network.send_to_peer(
+            peer_id,
+            {
+                "type": "sync-response",
+                "id": self._generate_id(),
+                "requestId": message.get("requestId"),
+                "resuming": True,
+                "missingChunks": len(message.get("missingChunks", ())),
+            },
+        )
+        self._after(1.0, self.request_sync, peer_id)
+
+    def _finish_sync(self, peer_id: str, request_id) -> None:
+        """(bullet-network-sync.js:391-416)"""
+        state = self._peer_state(peer_id)
+        with self._lock:
+            self._cancel(state, "sync_timeout_timer")
+            self._cancel(state, "timeout_timer")
+            state["status"] = "complete"
+            state["last_sync_time"] = time.time()
+            state["last_sync_time_ms"] = int(state["last_sync_time"] * 1000)
+            state["last_sync_duration"] = state["last_sync_time"] - (
+                state.get("start_time") or state["last_sync_time"]
+            )
+            state["attempts"] = 0
+        self.network.emit(
+            "sync:complete",
+            {
+                "peerId": peer_id,
+                "duration": state["last_sync_duration"],
+                "entriesProcessed": state.get("total_entries", 0),
+            },
+        )
+
+    # --------------------------------------------------------- failure paths
+
+    def _handle_sync_timeout(self, peer_id: str, request_id) -> None:
+        """Retry / resume / fail (bullet-network-sync.js:424-469)."""
+        state = self._peer_state(peer_id)
+        if state["request_id"] != request_id or self._closed:
+            return
+        if state["status"] == "complete":
+            return
+        if state["attempts"] < self.options["max_sync_attempts"]:
+            if state["status"] == "in-progress" and state.get("received_chunks"):
+                self._request_missing_chunks(
+                    peer_id, request_id, self._missing_chunks(state)
+                )
+            else:
+                state["status"] = "initial"
+                self._after(self.options["retry_interval"], self.request_sync, peer_id)
+        else:
+            state["status"] = "failed"
+            self.network.emit(
+                "sync:failed",
+                {"peerId": peer_id, "attempts": state["attempts"], "reason": "timeout"},
+            )
+
+    def _request_missing_chunks(self, peer_id: str, request_id, missing) -> None:
+        """(bullet-network-sync.js:478-504)"""
+        self.network.send_to_peer(
+            peer_id,
+            {
+                "type": "sync-resume",
+                "id": self._generate_id(),
+                "requestId": request_id,
+                "missingChunks": list(missing),
+            },
+        )
+        state = self._peer_state(peer_id)
+        with self._lock:
+            state["last_activity"] = time.time()
+            self._cancel(state, "sync_timeout_timer")
+            state["sync_timeout_timer"] = self._after(
+                max(10.0, len(missing) * 1.0),
+                self._handle_sync_timeout,
+                peer_id,
+                request_id,
+            )
+        self.network.emit(
+            "sync:resume-requested",
+            {"peerId": peer_id, "missingChunks": len(missing)},
+        )
+
+    @staticmethod
+    def _missing_chunks(state: dict) -> List[int]:
+        total = state.get("total_chunks") or 0
+        received = state.get("received_chunks") or set()
+        return [i for i in range(total) if i not in received]
+
+    # ------------------------------------------------------------ data plane
+
+    def _process_sync_entries(self, entries, peer_id: str) -> None:
+        """Re-apply entries through the CRT write path
+        (bullet-network-sync.js:551-569)."""
+        for entry in entries:
+            path = entry.get("path")
+            data = entry.get("data")
+            if entry.get("deleted"):
+                self.bullet.set_data(path, None, broadcast=False)
+            else:
+                if isinstance(data, dict):
+                    data = {
+                        **data,
+                        "__fromNetwork": True,
+                        "__vectorClock": entry.get("vectorClock", {}),
+                    }
+                self.bullet.set_data(path, data, broadcast=False)
+
+    def _collect_sync_data(self, since, partial, paths) -> List[dict]:
+        if partial and paths:
+            return self._collect_partial_sync_data(paths, since or 0)
+        return self._collect_full_sync_data(since or 0)
+
+    def _collect_full_sync_data(self, since: int) -> List[dict]:
+        """Recursive store traversal emitting leaf entries
+        (bullet-network-sync.js:592-664)."""
+        entries: List[dict] = []
+
+        def emit_leaf(path: str, value: Any) -> None:
+            meta = self.bullet.meta.get(path) or {}
+            last_modified = meta.get("lastModified", 0)
+            if since > 0 and last_modified and last_modified < since:
+                return
+            entries.append(
+                {
+                    "path": path,
+                    "data": value,
+                    "vectorClock": meta.get("vectorClock", {}),
+                    "lastModified": last_modified,
+                    "deleted": False,
+                }
+            )
+
+        def traverse(obj: Any, prefix: str) -> None:
+            if not isinstance(obj, dict):
+                emit_leaf(prefix, obj)
+                return
+            for key, value in obj.items():
+                path = f"{prefix}/{key}" if prefix else key
+                if isinstance(value, dict):
+                    traverse(value, path)
+                else:
+                    emit_leaf(path, value)
+
+        traverse(self.bullet.store, "")
+
+        for path, meta in self.bullet.meta.items():
+            if meta.get("deleted") and (not since or meta.get("lastModified", 0) > since):
+                entries.append(
+                    {
+                        "path": path,
+                        "data": None,
+                        "vectorClock": meta.get("vectorClock", {}),
+                        "lastModified": meta.get("lastModified", 0),
+                        "deleted": True,
+                    }
+                )
+        return entries
+
+    def _collect_partial_sync_data(self, paths, since: int) -> List[dict]:
+        """(bullet-network-sync.js:673-705)"""
+        entries = []
+        for path in paths:
+            data = self.bullet._get_data(path)
+            meta = self.bullet.meta.get(path) or {}
+            last_modified = meta.get("lastModified", 0)
+            if since > 0 and last_modified and last_modified < since:
+                continue
+            entries.append(
+                {
+                    "path": path,
+                    "data": data,
+                    "vectorClock": meta.get("vectorClock", {}),
+                    "lastModified": last_modified,
+                    "deleted": bool(data is None and meta.get("deleted")),
+                }
+            )
+        return entries
+
+    # -------------------------------------------------------------- periodic
+
+    def _periodic_sync(self) -> None:
+        """(bullet-network-sync.js:729-753)"""
+        now = time.time()
+        for peer_id in list(self.network.peers):
+            state = self._peer_state(peer_id)
+            if state["status"] == "in-progress":
+                continue
+            if (
+                state["last_sync_time"]
+                and now - state["last_sync_time"] < self.options["sync_interval"]
+            ):
+                continue
+            if (
+                state["status"] == "failed"
+                and state["attempts"] >= self.options["max_sync_attempts"]
+            ):
+                continue
+            self.request_sync(peer_id)
+
+    # -------------------------------------------------------------- state/api
+
+    def _peer_state(self, peer_id: str) -> dict:
+        """(bullet-network-sync.js:761-780)"""
+        with self._lock:
+            if peer_id not in self.sync_state:
+                self.sync_state[peer_id] = {
+                    "status": "initial",
+                    "last_sync_time": 0.0,
+                    "last_sync_time_ms": 0,
+                    "last_sync_duration": 0.0,
+                    "attempts": 0,
+                    "request_id": None,
+                    "total_chunks": 0,
+                    "total_entries": 0,
+                    "received_chunks": set(),
+                    "timeout_timer": None,
+                    "sync_timeout_timer": None,
+                    "start_time": 0.0,
+                    "last_activity": 0.0,
+                }
+            return self.sync_state[peer_id]
+
+    @staticmethod
+    def _cancel(state: dict, key: str) -> None:
+        timer = state.get(key)
+        if timer is not None:
+            timer.cancel()
+            state[key] = None
+
+    def _generate_id(self) -> str:
+        return f"sync-{int(time.time() * 1000)}-{secrets.token_hex(8)}"
+
+    def get_sync_stats(self) -> dict:
+        """(bullet-network-sync.js:797-836)"""
+        stats = {
+            "peers": {},
+            "totalSyncs": 0,
+            "activeSyncs": 0,
+            "failedSyncs": 0,
+            "lastSyncTime": 0.0,
+        }
+        for peer_id, state in self.sync_state.items():
+            total = state.get("total_chunks") or 0
+            stats["peers"][peer_id] = {
+                "status": state["status"],
+                "lastSyncTime": state["last_sync_time"],
+                "lastSyncDuration": state["last_sync_duration"],
+                "attempts": state["attempts"],
+                "progress": int(len(state.get("received_chunks", ())) / total * 100)
+                if state["status"] == "in-progress" and total
+                else 0,
+            }
+            if state["status"] == "in-progress":
+                stats["activeSyncs"] += 1
+            if state["status"] == "failed":
+                stats["failedSyncs"] += 1
+            if state["last_sync_time"] > stats["lastSyncTime"]:
+                stats["lastSyncTime"] = state["last_sync_time"]
+            if state["last_sync_time"] > 0:
+                stats["totalSyncs"] += 1
+        return stats
+
+    getSyncStats = get_sync_stats
+
+    def reset_peer_sync(self, peer_id: str) -> None:
+        """(bullet-network-sync.js:843-861)"""
+        state = self._peer_state(peer_id)
+        with self._lock:
+            self._cancel(state, "timeout_timer")
+            self._cancel(state, "sync_timeout_timer")
+            state["status"] = "initial"
+            state["attempts"] = 0
+            state["request_id"] = None
+
+    resetPeerSync = reset_peer_sync
+
+    def close(self) -> None:
+        """(bullet-network-sync.js:867-881)"""
+        self._closed = True
+        for state in self.sync_state.values():
+            self._cancel(state, "timeout_timer")
+            self._cancel(state, "sync_timeout_timer")
+        for timer in self._timers:
+            timer.cancel()
+        self.sync_state.clear()

@@ -1,0 +1,226 @@
+"""Leaf-value encoding: JSON values -> dense int32 order keys + intern ids.
+
+The engine's CRT merge (see DESIGN.md) is a lexicographic max over
+``(cls, khi, klo, vid, ...)``; this module defines that order. It is a
+*documented total order* standing in for the reference's non-total JS ``<``
+comparator (/root/reference/src/bullet-crt.js:11-15): numbers keep exact
+float64 ordering via the sign-flip bit trick, strings keep lexicographic
+ordering via a gap-ranked order index, and opaque values (arrays) get a
+deterministic insertion order.
+
+Everything is host-side; the device only ever sees int32s.
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+import math
+import struct
+from typing import Any, Callable, Dict, List, Tuple
+
+import numpy as np
+
+# value classes (the ``cls`` array); order defines cross-type ordering
+CLS_ABSENT = 0  # empty table slot: loses to every real value
+CLS_NULL = 1
+CLS_NUMBER = 2  # numbers and booleans (JS coerces bools in comparisons)
+CLS_STRING = 3
+CLS_OPAQUE = 4  # arrays (leaf values) and anything non-JSON-scalar
+
+VID_ABSENT = 0
+VID_NULL = 1
+
+_INT32_BIAS = 1 << 31
+_MASK64 = (1 << 64) - 1
+_CANONICAL_NAN_BITS = 0xFFF8000000000000  # above +inf after the sign trick
+
+RANK_BITS = 62
+RANK_SPACE = 1 << RANK_BITS
+
+
+def _u32_to_i32(u: int) -> int:
+    """Map uint32 -> int32 preserving order (subtract bias)."""
+    return int(u) - _INT32_BIAS
+
+
+def number_key(v: float) -> Tuple[int, int]:
+    """Order-preserving (khi, klo) int32 pair for a float64.
+
+    Standard trick: flip all bits of negatives, set the sign bit of
+    non-negatives; the resulting uint64 compares like the float. NaN is
+    canonicalized above +inf; -0.0 is canonicalized to 0.0 (JS ``===``
+    identifies them).
+    """
+    f = float(v)
+    if math.isnan(f):
+        bits = _CANONICAL_NAN_BITS
+    else:
+        if f == 0.0:
+            f = 0.0  # collapse -0.0
+        bits = struct.unpack("<Q", struct.pack("<d", f))[0]
+        if bits >> 63:
+            bits = (~bits) & _MASK64
+        else:
+            bits |= 1 << 63
+    return _u32_to_i32(bits >> 32), _u32_to_i32(bits & 0xFFFFFFFF)
+
+
+def rank_key(rank: int) -> Tuple[int, int]:
+    """(khi, klo) for a 62-bit order rank (strings, opaque ids)."""
+    return _u32_to_i32(rank >> 31), _u32_to_i32(rank & 0x7FFFFFFF)
+
+
+class StringOrderIndex:
+    """Assigns each string a rank in [0, 2^62) preserving lexicographic order.
+
+    New strings get the midpoint of their neighbors' ranks; when adjacent
+    ranks run out of gap, every rank is respread evenly (a "rebalance") and
+    the caller must re-derive keys for previously encoded strings (the
+    ValueInterner handles that and exposes an epoch counter).
+    """
+
+    def __init__(self) -> None:
+        self._sorted: List[str] = []
+        self._rank: Dict[str, int] = {}
+        self.rebalances = 0
+
+    def rank(self, s: str) -> int:
+        return self._rank[s]
+
+    def insert(self, s: str) -> Tuple[int, bool]:
+        """Return (rank, rebalanced). Idempotent for known strings."""
+        existing = self._rank.get(s)
+        if existing is not None:
+            return existing, False
+        idx = bisect.bisect_left(self._sorted, s)
+        lo = self._rank[self._sorted[idx - 1]] if idx > 0 else -1
+        hi = self._rank[self._sorted[idx]] if idx < len(self._sorted) else RANK_SPACE
+        rebalanced = False
+        if hi - lo < 2:
+            self._sorted.insert(idx, s)
+            self._respread()
+            rebalanced = True
+        else:
+            rank = (lo + hi) // 2
+            self._rank[s] = rank
+            self._sorted.insert(idx, s)
+        self.rebalances += int(rebalanced)
+        return self._rank[s], rebalanced
+
+    def _respread(self) -> None:
+        n = len(self._sorted)
+        gap = RANK_SPACE // (n + 1)
+        for i, s in enumerate(self._sorted):
+            self._rank[s] = (i + 1) * gap
+
+
+class ValueInterner:
+    """Global value <-> vid map plus per-vid order keys.
+
+    One interner is shared across all simulated peers so equal values have
+    equal ids (and thus merge deterministically) everywhere. ``key_table()``
+    exports per-vid (cls, khi, klo) numpy arrays so device tables can be
+    re-keyed with a single gather after a string-rank rebalance.
+    """
+
+    def __init__(self) -> None:
+        self._vid_of: Dict[Any, int] = {}
+        self._value_of: List[Any] = []
+        self._cls: List[int] = []
+        self._khi: List[int] = []
+        self._klo: List[int] = []
+        self._strings = StringOrderIndex()
+        self.epoch = 0  # bumped on every string-rank rebalance
+        self._on_rebalance: List[Callable[[], None]] = []
+        # vid 0 = absent, vid 1 = null
+        self._push(("absent",), None, CLS_ABSENT, -_INT32_BIAS, -_INT32_BIAS)
+        self._push(("null",), None, CLS_NULL, 0, 0)
+
+    def _push(self, token, value, cls, khi, klo) -> int:
+        vid = len(self._value_of)
+        self._vid_of[token] = vid
+        self._value_of.append(value)
+        self._cls.append(cls)
+        self._khi.append(khi)
+        self._klo.append(klo)
+        return vid
+
+    def on_rebalance(self, fn: Callable[[], None]) -> None:
+        self._on_rebalance.append(fn)
+
+    def __len__(self) -> int:
+        return len(self._value_of)
+
+    @staticmethod
+    def _token(value: Any):
+        if value is None:
+            return ("null",)
+        if isinstance(value, bool):
+            return ("bool", value)
+        if isinstance(value, (int, float)):
+            f = float(value)
+            if f == 0.0:
+                f = 0.0
+            if math.isnan(f):
+                return ("num", "nan")
+            return ("num", struct.pack("<d", f))
+        if isinstance(value, str):
+            return ("str", value)
+        if isinstance(value, list):
+            return ("arr", json.dumps(value, sort_keys=True, default=str))
+        raise TypeError(f"not a leaf value: {type(value)!r}")
+
+    def encode(self, value: Any) -> Tuple[int, int, int, int]:
+        """Intern ``value`` and return (cls, khi, klo, vid)."""
+        token = self._token(value)
+        vid = self._vid_of.get(token)
+        if vid is not None:
+            return self._cls[vid], self._khi[vid], self._klo[vid], vid
+        if token[0] == "null":
+            vid = VID_NULL
+        elif token[0] in ("bool", "num"):
+            khi, klo = number_key(to_float(value))
+            vid = self._push(token, value, CLS_NUMBER, khi, klo)
+        elif token[0] == "str":
+            rank, rebalanced = self._strings.insert(value)
+            if rebalanced:
+                self._rekey_strings()
+            khi, klo = rank_key(rank)
+            vid = self._push(token, value, CLS_STRING, khi, klo)
+            if rebalanced:
+                self.epoch += 1
+                for fn in self._on_rebalance:
+                    fn()
+        else:  # opaque: order = insertion order (deterministic-arbitrary)
+            vid = len(self._value_of)
+            khi, klo = rank_key(vid)
+            vid = self._push(token, value, CLS_OPAQUE, khi, klo)
+        return self._cls[vid], self._khi[vid], self._klo[vid], vid
+
+    def _rekey_strings(self) -> None:
+        for vid, value in enumerate(self._value_of):
+            if self._cls[vid] == CLS_STRING:
+                khi, klo = rank_key(self._strings.rank(value))
+                self._khi[vid] = khi
+                self._klo[vid] = klo
+
+    def decode(self, vid: int) -> Any:
+        return self._value_of[vid]
+
+    def key_of(self, vid: int) -> Tuple[int, int, int]:
+        return self._cls[vid], self._khi[vid], self._klo[vid]
+
+    def key_table(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(cls, khi, klo) arrays indexed by vid, for device re-keying."""
+        return (
+            np.asarray(self._cls, dtype=np.int32),
+            np.asarray(self._khi, dtype=np.int32),
+            np.asarray(self._klo, dtype=np.int32),
+        )
+
+
+def to_float(value: Any) -> float:
+    if isinstance(value, bool):
+        return 1.0 if value else 0.0
+    return float(value)

@@ -1,0 +1,152 @@
+"""JavaScript value semantics on Python values.
+
+The reference's default conflict comparator is JS ``<``/``===``
+(/root/reference/src/bullet-crt.js:11-15) and its concurrent-merge helper is a
+deep object merge (/root/reference/src/bullet-crt.js:122-153). The host db
+layer reproduces those semantics exactly for JSON-shaped Python values
+(None, bool, int/float, str, list, dict).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+JSON_SCALARS = (type(None), bool, int, float, str)
+
+
+def js_falsy(v: Any) -> bool:
+    """JS falsiness: null/undefined, false, 0, NaN, "" — but NOT [] or {}."""
+    if v is None or v is False:
+        return True
+    if isinstance(v, bool):
+        return not v
+    if isinstance(v, (int, float)):
+        return v == 0 or (isinstance(v, float) and math.isnan(v))
+    if isinstance(v, str):
+        return v == ""
+    return False
+
+
+def is_object(v: Any) -> bool:
+    """JS ``typeof v === "object" && v !== null && !Array.isArray(v)``."""
+    return isinstance(v, dict)
+
+
+def is_array(v: Any) -> bool:
+    return isinstance(v, list)
+
+
+def to_number(v: Any) -> float:
+    """JS ToNumber for the value shapes we store (JSON-compatible)."""
+    if v is None:
+        return 0.0
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        s = v.strip()
+        if s == "":
+            return 0.0
+        try:
+            if s.lower().startswith("0x"):
+                return float(int(s, 16))
+            return float(s)
+        except ValueError:
+            return math.nan
+    if isinstance(v, list):
+        # ToPrimitive(array) -> elements joined by ","
+        return to_number(",".join("" if e is None else to_string(e) for e in v))
+    return math.nan  # plain objects -> "[object Object]" -> NaN
+
+
+def to_string(v: Any) -> str:
+    """JS String(v) for JSON-compatible values."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        if v == int(v) and abs(v) < 1e21:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, list):
+        return ",".join("" if e is None else to_string(e) for e in v)
+    return "[object Object]"
+
+
+def strict_equals(a: Any, b: Any) -> bool:
+    """JS ``===``. Booleans and numbers are distinct types; objects compare by
+    identity."""
+    if isinstance(a, (dict, list)) or isinstance(b, (dict, list)):
+        return a is b
+    if a is None or b is None:
+        return a is None and b is None
+    a_bool, b_bool = isinstance(a, bool), isinstance(b, bool)
+    if a_bool or b_bool:
+        return a_bool and b_bool and a == b
+    a_num = isinstance(a, (int, float))
+    b_num = isinstance(b, (int, float))
+    if a_num or b_num:
+        if not (a_num and b_num):
+            return False
+        fa, fb = float(a), float(b)
+        return not math.isnan(fa) and not math.isnan(fb) and fa == fb
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    return a is b
+
+
+def less_than(a: Any, b: Any) -> bool:
+    """JS abstract ``<``: string/string compares lexicographically, everything
+    else via ToNumber (NaN comparisons are false)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return a < b
+    fa, fb = to_number(a), to_number(b)
+    if math.isnan(fa) or math.isnan(fb):
+        return False
+    return fa < fb
+
+
+def js_compare(incoming: Any, existing: Any) -> int:
+    """The reference default comparator (/root/reference/src/bullet-crt.js:11-15):
+    0 if ``===``, -1 if ``<``, else 1 (so incomparable pairs favor incoming)."""
+    if strict_equals(incoming, existing):
+        return 0
+    if less_than(incoming, existing):
+        return -1
+    return 1
+
+
+def deep_merge_values(incoming: Any, current: Any, compare=js_compare) -> Any:
+    """``mergeValues`` (/root/reference/src/bullet-crt.js:122-153): deep merge
+    when both are plain objects; otherwise comparator-LWW (ties keep incoming).
+    Arrays are opaque comparator inputs (SURVEY quirk Q4)."""
+    if not is_object(incoming) or not is_object(current):
+        return incoming if compare(incoming, current) >= 0 else current
+    result = dict(current)
+    for key, value in incoming.items():
+        if key in result:
+            result[key] = deep_merge_values(value, result[key], compare)
+        else:
+            result[key] = value
+    return result
+
+
+def deep_copy(v: Any) -> Any:
+    """Structure-preserving deep copy of JSON-shaped values (the reference uses
+    ``JSON.parse(JSON.stringify(...))``, e.g. bullet-memory-storage.js:82-84)."""
+    if isinstance(v, dict):
+        return {k: deep_copy(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [deep_copy(x) for x in v]
+    return v

@@ -1,0 +1,139 @@
+"""Order-key codec properties: the engine's total order must agree with the
+reference comparator (JS ``<``) wherever the reference is convergent."""
+
+import math
+import random
+
+from bullet_tpu.utils.encode import (
+    CLS_NULL,
+    CLS_NUMBER,
+    CLS_OPAQUE,
+    CLS_STRING,
+    StringOrderIndex,
+    ValueInterner,
+    number_key,
+)
+from bullet_tpu.utils.jsvalues import js_compare
+
+
+def key_tuple(interner, v):
+    cls, khi, klo, vid = interner.encode(v)
+    return (cls, khi, klo, vid)
+
+
+def test_number_key_orders_like_floats():
+    rng = random.Random(0)
+    values = [rng.uniform(-1e12, 1e12) for _ in range(500)]
+    values += [0.0, -0.0, 1e-300, -1e-300, math.inf, -math.inf, 1.5, -1.5, 2**53]
+    values.sort()
+    keys = [number_key(v) for v in values]
+    assert keys == sorted(keys)
+
+
+def test_number_key_negative_zero_collapses():
+    assert number_key(0.0) == number_key(-0.0)
+
+
+def test_nan_sorts_above_inf():
+    assert number_key(math.nan) > number_key(math.inf)
+
+
+def test_interner_total_order_matches_js_for_numbers():
+    interner = ValueInterner()
+    rng = random.Random(1)
+    values = [rng.uniform(-1e6, 1e6) for _ in range(200)] + [True, False, 0, 1, -1]
+    for a in rng.sample(values, 50):
+        for b in rng.sample(values, 50):
+            cmp_js = js_compare(a, b)
+            ka, kb = key_tuple(interner, a)[:3], key_tuple(interner, b)[:3]
+            if cmp_js > 0 and not (ka == kb):
+                assert ka > kb
+            elif cmp_js < 0:
+                assert ka < kb
+
+
+def test_interner_strings_lexicographic():
+    interner = ValueInterner()
+    words = ["apple", "banana", "Apple", "zebra", "aardvark", "banana!", "b"]
+    keys = {w: key_tuple(interner, w)[:3] for w in words}
+    for a in words:
+        for b in words:
+            if a < b:
+                assert keys[a] < keys[b], (a, b)
+
+
+def test_interner_classes_ordered():
+    interner = ValueInterner()
+    null_k = key_tuple(interner, None)
+    num_k = key_tuple(interner, 5)
+    str_k = key_tuple(interner, "5")
+    arr_k = key_tuple(interner, [1, 2])
+    assert null_k[0] == CLS_NULL
+    assert num_k[0] == CLS_NUMBER
+    assert str_k[0] == CLS_STRING
+    assert arr_k[0] == CLS_OPAQUE
+    assert null_k < num_k < str_k < arr_k
+
+
+def test_interner_roundtrip_and_identity():
+    interner = ValueInterner()
+    values = [None, True, False, 0, 1, -3.5, "hello", "", [1, "a", None], [1, ["b"]]]
+    vids = []
+    for v in values:
+        _, _, _, vid = interner.encode(v)
+        vids.append(vid)
+        assert interner.decode(vid) == v
+    # re-encoding returns the same vid
+    for v, vid in zip(values, vids):
+        assert interner.encode(v)[3] == vid
+
+
+def test_bool_and_number_same_key_distinct_vid():
+    interner = ValueInterner()
+    k_true = interner.encode(True)
+    k_one = interner.encode(1)
+    assert k_true[:3] == k_one[:3]  # JS coerces in comparisons
+    assert k_true[3] != k_one[3]  # but === distinguishes
+
+
+def test_string_order_index_rebalance():
+    idx = StringOrderIndex()
+    # force adjacent inserts; ranks must stay ordered through rebalances
+    words = []
+    for i in range(200):
+        w = "a" * (i % 17) + chr(ord("a") + (i * 7) % 26)
+        idx.insert(w)
+        words.append(w)
+    uniq = sorted(set(words))
+    ranks = [idx.rank(w) for w in uniq]
+    assert ranks == sorted(ranks)
+    assert len(set(ranks)) == len(ranks)
+
+
+def test_interner_rebalance_rekeys_existing_strings():
+    interner = ValueInterner()
+    epoch0 = interner.epoch
+    # adversarial: insert strings in an order forcing midpoint exhaustion
+    base = "m"
+    strings = [base]
+    interner.encode(base)
+    for i in range(80):
+        base = base + ("a" if i % 2 else "z")
+        strings.append(base)
+        interner.encode(base)
+    # regardless of rebalances, final keys must be lexicographically ordered
+    keys = {s: interner.key_of(interner.encode(s)[3]) for s in strings}
+    for a in strings:
+        for b in strings:
+            if a < b:
+                assert keys[a] < keys[b]
+    assert interner.epoch >= epoch0
+
+
+def test_key_table_gather():
+    interner = ValueInterner()
+    for v in [None, 1, "x", [3]]:
+        interner.encode(v)
+    cls, khi, klo = interner.key_table()
+    vid = interner.encode("x")[3]
+    assert (cls[vid], khi[vid], klo[vid]) == tuple(interner.encode("x")[:3])

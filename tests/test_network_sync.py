@@ -1,0 +1,161 @@
+"""Real two-peer networking: flood, dedup/TTL, anti-entropy sync, convergence
+(reference: /root/reference/src/bullet-network.js, bullet-network-sync.js;
+workload shape mirrors examples/bullet-sync-example.js)."""
+
+import time
+
+import pytest
+
+import bullet_tpu as bt
+
+
+def make_peer(**over):
+    opts = {
+        "storage": False,
+        "host": "127.0.0.1",
+        "port": 0,
+        "connect_sync_delay": 0.05,
+        "reconnect_interval": 0.5,
+    }
+    opts.update(over)
+    return bt.create(opts)
+
+
+def wait_for(predicate, timeout=15.0, interval=0.05):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(interval)
+    return False
+
+
+@pytest.fixture
+def pair():
+    p1 = make_peer()
+    p2 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"])
+    assert wait_for(lambda: p1.network.peers and p2.network.peers, 10)
+    yield p1, p2
+    p1.close()
+    p2.close()
+
+
+def test_handshake_establishes_link(pair):
+    p1, p2 = pair
+    assert p2.id in p1.network.peers
+    assert p1.id in p2.network.peers
+
+
+def test_flood_put_both_directions(pair):
+    p1, p2 = pair
+    p1.get("a/b").put({"v": 1})
+    p2.get("c/d").put({"v": 2})
+    assert wait_for(lambda: p2.store.get("a", {}).get("b") == {"v": 1})
+    assert wait_for(lambda: p1.store.get("c", {}).get("d") == {"v": 2})
+
+
+def test_initial_sync_transfers_preexisting_data(pair):
+    p1, p2 = pair
+    # p1 had data before p2 connected? add before requesting a fresh sync
+    for i in range(120):  # > 2 chunks at chunk_size 50
+        p1.set_data(f"items/item{i}", {"n": i}, broadcast=False)
+    p2.network.request_sync()
+    assert wait_for(
+        lambda: len(p2.store.get("items", {})) == 120, timeout=20
+    ), f"only {len(p2.store.get('items', {}))} items synced"
+
+
+def test_conflicting_writes_converge(pair):
+    p1, p2 = pair
+    p1.set_data("k/v", 10, broadcast=False)
+    p2.set_data("k/v", 99, broadcast=False)
+    p1.network.request_sync()
+    p2.network.request_sync()
+    assert wait_for(
+        lambda: p1.store.get("k", {}).get("v") == p2.store.get("k", {}).get("v")
+        and p1.store.get("k", {}).get("v") is not None
+    )
+    assert p1.store["k"]["v"] == 99  # comparator value-max
+
+
+def test_sync_stats(pair):
+    p1, p2 = pair
+    p1.get("s/x").put(1)
+    p2.network.request_sync()
+    assert wait_for(lambda: p2.network.get_sync_stats()["totalSyncs"] >= 1)
+    stats = p2.network.get_sync_stats()
+    assert p1.id in stats["peers"]
+    assert stats["failedSyncs"] == 0
+
+
+def test_sync_events(pair):
+    p1, p2 = pair
+    events = []
+    p2.network.on("sync:complete", lambda d: events.append(d))
+    p1.get("e/x").put(1)
+    p2.network.request_sync()
+    assert wait_for(lambda: len(events) >= 1)
+
+
+def test_three_peer_relay():
+    """Chain p1 - p2 - p3: a put at p1 must relay through p2 to p3 (TTL flood,
+    bullet-network.js:378-396)."""
+    p1 = make_peer()
+    p2 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"])
+    p3 = make_peer(peers=[f"tcp://127.0.0.1:{p2.network.port}"])
+    try:
+        assert wait_for(lambda: len(p2.network.peers) == 2 and p3.network.peers)
+        p1.get("relay/msg").put({"hop": 1})
+        assert wait_for(lambda: p3.store.get("relay", {}).get("msg") == {"hop": 1})
+    finally:
+        for p in (p1, p2, p3):
+            p.close()
+
+
+def test_self_connection_rejected():
+    p1 = make_peer()
+    try:
+        # dialing ourselves must not create a peer entry
+        p1.network._connect_to_peer(f"tcp://127.0.0.1:{p1.network.port}")
+        time.sleep(0.5)
+        assert p1.id not in p1.network.peers
+    finally:
+        p1.close()
+
+
+def test_connection_handler_rejects():
+    p1 = make_peer(connection_handler=lambda headers, sock, peer_id: False)
+    p2 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"])
+    try:
+        time.sleep(1.0)
+        assert not p1.network.peers
+    finally:
+        p1.close()
+        p2.close()
+
+
+def test_prepare_connection_headers():
+    received = {}
+
+    def handler(headers, sock, peer_id):
+        received.update(headers)
+        return True
+
+    p1 = make_peer(connection_handler=handler)
+    p2 = make_peer(
+        peers=[f"tcp://127.0.0.1:{p1.network.port}"],
+        prepare_connection_headers=lambda url: {"auth": "token123"},
+    )
+    try:
+        assert wait_for(lambda: received.get("auth") == "token123")
+        assert received["x-peer-id"] == p2.id
+    finally:
+        p1.close()
+        p2.close()
+
+
+def test_scalar_put_over_network(pair):
+    """Scalar wire payloads carry no __fromNetwork tag (bullet-network.js:339-344)."""
+    p1, p2 = pair
+    p1.get("nums/x").put(7)
+    assert wait_for(lambda: p2.store.get("nums", {}).get("x") == 7)
