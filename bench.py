@@ -1,0 +1,129 @@
+"""Benchmark: merged graph ops/sec/chip (the BASELINE.json primary metric).
+
+Runs the flagship gossip-merge step on the default backend (the real TPU
+under the driver). The measured unit is one CRT merge decision — one
+(entry vs entry) winner-select, i.e. what one bullet-crt ``resolve`` call
+does per path (/root/reference/src/bullet-crt.js:164-279). The reference
+publishes no numbers (BASELINE.md: ``published: {}``), so ``vs_baseline``
+is measured against the north-star target of 100M merged ops/sec.
+
+Measurement notes: rounds are fused into a single compiled ``fori_loop``
+(dispatch through the axon tunnel costs ~10 ms/call), and completion is
+forced with a scalar readback — ``block_until_ready`` does not reliably
+block on the experimental axon platform.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+
+def make_table(num_peers: int, capacity: int):
+    """Cheap deterministic pseudo-random table, built in one fused jit call
+    (jax.random would add 14 slow dispatches through the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bullet_tpu.ops.merge import TableState
+
+    @jax.jit
+    def build():
+        row = jax.lax.broadcasted_iota(jnp.int32, (num_peers, capacity), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (num_peers, capacity), 1)
+        h = (row * 1103515245 + col * 40503) & 0x7FFFFFFF
+
+        def mix(salt, mod):
+            return ((h ^ salt) * 1664525 & 0x7FFFFFFF) % mod
+
+        return TableState(
+            cls=mix(1, 4),
+            khi=mix(2, 2000) - 1000,
+            klo=mix(3, 2000) - 1000,
+            vid=mix(4, 1 << 20),
+            writer=mix(5, num_peers),
+            ctr=mix(6, 1 << 20),
+            tick=mix(7, 1 << 10),
+        )
+
+    return build()
+
+
+def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float:
+    """Entries merged per second for repeated ring gossip rounds
+    (2 neighbor merges per round), all rounds fused into one compiled loop.
+
+    impl: "xla" (fused by XLA), "pallas" (generic merge kernel ×2), or
+    "fused" (the single-pass ring-round Pallas kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bullet_tpu.ops.merge import (
+        TableState,
+        merge_tables_pallas,
+        merge_tables_xla,
+    )
+    from bullet_tpu.ops.ring_kernel import ring_round_pallas
+
+    def one_round(_, t):
+        if impl == "fused":
+            t2, _c = ring_round_pallas(t, mode="reference", wrap=True)
+            return t2
+        merge = merge_tables_pallas if impl == "pallas" else merge_tables_xla
+        m1, _c1 = merge(t, TableState(*(jnp.roll(f, 1, axis=0) for f in t)), mode="reference")
+        m2, _c2 = merge(m1, TableState(*(jnp.roll(f, -1, axis=0) for f in t)), mode="reference")
+        return m2
+
+    @jax.jit
+    def run(t):
+        out = jax.lax.fori_loop(0, rounds, one_round, t)
+        return jnp.sum(out.vid)  # scalar result forces full execution
+
+    table = make_table(num_peers, capacity)
+    int(run(table))  # compile + warm
+
+    t0 = time.perf_counter()
+    int(run(table))  # timed: scalar readback = real completion
+    dt = time.perf_counter() - t0
+    return 2 * num_peers * capacity * rounds / dt
+
+
+def main() -> None:
+    import jax
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    if on_tpu:
+        num_peers, capacity, rounds = 256, 1 << 18, 30
+        impls = ["fused", "xla"]
+    else:  # CPU smoke sizing
+        num_peers, capacity, rounds = 16, 1 << 14, 5
+        impls = ["xla"]
+
+    best = 0.0
+    best_impl = "xla"
+    for impl in impls:
+        try:
+            rate = bench_gossip(num_peers, capacity, rounds, impl)
+        except Exception:  # noqa: BLE001 - report the impl that works
+            continue
+        if rate > best:
+            best = rate
+            best_impl = impl
+
+    north_star = 100e6  # BASELINE.json north_star: >100M merged ops/sec
+    print(
+        json.dumps(
+            {
+                "metric": f"merged graph ops/sec/chip (ring gossip, {best_impl}, "
+                f"P={num_peers}, N={capacity}, backend={backend})",
+                "value": round(best),
+                "unit": "merges/s",
+                "vs_baseline": round(best / north_star, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

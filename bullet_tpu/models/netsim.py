@@ -1,0 +1,447 @@
+"""PeerNetworkSim — the flagship TPU model: P replicated peers, one dense
+graph table each, jit-compiled step loop.
+
+This is the engine described by BASELINE.json's north star: the reference's
+whole distributed system (bullet.js write path -> CRT resolve -> network
+flood -> anti-entropy sync, SURVEY §3.2-3.4) becomes
+
+    step = apply op batch  ->  CRT merge  ->  gossip round(s) over topology
+
+entirely on device. The API mirrors the reference surface per peer:
+``put/get/on/remove``, ``equals/range/filter/count/map/find``, snapshots.
+
+Convergence is deterministic: the merge is a join-semilattice, so
+``run_until_converged`` reaches the unique fixed point in ≤ diameter rounds
+(a compiled ``while_loop``, zero host round-trips).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.apply import OpBatch, apply_ops
+from ..ops.merge import TableState, init_table, merge_tables
+from ..ops import scans
+from ..parallel import topology as topo
+from ..parallel.gossip import gossip_round, gossip_until_converged_device
+from ..parallel.mesh import make_mesh, pad_peers_to_mesh, peer_sharding, shard_table
+from ..utils.encode import CLS_ABSENT, VID_NULL
+from .table import MISSING, GraphHost, flatten_value
+
+TopologyLike = Union[str, topo.Topology]
+
+
+def _resolve_topology(t: TopologyLike, num_peers: int) -> topo.Topology:
+    if isinstance(t, topo.Topology):
+        return t
+    builders = {
+        "ring": topo.ring,
+        "chain": topo.chain,
+        "mesh": topo.full_mesh,
+        "full_mesh": topo.full_mesh,
+        "star": topo.star,
+    }
+    if t == "bridge":
+        # the reference bridge example: 2 clusters × 5 + 1 bridge node
+        built = topo.bridge()
+        if built.num_peers != num_peers:
+            per = max(1, (num_peers - 1) // 2)
+            built = topo.bridge((per, num_peers - 1 - per), 1)
+        return built
+    if t not in builders:
+        raise ValueError(f"unknown topology: {t}")
+    return builders[t](num_peers)
+
+
+@jax.jit
+def _gather_entries(table: TableState, peer, slots):
+    return tuple(f[peer, slots] for f in table)
+
+
+@jax.jit
+def _rekey(table: TableState, cls_map, khi_map, klo_map):
+    """Refresh (cls, khi, klo) from vid after a string-rank rebalance."""
+    return table._replace(
+        cls=jnp.where(table.cls > 0, cls_map[table.vid], table.cls),
+        khi=jnp.where(table.cls > 0, khi_map[table.vid], table.khi),
+        klo=jnp.where(table.cls > 0, klo_map[table.vid], table.klo),
+    )
+
+
+class PeerNetworkSim:
+    """P simulated peers over a topology, tables resident in device HBM.
+
+    Parameters
+    ----------
+    num_peers : int — simulated peer count (the reference's process count)
+    capacity : int — leaf-slot capacity (grows by doubling)
+    topology : "ring" | "chain" | "mesh" | "star" | "bridge" | Topology
+    mode : "reference" (converged-state parity) | "lww" (Lamport LWW)
+    mesh_devices : int | None — shard the peer axis over this many devices
+    """
+
+    def __init__(
+        self,
+        num_peers: int,
+        capacity: int = 1024,
+        topology: TopologyLike = "ring",
+        mode: str = "reference",
+        mesh_devices: Optional[int] = None,
+        use_pallas: Optional[bool] = None,
+    ) -> None:
+        self.mode = mode
+        self.use_pallas = use_pallas
+        self.mesh = make_mesh(mesh_devices) if mesh_devices else None
+        if self.mesh is not None:
+            num_peers = pad_peers_to_mesh(num_peers, self.mesh)
+        self.num_peers = num_peers
+        self.topology = _resolve_topology(topology, num_peers)
+        if self.topology.num_peers != num_peers:
+            raise ValueError("topology size != num_peers")
+        self.host = GraphHost(capacity)
+        self.capacity = 0
+        self.table = init_table(num_peers, capacity)
+        self.capacity = capacity
+        if self.mesh is not None:
+            self.table = shard_table(self.table, self.mesh)
+        self.tick = 0
+        self._clock = np.zeros(num_peers, dtype=np.int64)
+        self._pending: List[List[Tuple[int, int, int, int, int, int]]] = [
+            [] for _ in range(num_peers)
+        ]
+        self._subs: List[dict] = []
+        self.stats = {
+            "ops_enqueued": 0,
+            "ops_applied": 0,
+            "gossip_rounds": 0,
+            "merged_entries": 0,
+            "steps": 0,
+        }
+        self.last_residual: Optional[int] = None
+
+    # ------------------------------------------------------------ write path
+
+    def put(self, peer: int, path: str, value: Any) -> None:
+        """Queue a local put at ``peer`` (applied on the next step). Object
+        values decompose into leaves (DESIGN.md leaf model)."""
+        for leaf_path, leaf_value in flatten_value(path, value):
+            slot = self.host.intern_path(leaf_path)
+            cls, khi, klo, vid = self.host.encode_value(leaf_value)
+            self._clock[peer] += 1
+            self._pending[peer].append(
+                (slot, cls, khi, klo, vid, int(self._clock[peer]))
+            )
+            self.stats["ops_enqueued"] += 1
+
+    def remove(self, peer: int, path: str) -> None:
+        """Put null at ``path`` and every known descendant leaf (the leaf
+        model's rendering of the reference's subtree null,
+        /root/reference/src/bullet.js:755-758). In reference mode null loses
+        to greater scalars — exactly the reference's quirk; lww deletes."""
+        pid = self.host.intern_path(path)
+        self.put(peer, path, None)
+        for slot in self.host.leaf_slots_under(pid):
+            self.put(peer, self.host.paths.path(slot), None)
+
+    # ----------------------------------------------------------------- step
+
+    def _drain_ops(self) -> Optional[OpBatch]:
+        batch = max((len(ops) for ops in self._pending), default=0)
+        if batch == 0:
+            return None
+        fields = [np.zeros((self.num_peers, batch), dtype=np.int32) for _ in range(6)]
+        for p, ops in enumerate(self._pending):
+            for b, op in enumerate(ops):
+                for f in range(6):
+                    fields[f][p, b] = op[f]
+            ops.clear()
+        arrays = [jnp.asarray(f) for f in fields]
+        if self.mesh is not None:
+            sharding = peer_sharding(self.mesh)
+            arrays = [jax.device_put(a, sharding) for a in arrays]
+        return OpBatch(*arrays)
+
+    def _ensure_capacity(self) -> None:
+        needed = len(self.host.paths)
+        if needed <= self.capacity:
+            return
+        new_cap = self.capacity
+        while new_cap < needed:
+            new_cap *= 2
+        pad = new_cap - self.capacity
+        self.table = TableState(
+            *(jnp.pad(f, ((0, 0), (0, pad))) for f in self.table)
+        )
+        if self.mesh is not None:
+            self.table = shard_table(self.table, self.mesh)
+        self.capacity = new_cap
+
+    def _maybe_rekey(self) -> None:
+        if not self.host.needs_rekey:
+            return
+        cls_map, khi_map, klo_map = self.host.key_tables()
+        self.table = _rekey(
+            self.table,
+            jnp.asarray(cls_map),
+            jnp.asarray(khi_map),
+            jnp.asarray(klo_map),
+        )
+        self.host.needs_rekey = False
+
+    def step(self, rounds: int = 1) -> int:
+        """Apply queued ops, run ``rounds`` gossip rounds; returns residual
+        (entries changed in the last round)."""
+        self._ensure_capacity()
+        self._maybe_rekey()
+        self.tick += 1
+        ops = self._drain_ops()
+        if ops is not None:
+            self.table, applied = apply_ops(
+                self.table, ops, jnp.int32(self.tick), mode=self.mode
+            )
+            self.stats["ops_applied"] += int(applied)
+        residual = 0
+        for _ in range(rounds):
+            self.table, changed = gossip_round(self.table, self.topology, self.mode)
+            residual = int(changed)
+            self.stats["gossip_rounds"] += 1
+            self.stats["merged_entries"] += residual
+        self.stats["steps"] += 1
+        self.last_residual = residual if rounds else None
+        self._sync_clocks()
+        self._fire_subscriptions()
+        return residual
+
+    def run_until_converged(self, max_rounds: Optional[int] = None) -> int:
+        """Apply pending ops then gossip to the fixed point on-device
+        (compiled while_loop). Returns rounds executed."""
+        self._ensure_capacity()
+        self._maybe_rekey()
+        self.tick += 1
+        ops = self._drain_ops()
+        if ops is not None:
+            self.table, applied = apply_ops(
+                self.table, ops, jnp.int32(self.tick), mode=self.mode
+            )
+            self.stats["ops_applied"] += int(applied)
+        if max_rounds is None:
+            max_rounds = max(2 * self.topology.diameter + 2, 4)
+        self.table, rounds = gossip_until_converged_device(
+            self.table,
+            jnp.asarray(self.topology.neighbors),
+            self.topology.kind,
+            self.mode,
+            max_rounds,
+        )
+        rounds = int(rounds)
+        self.stats["gossip_rounds"] += rounds
+        self.stats["steps"] += 1
+        self.last_residual = 0
+        self._sync_clocks()
+        self._fire_subscriptions()
+        return rounds
+
+    def _sync_clocks(self) -> None:
+        """Lamport clock advance: after gossip every peer's clock must exceed
+        any counter it has seen, or later writes could lose ties (lww only;
+        reference mode resolves by value and doesn't need it)."""
+        if self.mode != "lww":
+            return
+        row_max = np.asarray(jnp.max(self.table.ctr, axis=1)).astype(np.int64)
+        np.maximum(self._clock, row_max, out=self._clock)
+
+    def converged(self) -> bool:
+        """True iff one more gossip round would change nothing (checked on a
+        scratch copy; state is not advanced)."""
+        _, changed = gossip_round(self.table, self.topology, self.mode)
+        return int(changed) == 0
+
+    # ----------------------------------------------------------------- reads
+
+    def _decode_slots(self, peer: int, slots: List[int]) -> Dict[int, Any]:
+        if not slots:
+            return {}
+        arr = jnp.asarray(np.asarray(slots, dtype=np.int32))
+        cls, _khi, _klo, vid, *_ = _gather_entries(
+            self.table, jnp.int32(peer), arr
+        )
+        cls = np.asarray(cls)
+        vid = np.asarray(vid)
+        out: Dict[int, Any] = {}
+        for slot, c, v in zip(slots, cls, vid):
+            if c != CLS_ABSENT:
+                out[slot] = None if v == VID_NULL else self.host.values.decode(int(v))
+        return out
+
+    def get(self, peer: int, path: str = "") -> Any:
+        """Read a value/subtree at ``peer`` (device gather + host tree
+        rebuild). Missing paths return None (no auto-vivify in the engine —
+        reads are reads)."""
+        if path:
+            pid = self.host.paths.lookup(path)
+            if pid is None:
+                return None
+            slots = [pid, *self.host.leaf_slots_under(pid)]
+            values = self._decode_slots(peer, slots)
+            tree = self.host.build_tree(pid, values)
+            return None if tree is MISSING else tree
+        roots = self.host.paths.top_level()
+        all_slots = list(range(len(self.host.paths)))
+        values = self._decode_slots(peer, all_slots)
+        out = {}
+        for r in roots:
+            sub = self.host.build_tree(r, values)
+            if sub is not MISSING:
+                out[self.host.paths.segment(r)] = sub
+        return out
+
+    # --------------------------------------------------------------- queries
+
+    def _mask_paths(self, peer: int, mask) -> List[str]:
+        row = np.asarray(mask[peer])
+        return [self.host.paths.path(int(s)) for s in np.nonzero(row)[0]]
+
+    def equals(self, peer: int, base: str, field: Optional[str], value: Any = MISSING):
+        """Vectorized equals scan (reference: bullet-query.js:186-210)."""
+        if value is MISSING:
+            field, value = None, field
+        base_pid = self.host.paths.lookup(base)
+        if base_pid is None:
+            return []
+        _, _, _, vid = self.host.encode_value(value)
+        struct = self.host.struct()
+        if field is not None:
+            fid = self.host.seg_lookup(field)
+            if fid < 0:
+                return []
+            mask = scans.equals_field_mask(
+                self.table, struct, jnp.int32(base_pid), jnp.int32(fid), jnp.int32(vid)
+            )
+            return sorted(
+                self.host.paths.path(self.host.paths.parent(int(s)))
+                for s in np.nonzero(np.asarray(mask[peer]))[0]
+            )
+        mask = scans.equals_leaf_mask(
+            self.table, struct, jnp.int32(base_pid), jnp.int32(vid)
+        )
+        return sorted(self._mask_paths(peer, mask))
+
+    def range(self, peer: int, base: str, field, lo=MISSING, hi=MISSING):
+        """Vectorized numeric range scan (reference: bullet-query.js:221-261)."""
+        if hi is MISSING:
+            field, lo, hi = None, field, lo
+        base_pid = self.host.paths.lookup(base)
+        if base_pid is None:
+            return []
+        from ..utils.encode import number_key
+
+        lo_hi, lo_lo = number_key(float(lo))
+        hi_hi, hi_lo = number_key(float(hi))
+        struct = self.host.struct()
+        args = (
+            jnp.int32(lo_hi),
+            jnp.int32(lo_lo),
+            jnp.int32(hi_hi),
+            jnp.int32(hi_lo),
+        )
+        if field is not None:
+            fid = self.host.seg_lookup(field)
+            if fid < 0:
+                return []
+            mask = scans.range_field_mask(
+                self.table, struct, jnp.int32(base_pid), jnp.int32(fid), *args
+            )
+            return sorted(
+                self.host.paths.path(self.host.paths.parent(int(s)))
+                for s in np.nonzero(np.asarray(mask[peer]))[0]
+            )
+        mask = scans.range_leaf_mask(self.table, struct, jnp.int32(base_pid), *args)
+        return sorted(self._mask_paths(peer, mask))
+
+    def count(self, peer: int, base: str, field, value: Any = MISSING) -> int:
+        return len(self.equals(peer, base, field, value))
+
+    def filter(self, peer: int, base: str, fn: Callable) -> List[str]:
+        """Host-predicate child scan (reference: bullet-query.js:270-283)."""
+        data = self.get(peer, base)
+        if not isinstance(data, dict):
+            return []
+        return sorted(
+            f"{base}/{key}" for key, value in data.items() if _pred(fn, value, key)
+        )
+
+    def find(self, peer: int, base: str, fn: Callable) -> Optional[str]:
+        data = self.get(peer, base)
+        if isinstance(data, dict):
+            for key, value in data.items():
+                if _pred(fn, value, key):
+                    return f"{base}/{key}"
+        return None
+
+    def map(self, peer: int, base: str, fn: Callable) -> List[Any]:
+        data = self.get(peer, base)
+        if not isinstance(data, dict):
+            return []
+        return [_pred(fn, value, key) for key, value in data.items()]
+
+    # ---------------------------------------------------------- subscriptions
+
+    def on(self, peer: int, path: str, callback: Callable[[Any], None]) -> None:
+        """Subscribe to a path at a peer; fires immediately with the current
+        value (reference BulletNode.on, bullet.js:710-720) and after any step
+        that changes it (ancestor bubbling falls out: a subtree read changes
+        when any descendant leaf changes)."""
+        self.host.intern_path(path)
+        current = self.get(peer, path)
+        callback(current)
+        self._subs.append(
+            {"peer": peer, "path": path, "callback": callback, "last": current}
+        )
+
+    def _fire_subscriptions(self) -> None:
+        for sub in self._subs:
+            value = self.get(sub["peer"], sub["path"])
+            if value != sub["last"]:
+                sub["last"] = value
+                try:
+                    sub["callback"](value)
+                except Exception:  # noqa: BLE001 - listener isolation
+                    pass
+
+    # ------------------------------------------------------------- lifecycle
+
+    def snapshot(self) -> dict:
+        """Host checkpoint of device state (the engine's storage adapter)."""
+        return {
+            "table": [np.asarray(f) for f in self.table],
+            "tick": self.tick,
+            "clock": self._clock.copy(),
+            "capacity": self.capacity,
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.table = TableState(*(jnp.asarray(f) for f in snap["table"]))
+        if self.mesh is not None:
+            self.table = shard_table(self.table, self.mesh)
+        self.tick = snap["tick"]
+        self._clock = snap["clock"].copy()
+        self.capacity = snap["capacity"]
+
+    def tables_equal(self) -> bool:
+        """All peers bit-identical (the convergence acceptance check)."""
+        vid = np.asarray(self.table.vid)
+        cls = np.asarray(self.table.cls)
+        return bool((vid == vid[0]).all() and (cls == cls[0]).all())
+
+
+def _pred(fn, value, key):
+    try:
+        return fn(value, key)
+    except TypeError:
+        return fn(value)

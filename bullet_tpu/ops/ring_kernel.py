@@ -1,0 +1,233 @@
+"""Fused ring/chain gossip-round Pallas kernel.
+
+One gossip round on a ring is ``merge(merge(t, roll(t,+1)), roll(t,-1))``.
+Composed from generic merges (or XLA fusion) that costs ~3 reads + 1 write
+of the table per round; this kernel reads each entry once and writes once
+(~56 B/entry/round vs ~168 B), computing ``lexmax(self, up, down)`` in one
+pass with 8-row halo blocks supplying the cross-tile neighbor rows.
+
+The peer axis is tiled in multiples of 8 (sublane granularity); halo blocks
+wrap modularly for rings, and chain ends mask the wrapped contribution to
+ABSENT in-kernel. The convergence residual accumulates into an SMEM scalar
+(the TPU grid is sequential).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .merge import TableState
+
+_HALO = 8  # sublane granularity
+
+
+def _keys(vals, writer, ctr, mode: str):
+    cls, khi, klo, vid = vals
+    if mode == "reference":
+        return (cls, khi, klo, vid, writer, ctr)
+    return (ctr, cls, khi, klo, vid, writer)
+
+
+def _ring_round_kernel(mode: str, wrap: bool, tile_p: int, num_peers: int, *refs):
+    import jax.experimental.pallas as pl
+
+    c_refs = refs[:7]  # center blocks
+    t_refs = refs[7:14]  # top halo (8 rows above)
+    b_refs = refs[14:21]  # bottom halo (8 rows below)
+    out_refs, count_ref = refs[21:28], refs[28]
+
+    i = pl.program_id(0)
+    center = [r[...] for r in c_refs]
+
+    row_in_block = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
+    global_row = i * tile_p + row_in_block
+
+    def shifted(direction: int):
+        """Neighbor view: direction=+1 -> 'up' neighbor (row r-1),
+        direction=-1 -> 'down' neighbor (row r+1)."""
+        out = []
+        for f in range(7):
+            c = center[f]
+            if direction == +1:
+                rolled = jnp.roll(c, 1, axis=0)
+                halo_row = t_refs[f][_HALO - 1 : _HALO, :]
+                fixed = jnp.where(row_in_block == 0, halo_row, rolled)
+                if not wrap:
+                    fixed = jnp.where(global_row == 0, 0, fixed)
+            else:
+                rolled = jnp.roll(c, -1, axis=0)
+                halo_row = b_refs[f][0:1, :]
+                fixed = jnp.where(row_in_block == tile_p - 1, halo_row, rolled)
+                if not wrap:
+                    fixed = jnp.where(global_row == num_peers - 1, 0, fixed)
+            out.append(fixed)
+        return out
+
+    def lexmax(a_vals, b_vals):
+        ak = _keys(a_vals[:4], a_vals[4], a_vals[5], mode)
+        bk = _keys(b_vals[:4], b_vals[4], b_vals[5], mode)
+        gt = jnp.zeros_like(a_vals[0], dtype=jnp.bool_)
+        eq = jnp.ones_like(a_vals[0], dtype=jnp.bool_)
+        for ka, kb in zip(ak, bk):
+            gt = gt | (eq & (kb > ka))
+            eq = eq & (ka == kb)
+        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+
+    m1, gt1 = lexmax(center, shifted(+1))
+    m2, gt2 = lexmax(m1, shifted(-1))
+
+    for out, v in zip(out_refs, m2):
+        out[...] = v
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        count_ref[0, 0] = 0
+
+    count_ref[0, 0] += jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(
+        gt2.astype(jnp.int32)
+    )
+
+
+def _fullp_round_kernel(mode: str, wrap: bool, num_peers: int, *refs):
+    """Full-peer-axis variant: the block spans all P rows, so the roll wraps
+    correctly inside the block and no halo reads are needed — traffic is
+    exactly 7 reads + 7 writes per entry."""
+    import jax.experimental.pallas as pl
+
+    c_refs, out_refs, count_ref = refs[:7], refs[7:14], refs[14]
+    center = [r[...] for r in c_refs]
+    row = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
+
+    def shifted(direction: int):
+        out = []
+        for f in range(7):
+            rolled = jnp.roll(center[f], direction, axis=0)
+            if not wrap:
+                edge = row == (0 if direction == +1 else num_peers - 1)
+                rolled = jnp.where(edge, 0, rolled)
+            out.append(rolled)
+        return out
+
+    def lexmax(a_vals, b_vals):
+        ak = _keys(a_vals[:4], a_vals[4], a_vals[5], mode)
+        bk = _keys(b_vals[:4], b_vals[4], b_vals[5], mode)
+        gt = jnp.zeros_like(a_vals[0], dtype=jnp.bool_)
+        eq = jnp.ones_like(a_vals[0], dtype=jnp.bool_)
+        for ka, kb in zip(ak, bk):
+            gt = gt | (eq & (kb > ka))
+            eq = eq & (ka == kb)
+        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+
+    m1, gt1 = lexmax(center, shifted(+1))
+    m2, gt2 = lexmax(m1, shifted(-1))
+    for out, v in zip(out_refs, m2):
+        out[...] = v
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        count_ref[0, 0] = 0
+
+    count_ref[0, 0] += jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(
+        gt2.astype(jnp.int32)
+    )
+
+
+# largest P for which 14 double-buffered full-P (P, 128)-lane tiles fit VMEM
+_FULLP_MAX_ELEMS = 1 << 16  # 64K int32 = 256 KB/buffer → ~7.2 MB total
+
+
+def _pick_tiles(p: int, n: int) -> Tuple[int, int]:
+    def best(total, target, align):
+        if total <= target:
+            return total
+        t = target
+        while t > align and total % t:
+            t -= align
+        return t if total % t == 0 else total
+
+    tile_n = best(n, 4096, 128)
+    tile_p = best(p, max(_HALO, (1 << 15) // max(tile_n, 1)), _HALO)
+    return tile_p, tile_n
+
+
+def ring_round_supported(table: TableState) -> bool:
+    p, n = table.cls.shape
+    return p >= _HALO and p % _HALO == 0 and n % 128 == 0
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "wrap", "interpret"))
+def ring_round_pallas(
+    table: TableState, mode: str = "reference", wrap: bool = True, interpret: bool = False
+) -> Tuple[TableState, jax.Array]:
+    """One fused ring (wrap=True) or chain (wrap=False) gossip round."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, n = table.cls.shape
+
+    # full-P fast path: no halo traffic at all
+    def best_n(target):
+        t = min(target, n)
+        while t > 128 and n % t:
+            t -= 128
+        return t if n % t == 0 else n
+
+    fullp_tile_n = best_n(max(128, _FULLP_MAX_ELEMS // p))
+    if p * fullp_tile_n <= _FULLP_MAX_ELEMS and n % fullp_tile_n == 0:
+        grid = (n // fullp_tile_n,)
+        data_spec = pl.BlockSpec(
+            (p, fullp_tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
+        )
+        count_spec = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
+        out_shapes = tuple(
+            jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(7)
+        ) + (jax.ShapeDtypeStruct((1, 1), jnp.int32),)
+        outs = pl.pallas_call(
+            functools.partial(_fullp_round_kernel, mode, wrap, p),
+            grid=grid,
+            in_specs=[data_spec] * 7,
+            out_specs=tuple([data_spec] * 7) + (count_spec,),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*table)
+        return TableState(*outs[:7]), outs[7][0, 0]
+
+    tile_p, tile_n = _pick_tiles(p, n)
+    grid = (p // tile_p, n // tile_n)
+    p_halo_blocks = p // _HALO
+    blocks_per_tile = tile_p // _HALO
+
+    center_spec = pl.BlockSpec(
+        (tile_p, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    top_spec = pl.BlockSpec(
+        (_HALO, tile_n),
+        lambda i, j: ((i * blocks_per_tile - 1) % p_halo_blocks, j),
+        memory_space=pltpu.VMEM,
+    )
+    bottom_spec = pl.BlockSpec(
+        (_HALO, tile_n),
+        lambda i, j: (((i + 1) * blocks_per_tile) % p_halo_blocks, j),
+        memory_space=pltpu.VMEM,
+    )
+    count_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(7)
+    ) + (jax.ShapeDtypeStruct((1, 1), jnp.int32),)
+
+    outs = pl.pallas_call(
+        functools.partial(_ring_round_kernel, mode, wrap, tile_p, p),
+        grid=grid,
+        in_specs=[center_spec] * 7 + [top_spec] * 7 + [bottom_spec] * 7,
+        out_specs=tuple([center_spec] * 7) + (count_spec,),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*table, *table, *table)
+    return TableState(*outs[:7]), outs[7][0, 0]

@@ -1,0 +1,101 @@
+"""Vectorized query scans over the device tables.
+
+The engine's replacement for the reference's Map-based hash indexes
+(/root/reference/src/bullet-query.js:30-45): there is no index to maintain —
+``equals``/``range``/``count`` are jit-compiled compare+reduce scans over the
+columnar table, O(N) on the VPU and fused by XLA. Path structure rides in
+three device arrays (parent, grandparent, last-segment id) built by the host
+interner.
+
+Query shapes (matching bullet-query.js):
+* field form  — children of ``base`` having field ``f`` with value v:
+  leaf slots with grandparent == base and segment == f
+* leaf form   — direct children of ``base`` with value v
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.encode import CLS_NUMBER
+from .merge import TableState
+
+
+class PathStruct(NamedTuple):
+    """Per-slot path structure, int32 [N] (-1 where absent)."""
+
+    parent: jax.Array  # parent path id
+    parent2: jax.Array  # grandparent path id
+    seg: jax.Array  # interned id of the last path segment
+
+
+@functools.partial(jax.jit, static_argnames=())
+def equals_field_mask(
+    table: TableState, struct: PathStruct, base: jax.Array, field: jax.Array, vid: jax.Array
+) -> jax.Array:
+    """[P, N] mask: leaf ``base/*/field`` slots whose value id equals vid."""
+    structural = (struct.parent2 == base) & (struct.seg == field)
+    return structural[None, :] & (table.vid == vid)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def equals_leaf_mask(
+    table: TableState, struct: PathStruct, base: jax.Array, vid: jax.Array
+) -> jax.Array:
+    """[P, N] mask: direct-child leaves of ``base`` whose value id equals vid."""
+    return (struct.parent == base)[None, :] & (table.vid == vid)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def range_field_mask(
+    table: TableState,
+    struct: PathStruct,
+    base: jax.Array,
+    field: jax.Array,
+    lo_hi: jax.Array,
+    lo_lo: jax.Array,
+    hi_hi: jax.Array,
+    hi_lo: jax.Array,
+) -> jax.Array:
+    """[P, N] mask: numeric values in [lo, hi] (inclusive), field form.
+
+    Bounds are (khi, klo) encoded keys — exact float64 ordering.
+    """
+    structural = (struct.parent2 == base) & (struct.seg == field)
+    numeric = table.cls == CLS_NUMBER
+    ge_lo = (table.khi > lo_hi) | ((table.khi == lo_hi) & (table.klo >= lo_lo))
+    le_hi = (table.khi < hi_hi) | ((table.khi == hi_hi) & (table.klo <= hi_lo))
+    return structural[None, :] & numeric & ge_lo & le_hi
+
+
+@functools.partial(jax.jit, static_argnames=())
+def range_leaf_mask(
+    table: TableState,
+    struct: PathStruct,
+    base: jax.Array,
+    lo_hi: jax.Array,
+    lo_lo: jax.Array,
+    hi_hi: jax.Array,
+    hi_lo: jax.Array,
+) -> jax.Array:
+    structural = struct.parent == base
+    numeric = table.cls == CLS_NUMBER
+    ge_lo = (table.khi > lo_hi) | ((table.khi == lo_hi) & (table.klo >= lo_lo))
+    le_hi = (table.khi < hi_hi) | ((table.khi == hi_hi) & (table.klo <= hi_lo))
+    return structural[None, :] & numeric & ge_lo & le_hi
+
+
+@jax.jit
+def count_mask(mask: jax.Array) -> jax.Array:
+    return jnp.sum(mask.astype(jnp.int32), axis=-1)
+
+
+@jax.jit
+def subtree_leaf_mask(table: TableState, member: jax.Array) -> jax.Array:
+    """[P, N] mask of present leaves restricted to a precomputed membership
+    mask [N] (host-computed descendants of a path)."""
+    return member[None, :] & (table.cls > 0)

@@ -1,18 +1,22 @@
 """Test configuration.
 
-The engine tests run on a virtual 8-device CPU mesh (the driver dry-runs the
-real multi-chip path separately); these env vars must be set before jax is
-imported anywhere in the test process.
+Engine tests run on a virtual 8-device CPU mesh (the driver dry-runs the real
+multi-chip path separately). NOTE: this environment pins JAX_PLATFORMS=axon
+at a level that overrides the env var, so platform selection must go through
+jax.config.update — and XLA_FLAGS must be set before the backend initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

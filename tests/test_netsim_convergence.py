@@ -1,0 +1,203 @@
+"""Engine property tests: convergence, determinism, topology independence,
+and agreement with the reference's converged semantics (SURVEY §4's test
+pyramid items (b) and (c))."""
+
+import numpy as np
+import pytest
+
+from bullet_tpu.models.netsim import PeerNetworkSim
+from bullet_tpu.parallel import topology as topo
+from bullet_tpu.utils.jsvalues import js_compare
+
+
+def fold_expected(values):
+    """Reference converged value for concurrent scalar writes = comparator
+    max (DESIGN.md reduction)."""
+    best = values[0]
+    for v in values[1:]:
+        if js_compare(v, best) > 0:
+            best = v
+    return best
+
+
+@pytest.mark.parametrize("topology", ["ring", "chain", "mesh", "star", "bridge"])
+def test_all_topologies_converge_identically(topology):
+    num_peers = 11
+    sim = PeerNetworkSim(num_peers, capacity=64, topology=topology)
+    rng = np.random.default_rng(42)
+    writes = {}
+    for _ in range(60):
+        peer = int(rng.integers(num_peers))
+        key = f"data/k{int(rng.integers(8))}"
+        value = float(rng.integers(-50, 50))
+        sim.put(peer, key, value)
+        writes.setdefault(key, []).append(value)
+    sim.run_until_converged()
+    assert sim.tables_equal()
+    for key, values in writes.items():
+        expected = fold_expected(values)
+        for peer in (0, num_peers // 2, num_peers - 1):
+            assert sim.get(peer, key) == expected, (key, topology)
+
+
+def test_final_state_topology_independent():
+    """Same ops on different connected topologies -> identical fixed point
+    (the semilattice makes delivery order irrelevant)."""
+    results = []
+    for topology in ["ring", "chain", "mesh"]:
+        sim = PeerNetworkSim(9, capacity=64, topology=topology)
+        rng = np.random.default_rng(7)
+        for _ in range(40):
+            sim.put(int(rng.integers(9)), f"x/k{int(rng.integers(5))}", int(rng.integers(100)))
+        sim.run_until_converged()
+        results.append(sim.get(0, "x"))
+    assert results[0] == results[1] == results[2]
+
+
+def test_convergence_rounds_bounded_by_diameter():
+    sim = PeerNetworkSim(16, capacity=32, topology="chain")
+    sim.put(0, "far", 1)  # must travel 15 hops
+    rounds = sim.run_until_converged()
+    assert sim.tables_equal()
+    assert rounds <= sim.topology.diameter + 1
+    assert sim.get(15, "far") == 1
+
+
+def test_mesh_one_round():
+    sim = PeerNetworkSim(8, capacity=32, topology="mesh")
+    sim.put(3, "k", "hello")
+    sim.step(rounds=1)
+    assert sim.tables_equal()
+    assert sim.get(0, "k") == "hello"
+
+
+def test_mixed_types_converge_by_documented_order():
+    sim = PeerNetworkSim(4, capacity=32, topology="mesh")
+    sim.put(0, "t", None)
+    sim.put(1, "t", 50)
+    sim.put(2, "t", "zzz")  # strings sort above numbers in the engine order
+    sim.run_until_converged()
+    assert sim.get(3, "t") == "zzz"
+
+
+def test_object_puts_deep_merge():
+    """Field-disjoint concurrent object writes union (quirk Q4 via the leaf
+    model)."""
+    sim = PeerNetworkSim(4, capacity=64, topology="ring")
+    sim.put(0, "users/a", {"name": "Ann", "age": 30})
+    sim.put(2, "users/a", {"email": "a@x.io", "age": 31})
+    sim.run_until_converged()
+    assert sim.get(1, "users/a") == {"name": "Ann", "age": 31, "email": "a@x.io"}
+
+
+def test_q2_smaller_reput_dropped_reference_mode():
+    sim = PeerNetworkSim(2, capacity=32, topology="ring")
+    sim.put(0, "s", 10)
+    sim.run_until_converged()
+    sim.put(0, "s", 3)
+    sim.run_until_converged()
+    assert sim.get(1, "s") == 10  # reference quirk Q2 preserved
+
+
+def test_partition_and_heal():
+    """Fault injection: a partitioned bridge cannot converge globally; healing
+    the link converges (the experiment docs/network-topologies.md:235-240
+    only discusses)."""
+    t = topo.bridge((3, 3), 1)
+    sim = PeerNetworkSim(t.num_peers, capacity=32, topology=t)
+    bridge_peer = t.num_peers - 1
+    broken = t.drop_peer(bridge_peer)
+    sim.topology = broken
+    sim.put(0, "left", 1)
+    sim.put(3, "right", 2)
+    sim.run_until_converged(max_rounds=10)
+    assert sim.get(4, "left") is None  # did not cross the partition
+    sim.topology = t  # heal
+    sim.run_until_converged()
+    assert sim.get(4, "left") == 1
+    assert sim.get(0, "right") == 2
+
+
+def test_determinism_same_seed_same_state():
+    def run():
+        sim = PeerNetworkSim(6, capacity=64, topology="ring")
+        rng = np.random.default_rng(3)
+        for _ in range(30):
+            sim.put(int(rng.integers(6)), f"d/k{int(rng.integers(4))}", float(rng.standard_normal()))
+        sim.run_until_converged()
+        return [np.asarray(f) for f in sim.table]
+
+    t1, t2 = run(), run()
+    for a, b in zip(t1, t2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_snapshot_restore():
+    sim = PeerNetworkSim(4, capacity=32, topology="ring")
+    sim.put(0, "a", 1)
+    sim.run_until_converged()
+    snap = sim.snapshot()
+    sim.put(1, "a", 99)
+    sim.run_until_converged()
+    assert sim.get(2, "a") == 99
+    sim.restore(snap)
+    assert sim.get(2, "a") == 1
+
+
+def test_capacity_growth():
+    sim = PeerNetworkSim(3, capacity=8, topology="ring")
+    for i in range(40):  # exceeds initial capacity
+        sim.put(i % 3, f"grow/k{i}", i)
+    sim.run_until_converged()
+    assert sim.tables_equal()
+    assert sim.get(0, "grow/k39") == 39
+    assert sim.capacity >= len(sim.host.paths)
+
+
+def test_string_rebalance_rekeys_table():
+    sim = PeerNetworkSim(2, capacity=64, topology="ring")
+    sim.put(0, "w", "m")
+    sim.run_until_converged()
+    # force rank rebalances with adversarial inserts
+    s = "m"
+    for i in range(64):
+        s = s + ("a" if i % 2 else "z")
+        sim.put(0, f"w{i}", s)
+    sim.run_until_converged()
+    assert sim.tables_equal()
+    # ordering still correct after rekey: biggest string wins a conflict
+    sim.put(0, "battle", "aaa")
+    sim.put(1, "battle", "zzz")
+    sim.run_until_converged()
+    assert sim.get(0, "battle") == "zzz"
+
+
+def test_subscriptions_fire_on_convergence():
+    sim = PeerNetworkSim(4, capacity=32, topology="ring")
+    seen = []
+    sim.on(3, "watched", seen.append)
+    sim.put(0, "watched", 5)
+    sim.run_until_converged()
+    assert seen == [None, 5]
+    sim.put(1, "watched", 2)  # loses in reference mode -> no callback
+    sim.run_until_converged()
+    assert seen == [None, 5]
+
+
+def test_engine_queries():
+    sim = PeerNetworkSim(4, capacity=128, topology="mesh")
+    users = {
+        "u1": {"name": "Alice", "age": 28, "role": "admin"},
+        "u2": {"name": "Bob", "age": 35, "role": "user"},
+        "u3": {"name": "Carol", "age": 42, "role": "user"},
+    }
+    for uid, data in users.items():
+        sim.put(0, f"users/{uid}", data)
+    sim.run_until_converged()
+    assert sim.equals(2, "users", "role", "user") == ["users/u2", "users/u3"]
+    assert sim.range(1, "users", "age", 30, 45) == ["users/u2", "users/u3"]
+    assert sim.count(3, "users", "role", "admin") == 1
+    assert sim.filter(0, "users", lambda v, k: v.get("age", 0) > 40) == ["users/u3"]
+    assert sim.find(0, "users", lambda v, k: v.get("name") == "Bob") == "users/u2"
+    names = sim.map(0, "users", lambda v, k: v.get("name"))
+    assert sorted(names) == ["Alice", "Bob", "Carol"]
