@@ -392,6 +392,35 @@ class PeerNetworkSim:
 
     # ---------------------------------------------------------- subscriptions
 
+    def peer(self, index: int):
+        """Peer-scoped fluent view: ``sim.peer(3).get("users/a").put(...)``."""
+        from .node import SimPeer
+
+        return SimPeer(self, index)
+
+    def off(self, peer: int, path: str, callback: Optional[Callable] = None) -> None:
+        """Unsubscribe (reference BulletNode.off, bullet.js:737-749)."""
+        self._subs = [
+            s
+            for s in self._subs
+            if not (
+                s["peer"] == peer
+                and s["path"] == path
+                and (callback is None or s["callback"] is callback)
+            )
+        ]
+
+    def save_checkpoint(self, directory: str) -> None:
+        from .checkpoint import save_checkpoint
+
+        save_checkpoint(self, directory)
+
+    @staticmethod
+    def load_checkpoint(directory: str, mesh_devices: Optional[int] = None):
+        from .checkpoint import load_checkpoint
+
+        return load_checkpoint(directory, mesh_devices)
+
     def on(self, peer: int, path: str, callback: Callable[[Any], None]) -> None:
         """Subscribe to a path at a peer; fires immediately with the current
         value (reference BulletNode.on, bullet.js:710-720) and after any step

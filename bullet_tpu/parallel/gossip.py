@@ -60,14 +60,20 @@ def gossip_round_chain(table: TableState, mode: str) -> Tuple[TableState, jax.Ar
 
 def gossip_round_mesh(table: TableState, mode: str) -> Tuple[TableState, jax.Array]:
     """Full mesh: one round makes everyone equal. Recursive doubling —
-    ceil(log2 P) shifted merges; idempotence makes the overlap harmless."""
+    ceil(log2 P) shifted merges; idempotence makes the overlap harmless.
+    fori_loop over the doubling steps for the same compile-time reason as
+    ``gossip_round_generic``."""
     num_peers = table.cls.shape[0]
-    total = jnp.int32(0)
-    shift = 1
-    while shift < num_peers:
-        table, c = _merge(table, _roll(table, shift), mode)
-        total = total + c
-        shift *= 2
+    steps = max(1, (num_peers - 1).bit_length())
+
+    def body(k, carry):
+        tbl, total = carry
+        shift = jnp.left_shift(jnp.int32(1), k)
+        rolled = TableState(*(jnp.roll(f, shift, axis=0) for f in tbl))
+        tbl, c = _merge(tbl, rolled, mode)
+        return tbl, total + c
+
+    table, total = jax.lax.fori_loop(0, steps, body, (table, jnp.int32(0)))
     return table, total
 
 
@@ -77,17 +83,24 @@ def gossip_round_generic(
     """Arbitrary adjacency: gather each neighbor column and merge.
 
     ``neighbors`` is [P, max_deg] int32 with -1 padding; padded entries are
-    masked to ABSENT and cannot win.
+    masked to ABSENT and cannot win. The column loop is a ``fori_loop`` —
+    unrolling chained gather+merge makes XLA:CPU compile time grow
+    exponentially in the degree (measured ~3.3×/iteration).
     """
-    total = jnp.int32(0)
-    for k in range(neighbors.shape[1]):
-        idx = neighbors[:, k]
+
+    def body(k, carry):
+        tbl, total = carry
+        idx = jax.lax.dynamic_index_in_dim(neighbors, k, axis=1, keepdims=False)
         valid = idx >= 0
         safe = jnp.where(valid, idx, 0)
-        gathered = TableState(*(f[safe] for f in table))
+        gathered = TableState(*(f[safe] for f in tbl))
         gathered = _mask_rows(gathered, valid)
-        table, c = _merge(table, gathered, mode)
-        total = total + c
+        tbl, c = _merge(tbl, gathered, mode)
+        return tbl, total + c
+
+    table, total = jax.lax.fori_loop(
+        0, neighbors.shape[1], body, (table, jnp.int32(0))
+    )
     return table, total
 
 

@@ -1,0 +1,66 @@
+"""Engine checkpoint/resume and the fluent cursor API."""
+
+import numpy as np
+
+from bullet_tpu.models.netsim import PeerNetworkSim
+
+
+def test_fluent_node_api():
+    sim = PeerNetworkSim(4, capacity=64, topology="ring")
+    p0 = sim.peer(0)
+    p0.get("users/a").put({"name": "Ann", "age": 30})
+    sim.run_until_converged()
+    assert sim.peer(3).get("users/a").value() == {"name": "Ann", "age": 30}
+    assert sim.peer(3).get("users/a").get("age").value() == 30
+    assert sim.peer(2).equals("users", "name", "Ann") == ["users/a"]
+
+    seen = []
+    node = sim.peer(1).get("watch")
+    node.on(seen.append)
+    sim.peer(0).get("watch").put(5)
+    sim.run_until_converged()
+    assert seen == [None, 5]
+    node.off()
+    sim.peer(0).get("watch").put(9)
+    sim.run_until_converged()
+    assert seen == [None, 5]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    sim = PeerNetworkSim(6, capacity=64, topology="chain", mode="lww")
+    sim.put(0, "users/a", {"name": "Ann", "tags": ["x", "y"]})
+    sim.put(3, "metrics/count", 42)
+    sim.put(5, "s", "hello")
+    sim.run_until_converged()
+    ckpt = str(tmp_path / "ckpt")
+    sim.save_checkpoint(ckpt)
+
+    restored = PeerNetworkSim.load_checkpoint(ckpt)
+    assert restored.num_peers == 6
+    assert restored.mode == "lww"
+    assert restored.topology.kind == "chain"
+    assert restored.get(2, "users/a") == {"name": "Ann", "tags": ["x", "y"]}
+    assert restored.get(0, "metrics/count") == 42
+    for a, b in zip(sim.table, restored.table):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restored sim keeps working: writes, lamport clocks, convergence
+    restored.put(1, "metrics/count", 7)  # lww: later write wins
+    restored.run_until_converged()
+    assert restored.get(4, "metrics/count") == 7
+    assert restored.tables_equal()
+
+
+def test_checkpoint_string_ranks_replay(tmp_path):
+    sim = PeerNetworkSim(2, capacity=64, topology="ring")
+    for i, word in enumerate(["mango", "apple", "zebra", "kiwi", "banana"]):
+        sim.put(0, f"w/{i}", word)
+    sim.run_until_converged()
+    ckpt = str(tmp_path / "ckpt2")
+    sim.save_checkpoint(ckpt)
+    restored = PeerNetworkSim.load_checkpoint(ckpt)
+    # string ordering still behaves after replay
+    restored.put(0, "battle", "aaa")
+    restored.put(1, "battle", "zzz")
+    restored.run_until_converged()
+    assert restored.get(0, "battle") == "zzz"
