@@ -115,6 +115,7 @@ class PeerNetworkSim:
         self._pending: List[List[Tuple[int, int, int, int, int, int]]] = [
             [] for _ in range(num_peers)
         ]
+        self._pending_bulk: List[Tuple[np.ndarray, ...]] = []
         self._subs: List[dict] = []
         self.stats = {
             "ops_enqueued": 0,
@@ -139,6 +140,66 @@ class PeerNetworkSim:
             )
             self.stats["ops_enqueued"] += 1
 
+    def put_bulk(self, peers, paths, values) -> None:
+        """Vectorized ingestion: enqueue many scalar puts at once.
+
+        ``peers`` — int array [K]; ``values`` — numeric array [K] (the fast
+        path) or any list of leaf values; ``paths`` — list of K path strings,
+        or an int32 array of pre-interned slot ids (see ``intern_path``).
+        This is the framework's bulk data loader: per-op Python overhead is
+        replaced by numpy passes (unique values intern once).
+        """
+        peers = np.asarray(peers, dtype=np.int32)
+        k = len(peers)
+        if k == 0:
+            return
+        if isinstance(paths, np.ndarray) and paths.dtype.kind == "i":
+            slots = paths.astype(np.int32)
+        else:
+            memo: Dict[str, int] = {}
+            slots = np.empty(k, dtype=np.int32)
+            for i, p in enumerate(paths):
+                s = memo.get(p)
+                if s is None:
+                    s = memo[p] = self.host.intern_path(p)
+                slots[i] = s
+
+        try:
+            values_arr = np.asarray(values)
+        except ValueError:  # ragged lists etc.
+            values_arr = np.empty(0, dtype=object)
+        if values_arr.dtype.kind in "ifu":
+            from ..utils.encode import bulk_encode_numbers
+
+            cls, khi, klo, vid = bulk_encode_numbers(self.host.values, values_arr)
+        else:
+            cls = np.empty(k, dtype=np.int32)
+            khi = np.empty(k, dtype=np.int32)
+            klo = np.empty(k, dtype=np.int32)
+            vid = np.empty(k, dtype=np.int32)
+            for i, v in enumerate(values):
+                cls[i], khi[i], klo[i], vid[i] = self.host.encode_value(v)
+
+        # per-op Lamport stamps: clock[peer] + within-batch sequence
+        counts = np.bincount(peers, minlength=self.num_peers)
+        order = np.argsort(peers, kind="stable")
+        sorted_peers = peers[order]
+        boundaries = np.flatnonzero(np.diff(sorted_peers)) + 1
+        starts = np.concatenate(([0], boundaries))
+        group_sizes = np.diff(np.concatenate((starts, [k])))
+        seq_sorted = np.arange(k) - np.repeat(starts, group_sizes)
+        seq = np.empty(k, dtype=np.int64)
+        seq[order] = seq_sorted
+        ctr = (self._clock[peers] + seq + 1).astype(np.int32)
+        self._clock += counts
+
+        self._pending_bulk.append((peers, slots, cls, khi, klo, vid, ctr))
+        self.stats["ops_enqueued"] += k
+
+    def intern_path(self, path: str) -> int:
+        """Pre-intern a path for slot-id based ``put_bulk`` ingestion."""
+        return self.host.intern_path(path)
+
     def remove(self, peer: int, path: str) -> None:
         """Put null at ``path`` and every known descendant leaf (the leaf
         model's rendering of the reference's subtree null,
@@ -152,15 +213,46 @@ class PeerNetworkSim:
     # ----------------------------------------------------------------- step
 
     def _drain_ops(self) -> Optional[OpBatch]:
-        batch = max((len(ops) for ops in self._pending), default=0)
-        if batch == 0:
-            return None
-        fields = [np.zeros((self.num_peers, batch), dtype=np.int32) for _ in range(6)]
+        """Pack queued ops (scalar puts + bulk batches) into dense [P, B]
+        arrays via numpy scatter."""
+        peer_list, field_cols = [], [[] for _ in range(6)]
         for p, ops in enumerate(self._pending):
-            for b, op in enumerate(ops):
+            for op in ops:
+                peer_list.append(p)
                 for f in range(6):
-                    fields[f][p, b] = op[f]
+                    field_cols[f].append(op[f])
             ops.clear()
+        chunks_peers = []
+        chunks_fields = [[] for _ in range(6)]
+        if peer_list:
+            chunks_peers.append(np.asarray(peer_list, dtype=np.int32))
+            for f in range(6):
+                chunks_fields[f].append(np.asarray(field_cols[f], dtype=np.int32))
+        for bulk in self._pending_bulk:
+            chunks_peers.append(bulk[0])
+            for f in range(6):
+                chunks_fields[f].append(bulk[f + 1])
+        self._pending_bulk.clear()
+        if not chunks_peers:
+            return None
+
+        peers = np.concatenate(chunks_peers)
+        flat = [np.concatenate(c) for c in chunks_fields]
+        counts = np.bincount(peers, minlength=self.num_peers)
+        batch = int(counts.max())
+        k = len(peers)
+        order = np.argsort(peers, kind="stable")
+        sorted_peers = peers[order]
+        boundaries = np.flatnonzero(np.diff(sorted_peers)) + 1
+        starts = np.concatenate(([0], boundaries))
+        group_sizes = np.diff(np.concatenate((starts, [k])))
+        seq_sorted = np.arange(k) - np.repeat(starts, group_sizes)
+        bpos = np.empty(k, dtype=np.int64)
+        bpos[order] = seq_sorted
+
+        fields = [np.zeros((self.num_peers, batch), dtype=np.int32) for _ in range(6)]
+        for f in range(6):
+            fields[f][peers, bpos] = flat[f]
         arrays = [jnp.asarray(f) for f in fields]
         if self.mesh is not None:
             sharding = peer_sharding(self.mesh)

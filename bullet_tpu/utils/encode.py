@@ -224,3 +224,46 @@ def to_float(value: Any) -> float:
     if isinstance(value, bool):
         return 1.0 if value else 0.0
     return float(value)
+
+
+# ------------------------------------------------------------- bulk (numpy)
+
+
+def number_keys_np(values: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``number_key``: float64 array -> (khi, klo) int32 arrays.
+
+    Same canonicalizations as the scalar path: -0.0 collapses to 0.0, NaN to
+    a fixed pattern above +inf.
+    """
+    f = np.asarray(values, dtype=np.float64).copy()
+    f[f == 0.0] = 0.0  # collapse -0.0
+    bits = f.view(np.uint64).copy()
+    bits[np.isnan(f)] = np.uint64(_CANONICAL_NAN_BITS)
+    neg = (bits >> np.uint64(63)) != 0
+    nan_mask = np.isnan(f)
+    flip = neg & ~nan_mask
+    bits[flip] = ~bits[flip]
+    bits[~neg] |= np.uint64(1) << np.uint64(63)
+    khi = ((bits >> np.uint64(32)).astype(np.int64) - _INT32_BIAS).astype(np.int32)
+    klo = ((bits & np.uint64(0xFFFFFFFF)).astype(np.int64) - _INT32_BIAS).astype(
+        np.int32
+    )
+    return khi, klo
+
+
+def bulk_encode_numbers(
+    interner: "ValueInterner", values: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized encode of a numeric array: (cls, khi, klo, vid) int32
+    arrays. Distinct values are interned once (Python loop over uniques
+    only)."""
+    values = np.asarray(values, dtype=np.float64)
+    khi, klo = number_keys_np(values)
+    uniq, inverse = np.unique(values, return_inverse=True)
+    uniq_vids = np.empty(len(uniq), dtype=np.int32)
+    for i, v in enumerate(uniq):
+        fv = float(v)
+        uniq_vids[i] = interner.encode(int(fv) if fv.is_integer() else fv)[3]
+    vid = uniq_vids[inverse.reshape(values.shape)]
+    cls = np.full(values.shape, CLS_NUMBER, dtype=np.int32)
+    return cls, khi, klo, vid
