@@ -130,7 +130,12 @@ class ValueInterner:
         self._cls: List[int] = []
         self._khi: List[int] = []
         self._klo: List[int] = []
-        self._strings = StringOrderIndex()
+        from ..native import make_string_order_index
+
+        # native C++ order-statistic index when the toolchain is available
+        # (UTF-8 byte order == codepoint order, so ranks agree); the
+        # pure-Python StringOrderIndex otherwise
+        self._strings = make_string_order_index()
         self.epoch = 0  # bumped on every string-rank rebalance
         self._on_rebalance: List[Callable[[], None]] = []
         # vid 0 = absent, vid 1 = null
