@@ -94,9 +94,11 @@ class PeerNetworkSim:
         mode: str = "reference",
         mesh_devices: Optional[int] = None,
         use_pallas: Optional[bool] = None,
+        use_shard_map: bool = False,
     ) -> None:
         self.mode = mode
         self.use_pallas = use_pallas
+        self.use_shard_map = use_shard_map
         self.mesh = make_mesh(mesh_devices) if mesh_devices else None
         if self.mesh is not None:
             num_peers = pad_peers_to_mesh(num_peers, self.mesh)
@@ -300,7 +302,9 @@ class PeerNetworkSim:
             self.stats["ops_applied"] += int(applied)
         residual = 0
         for _ in range(rounds):
-            self.table, changed = gossip_round(self.table, self.topology, self.mode)
+            self.table, changed = gossip_round(
+                self.table, self.topology, self.mode, mesh=self._gossip_mesh()
+            )
             residual = int(changed)
             self.stats["gossip_rounds"] += 1
             self.stats["merged_entries"] += residual
@@ -348,10 +352,16 @@ class PeerNetworkSim:
         row_max = np.asarray(jnp.max(self.table.ctr, axis=1)).astype(np.int64)
         np.maximum(self._clock, row_max, out=self._clock)
 
+    def _gossip_mesh(self):
+        """Mesh for the explicit shard_map gossip path (opt-in)."""
+        return self.mesh if (self.use_shard_map and self.mesh is not None) else None
+
     def converged(self) -> bool:
         """True iff one more gossip round would change nothing (checked on a
         scratch copy; state is not advanced)."""
-        _, changed = gossip_round(self.table, self.topology, self.mode)
+        _, changed = gossip_round(
+            self.table, self.topology, self.mode, mesh=self._gossip_mesh()
+        )
         return int(changed) == 0
 
     # ----------------------------------------------------------------- reads

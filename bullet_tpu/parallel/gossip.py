@@ -120,12 +120,21 @@ def gossip_round(
     topology: Topology,
     mode: str = "reference",
     use_pallas: bool | None = None,
+    mesh=None,
 ) -> Tuple[TableState, jax.Array]:
     """One synchronous gossip round; returns (table, changed_count).
 
-    On a single TPU device, ring/chain rounds dispatch to the fused Pallas
-    kernel (one read + one write per entry); sharded tables and other
-    backends use the XLA path."""
+    Dispatch: on a single TPU device, ring/chain rounds use the fused Pallas
+    kernel (one read + one write per entry); with a mesh provided, ring/chain
+    use the explicit shard_map+ppermute SPMD path (boundary rows over ICI);
+    everything else uses the XLA path (collectives inferred by XLA when the
+    table is sharded)."""
+    if mesh is not None and topology.kind in ("ring", "chain"):
+        from .shardmap_gossip import ring_round_shardmap
+
+        return ring_round_shardmap(
+            table, mesh, mode=mode, wrap=topology.kind == "ring"
+        )
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"
