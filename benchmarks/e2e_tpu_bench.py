@@ -1,0 +1,96 @@
+"""End-to-end engine benchmark on the live backend: bulk ingestion → apply →
+gossip to convergence, with spot-check reads.
+
+Unlike bench.py (pure kernel throughput), this measures the full
+PeerNetworkSim path at a north-star-shaped scale. Prints one JSON line per
+phase plus a summary line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+if os.environ.get("BULLET_BACKEND", "tpu").lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import jax  # noqa: E402
+
+from bullet_tpu.models.netsim import PeerNetworkSim  # noqa: E402
+from bullet_tpu.parallel import topology as topo  # noqa: E402
+
+
+def main() -> None:
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        num_peers, capacity, keys, writes = 256, 1 << 18, 1 << 16, 1 << 20
+    else:
+        num_peers, capacity, keys, writes = 64, 1 << 12, 1 << 10, 1 << 16
+
+    out = {"backend": jax.default_backend(), "num_peers": num_peers,
+           "capacity": capacity, "writes": writes}
+
+    sim = PeerNetworkSim(num_peers, capacity=capacity, topology=topo.ring(num_peers))
+
+    t0 = time.time()
+    slots = np.asarray([sim.intern_path(f"g/k{i}") for i in range(keys)],
+                       dtype=np.int32)
+    out["intern_s"] = round(time.time() - t0, 3)
+    print("# interned", flush=True)
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    sim.put_bulk(
+        rng.integers(0, num_peers, writes).astype(np.int32),
+        slots[rng.integers(0, keys, writes)],
+        rng.integers(0, 1 << 30, writes).astype(np.float64),
+    )
+    out["ingest_s"] = round(time.time() - t0, 3)
+    out["ingest_ops_per_s"] = round(writes / out["ingest_s"])
+    print("# ingested", out["ingest_s"], flush=True)
+
+    # warm the convergence program on a scratch copy so the timed run is
+    # steady-state (the one-time Pallas compile costs ~2 min via the tunnel)
+    import jax.numpy as jnp
+    from bullet_tpu.parallel.gossip import gossip_until_converged_device
+
+    t0 = time.time()
+    scratch, r = gossip_until_converged_device(
+        sim.table, jnp.asarray(sim.topology.neighbors), sim.topology.kind,
+        sim.mode, num_peers + 2,
+        use_pallas=jax.default_backend() == "tpu",
+    )
+    _ = int(r)
+    del scratch
+    out["compile_s"] = round(time.time() - t0, 3)
+    print("# warmed", out["compile_s"], flush=True)
+
+    t0 = time.time()
+    rounds = sim.run_until_converged(max_rounds=num_peers + 2)
+    # force completion before timing (axon block semantics)
+    _ = int(np.asarray(sim.table.vid[0, 0]))
+    out["converge_s"] = round(time.time() - t0, 3)
+    out["rounds"] = rounds
+    print("# converged", out["converge_s"], flush=True)
+
+    t0 = time.time()
+    equal = sim.tables_equal()
+    out["verify_s"] = round(time.time() - t0, 3)
+    out["tables_equal"] = bool(equal)
+
+    total = out["ingest_s"] + out["converge_s"]
+    out["e2e_ops_per_s"] = round(writes / total)
+    # replica-entry merge work actually performed:
+    out["merge_throughput_per_s"] = round(
+        2 * num_peers * capacity * rounds / out["converge_s"]
+    )
+    print(json.dumps(out))
+    assert equal
+
+
+if __name__ == "__main__":
+    main()

@@ -328,12 +328,25 @@ class PeerNetworkSim:
             self.stats["ops_applied"] += int(applied)
         if max_rounds is None:
             max_rounds = max(2 * self.topology.diameter + 2, 4)
+        from ..ops.ring_kernel import ring_round_supported
+
+        use_pallas = (
+            self.use_pallas
+            if self.use_pallas is not None
+            else (
+                jax.default_backend() == "tpu"
+                and self.mesh is None
+                and self.topology.kind in ("ring", "chain")
+                and ring_round_supported(self.table)
+            )
+        )
         self.table, rounds = gossip_until_converged_device(
             self.table,
             jnp.asarray(self.topology.neighbors),
             self.topology.kind,
             self.mode,
             max_rounds,
+            use_pallas=bool(use_pallas),
         )
         rounds = int(rounds)
         self.stats["gossip_rounds"] += rounds
@@ -565,10 +578,14 @@ class PeerNetworkSim:
         self.capacity = snap["capacity"]
 
     def tables_equal(self) -> bool:
-        """All peers bit-identical (the convergence acceptance check)."""
-        vid = np.asarray(self.table.vid)
-        cls = np.asarray(self.table.cls)
-        return bool((vid == vid[0]).all() and (cls == cls[0]).all())
+        """All peers bit-identical (the convergence acceptance check).
+        Computed on-device — only one scalar crosses to the host."""
+
+        @jax.jit
+        def _equal(vid, cls):
+            return jnp.all(vid == vid[0:1]) & jnp.all(cls == cls[0:1])
+
+        return bool(_equal(self.table.vid, self.table.cls))
 
 
 def _pred(fn, value, key):

@@ -152,16 +152,27 @@ def gossip_round(
     return _gossip_round_jit(table, neighbors, topology.kind, mode)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "mode", "max_rounds"))
+@functools.partial(
+    jax.jit, static_argnames=("kind", "mode", "max_rounds", "use_pallas")
+)
 def gossip_until_converged_device(
     table: TableState,
     neighbors: jax.Array,
     kind: str,
     mode: str,
     max_rounds: int,
+    use_pallas: bool = False,
 ) -> Tuple[TableState, jax.Array]:
     """Run rounds on-device until the residual hits zero (bounded by
-    ``max_rounds``) — no host round-trips, one compiled while_loop."""
+    ``max_rounds``) — no host round-trips, one compiled while_loop. With
+    ``use_pallas`` the loop body is the fused ring/chain kernel."""
+
+    def round_fn(tbl):
+        if use_pallas and kind in ("ring", "chain"):
+            from ..ops.ring_kernel import ring_round_pallas
+
+            return ring_round_pallas(tbl, mode=mode, wrap=kind == "ring")
+        return _gossip_round_jit(tbl, neighbors, kind, mode)
 
     def cond(state):
         _, rounds, last_changed = state
@@ -169,7 +180,7 @@ def gossip_until_converged_device(
 
     def body(state):
         tbl, rounds, _ = state
-        tbl, changed = _gossip_round_jit(tbl, neighbors, kind, mode)
+        tbl, changed = round_fn(tbl)
         return tbl, rounds + 1, changed
 
     table, rounds, _ = jax.lax.while_loop(
