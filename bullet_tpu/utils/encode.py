@@ -34,6 +34,7 @@ VID_NULL = 1
 _INT32_BIAS = 1 << 31
 _MASK64 = (1 << 64) - 1
 _CANONICAL_NAN_BITS = 0xFFF8000000000000  # above +inf after the sign trick
+_RAW_NAN_BITS = 0x7FF8000000000000  # canonical qNaN (pre-transform identity)
 
 RANK_BITS = 62
 RANK_SPACE = 1 << RANK_BITS
@@ -130,12 +131,15 @@ class ValueInterner:
         self._cls: List[int] = []
         self._khi: List[int] = []
         self._klo: List[int] = []
-        from ..native import make_string_order_index
+        from ..native import make_number_interner, make_string_order_index
 
         # native C++ order-statistic index when the toolchain is available
         # (UTF-8 byte order == codepoint order, so ranks agree); the
         # pure-Python StringOrderIndex otherwise
         self._strings = make_string_order_index()
+        # numbers intern through a bits->vid map (native when available)
+        # instead of the token dict, enabling batch interning
+        self._numbers = make_number_interner()
         self.epoch = 0  # bumped on every string-rank rebalance
         self._on_rebalance: List[Callable[[], None]] = []
         # vid 0 = absent, vid 1 = null
@@ -163,28 +167,43 @@ class ValueInterner:
             return ("null",)
         if isinstance(value, bool):
             return ("bool", value)
-        if isinstance(value, (int, float)):
-            f = float(value)
-            if f == 0.0:
-                f = 0.0
-            if math.isnan(f):
-                return ("num", "nan")
-            return ("num", struct.pack("<d", f))
         if isinstance(value, str):
             return ("str", value)
         if isinstance(value, list):
             return ("arr", json.dumps(value, sort_keys=True, default=str))
         raise TypeError(f"not a leaf value: {type(value)!r}")
 
+    @staticmethod
+    def _raw_bits(f: float) -> int:
+        """Identity bits of a canonicalized float64 (the bits->vid map key)."""
+        if math.isnan(f):
+            return _RAW_NAN_BITS
+        if f == 0.0:
+            f = 0.0
+        return struct.unpack("<Q", struct.pack("<d", f))[0]
+
     def encode(self, value: Any) -> Tuple[int, int, int, int]:
         """Intern ``value`` and return (cls, khi, klo, vid)."""
+        if isinstance(value, (int, float)) and not isinstance(value, bool):
+            f = to_float(value)
+            bits = self._raw_bits(f)
+            vid = self._numbers.lookup(bits)
+            if vid is None:
+                khi, klo = number_key(f)
+                vid = len(self._value_of)
+                self._value_of.append(value)
+                self._cls.append(CLS_NUMBER)
+                self._khi.append(khi)
+                self._klo.append(klo)
+                self._numbers.insert(bits, vid)
+            return self._cls[vid], self._khi[vid], self._klo[vid], vid
         token = self._token(value)
         vid = self._vid_of.get(token)
         if vid is not None:
             return self._cls[vid], self._khi[vid], self._klo[vid], vid
         if token[0] == "null":
             vid = VID_NULL
-        elif token[0] in ("bool", "num"):
+        elif token[0] == "bool":
             khi, klo = number_key(to_float(value))
             vid = self._push(token, value, CLS_NUMBER, khi, klo)
         elif token[0] == "str":
@@ -260,15 +279,27 @@ def bulk_encode_numbers(
     interner: "ValueInterner", values: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized encode of a numeric array: (cls, khi, klo, vid) int32
-    arrays. Distinct values are interned once (Python loop over uniques
-    only)."""
+    arrays. Interning runs through the (native) bits->vid batch map —
+    no per-value Python work beyond a list-extend for first occurrences."""
     values = np.asarray(values, dtype=np.float64)
     khi, klo = number_keys_np(values)
-    uniq, inverse = np.unique(values, return_inverse=True)
-    uniq_vids = np.empty(len(uniq), dtype=np.int32)
-    for i, v in enumerate(uniq):
-        fv = float(v)
-        uniq_vids[i] = interner.encode(int(fv) if fv.is_integer() else fv)[3]
-    vid = uniq_vids[inverse.reshape(values.shape)]
+    f = values.copy()
+    f[f == 0.0] = 0.0
+    bits = f.view(np.uint64).copy()
+    bits[np.isnan(f)] = np.uint64(_RAW_NAN_BITS)
+    vids, new_idx = interner._numbers.intern_batch(
+        bits.ravel(), len(interner._value_of)
+    )
+    if len(new_idx):
+        flat = f.ravel()
+        new_vals = flat[new_idx]
+        nk_hi, nk_lo = khi.ravel()[new_idx], klo.ravel()[new_idx]
+        interner._value_of.extend(
+            int(v) if v.is_integer() else float(v) for v in new_vals.tolist()
+        )
+        interner._cls.extend([CLS_NUMBER] * len(new_idx))
+        interner._khi.extend(nk_hi.tolist())
+        interner._klo.extend(nk_lo.tolist())
+    vid = vids.reshape(values.shape).astype(np.int32)
     cls = np.full(values.shape, CLS_NUMBER, dtype=np.int32)
     return cls, khi, klo, vid
