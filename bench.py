@@ -16,7 +16,23 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
+
+
+def _enable_compile_cache() -> None:
+    """Persistent compile cache: kernel compiles cost minutes through the
+    axon tunnel; caching makes repeated bench runs start hot."""
+    try:
+        import jax
+
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
 
 
 def make_table(num_peers: int, capacity: int):
@@ -91,6 +107,7 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
 def main() -> None:
     import jax
 
+    _enable_compile_cache()
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     if on_tpu:

@@ -1,0 +1,80 @@
+"""Bridge between the db layer and the engine.
+
+Lets reference-style users move data between a live ``Bullet`` instance
+(single process, real networking) and a ``PeerNetworkSim`` (thousands of
+simulated peers): seed a simulation from production state, or materialize a
+converged replica back into a database.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+def load_bullet_into_sim(bullet, sim, peer: int = 0) -> int:
+    """Enqueue every leaf of a Bullet store as local puts at ``peer``.
+
+    Uses the same recursive leaf decomposition as the sync wire format
+    (/root/reference/src/bullet-network-sync.js:592-646). Returns the number
+    of leaves queued (call ``sim.step()``/``run_until_converged`` after).
+    """
+    count = 0
+
+    def traverse(obj, prefix: str):
+        nonlocal count
+        if not isinstance(obj, dict):
+            sim.put(peer, prefix, obj)
+            count += 1
+            return
+        for key, value in obj.items():
+            path = f"{prefix}/{key}" if prefix else str(key)
+            if isinstance(value, dict):
+                traverse(value, path)
+            else:
+                sim.put(peer, path, value)
+                count += 1
+
+    traverse(bullet.store, "")
+    return count
+
+
+def dump_sim_into_bullet(sim, bullet, peer: int = 0, broadcast: bool = False) -> int:
+    """Write a peer's converged replica into a Bullet instance through its
+    normal write path (CRT, validation, middleware and indexes all apply).
+    Returns the number of leaves written."""
+    count = 0
+    values = sim._decode_slots(peer, list(range(len(sim.host.paths))))
+    for slot, value in values.items():
+        bullet.set_data(sim.host.paths.path(slot), value, broadcast=broadcast)
+        count += 1
+    return count
+
+
+def sim_from_bullet(
+    bullet,
+    num_peers: int,
+    topology="ring",
+    mode: str = "reference",
+    mesh_devices: Optional[int] = None,
+):
+    """Create a converged sim seeded with a Bullet instance's state."""
+    from .netsim import PeerNetworkSim
+
+    leaves = _count_leaves(bullet.store)
+    capacity = max(128, 2 * leaves)
+    sim = PeerNetworkSim(
+        num_peers,
+        capacity=capacity,
+        topology=topology,
+        mode=mode,
+        mesh_devices=mesh_devices,
+    )
+    load_bullet_into_sim(bullet, sim, peer=0)
+    sim.run_until_converged()
+    return sim
+
+
+def _count_leaves(obj) -> int:
+    if not isinstance(obj, dict):
+        return 1
+    return sum(_count_leaves(v) for v in obj.values()) or 0
