@@ -79,9 +79,12 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
         merge_tables_pallas,
         merge_tables_xla,
     )
-    from bullet_tpu.ops.ring_kernel import ring_round_pallas
+    from bullet_tpu.ops.ring_kernel import ring_round_pallas, ring_round_pallas_lean
 
     def one_round(_, t):
+        if impl == "lean":
+            t2, _c = ring_round_pallas_lean(t, wrap=True)
+            return t2
         if impl == "fused":
             t2, _c = ring_round_pallas(t, mode="reference", wrap=True)
             return t2
@@ -112,7 +115,7 @@ def main() -> None:
     on_tpu = backend == "tpu"
     if on_tpu:
         num_peers, capacity, rounds = 256, 1 << 18, 30
-        impls = ["fused", "xla"]
+        impls = ["lean", "fused", "xla"]
     else:  # CPU smoke sizing
         num_peers, capacity, rounds = 16, 1 << 14, 5
         impls = ["xla"]

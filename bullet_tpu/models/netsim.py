@@ -95,10 +95,15 @@ class PeerNetworkSim:
         mesh_devices: Optional[int] = None,
         use_pallas: Optional[bool] = None,
         use_shard_map: bool = False,
+        lean_gossip: bool = False,
     ) -> None:
         self.mode = mode
         self.use_pallas = use_pallas
         self.use_shard_map = use_shard_map
+        # lean gossip exchanges only the 4 value-key arrays (reference mode):
+        # writer/ctr/tick keep their last locally-written values, matching
+        # the reference's receive-side metadata reset (~1.75x merge traffic)
+        self.lean_gossip = lean_gossip and mode == "reference"
         self.mesh = make_mesh(mesh_devices) if mesh_devices else None
         if self.mesh is not None:
             num_peers = pad_peers_to_mesh(num_peers, self.mesh)
@@ -303,7 +308,8 @@ class PeerNetworkSim:
         residual = 0
         for _ in range(rounds):
             self.table, changed = gossip_round(
-                self.table, self.topology, self.mode, mesh=self._gossip_mesh()
+                self.table, self.topology, self.mode, mesh=self._gossip_mesh(),
+                lean=self.lean_gossip,
             )
             residual = int(changed)
             self.stats["gossip_rounds"] += 1
@@ -347,6 +353,7 @@ class PeerNetworkSim:
             self.mode,
             max_rounds,
             use_pallas=bool(use_pallas),
+            lean=self.lean_gossip,
         )
         rounds = int(rounds)
         self.stats["gossip_rounds"] += rounds

@@ -142,6 +142,102 @@ def _fullp_round_kernel(mode: str, wrap: bool, num_peers: int, *refs):
 _FULLP_MAX_ELEMS = 1 << 16  # 64K int32 = 256 KB/buffer → ~7.2 MB total
 
 
+def _fullp_round_kernel_lean(wrap: bool, num_peers: int, *refs):
+    """Lean variant: only the 4 value-key arrays (cls, khi, klo, vid) are
+    exchanged and merged — reference-mode priority is exactly those keys, and
+    writer/ctr/tick are local bookkeeping the reference also discards on
+    receive (meta.source becomes "network", bullet.js:198-203). Traffic
+    drops from 56 to 32 B/entry/round."""
+    import jax.experimental.pallas as pl
+
+    c_refs, out_refs, count_ref = refs[:4], refs[4:8], refs[8]
+    center = [r[...] for r in c_refs]
+    row = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
+
+    def shifted(direction: int):
+        out = []
+        for f in range(4):
+            rolled = jnp.roll(center[f], direction, axis=0)
+            if not wrap:
+                edge = row == (0 if direction == +1 else num_peers - 1)
+                rolled = jnp.where(edge, 0, rolled)
+            out.append(rolled)
+        return out
+
+    def lexmax(a_vals, b_vals):
+        gt = jnp.zeros_like(a_vals[0], dtype=jnp.bool_)
+        eq = jnp.ones_like(a_vals[0], dtype=jnp.bool_)
+        for ka, kb in zip(a_vals, b_vals):
+            gt = gt | (eq & (kb > ka))
+            eq = eq & (ka == kb)
+        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+
+    m1, gt1 = lexmax(center, shifted(+1))
+    m2, gt2 = lexmax(m1, shifted(-1))
+    for out, v in zip(out_refs, m2):
+        out[...] = v
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        count_ref[0, 0] = 0
+
+    count_ref[0, 0] += jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(
+        gt2.astype(jnp.int32)
+    )
+
+
+def lean_supported(p: int, n: int) -> bool:
+    tile_n = _lean_tile_n(p, n)
+    return p * tile_n <= _FULLP_MAX_ELEMS * 2 and n % tile_n == 0 and n % 128 == 0
+
+
+def _lean_tile_n(p: int, n: int) -> int:
+    t = min(max(128, (_FULLP_MAX_ELEMS * 2) // p), n)
+    while t > 128 and n % t:
+        t -= 128
+    return t if n % t == 0 else n
+
+
+def ring_round_pallas_lean(
+    table: TableState, wrap: bool = True, interpret: bool | None = None
+) -> Tuple[TableState, jax.Array]:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _ring_round_pallas_lean_jit(table, wrap, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("wrap", "interpret"))
+def _ring_round_pallas_lean_jit(
+    table: TableState, wrap: bool = True, interpret: bool = False
+) -> Tuple[TableState, jax.Array]:
+    """Fused lean ring/chain round (reference mode only): merges the value
+    keys, leaves writer/ctr/tick untouched. Requires reference-mode
+    semantics — ctr never decides there (a vid tie means equal values).
+    Check ``lean_supported(p, n)`` before calling."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, n = table.cls.shape
+    # 8 data buffers instead of 14 -> bigger tiles fit
+    tile_n = _lean_tile_n(p, n)
+    grid = (n // tile_n,)
+    data_spec = pl.BlockSpec((p, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM)
+    count_spec = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(4)
+    ) + (jax.ShapeDtypeStruct((1, 1), jnp.int32),)
+    outs = pl.pallas_call(
+        functools.partial(_fullp_round_kernel_lean, wrap, p),
+        grid=grid,
+        in_specs=[data_spec] * 4,
+        out_specs=tuple([data_spec] * 4) + (count_spec,),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(table.cls, table.khi, table.klo, table.vid)
+    merged = table._replace(cls=outs[0], khi=outs[1], klo=outs[2], vid=outs[3])
+    return merged, outs[4][0, 0]
+
+
 def _pick_tiles(p: int, n: int) -> Tuple[int, int]:
     def best(total, target, align):
         if total <= target:
@@ -161,11 +257,21 @@ def ring_round_supported(table: TableState) -> bool:
     return p >= _HALO and p % _HALO == 0 and n % 128 == 0
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "wrap", "interpret"))
 def ring_round_pallas(
+    table: TableState, mode: str = "reference", wrap: bool = True,
+    interpret: bool | None = None
+) -> Tuple[TableState, jax.Array]:
+    """One fused ring (wrap=True) or chain (wrap=False) gossip round.
+    Off-TPU backends run the kernel in interpret mode automatically."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _ring_round_pallas_jit(table, mode, wrap, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "wrap", "interpret"))
+def _ring_round_pallas_jit(
     table: TableState, mode: str = "reference", wrap: bool = True, interpret: bool = False
 ) -> Tuple[TableState, jax.Array]:
-    """One fused ring (wrap=True) or chain (wrap=False) gossip round."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -121,6 +121,7 @@ def gossip_round(
     mode: str = "reference",
     use_pallas: bool | None = None,
     mesh=None,
+    lean: bool = False,
 ) -> Tuple[TableState, jax.Array]:
     """One synchronous gossip round; returns (table, changed_count).
 
@@ -142,8 +143,16 @@ def gossip_round(
             and len(table.cls.devices()) == 1
         )
     if use_pallas and topology.kind in ("ring", "chain"):
-        from ..ops.ring_kernel import ring_round_pallas, ring_round_supported
+        from ..ops.ring_kernel import (
+            lean_supported,
+            ring_round_pallas,
+            ring_round_pallas_lean,
+            ring_round_supported,
+        )
 
+        p, n = table.cls.shape
+        if lean and mode == "reference" and lean_supported(p, n):
+            return ring_round_pallas_lean(table, wrap=topology.kind == "ring")
         if ring_round_supported(table):
             return ring_round_pallas(
                 table, mode=mode, wrap=topology.kind == "ring"
@@ -153,7 +162,7 @@ def gossip_round(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "mode", "max_rounds", "use_pallas")
+    jax.jit, static_argnames=("kind", "mode", "max_rounds", "use_pallas", "lean")
 )
 def gossip_until_converged_device(
     table: TableState,
@@ -162,6 +171,7 @@ def gossip_until_converged_device(
     mode: str,
     max_rounds: int,
     use_pallas: bool = False,
+    lean: bool = False,
 ) -> Tuple[TableState, jax.Array]:
     """Run rounds on-device until the residual hits zero (bounded by
     ``max_rounds``) — no host round-trips, one compiled while_loop. With
@@ -169,8 +179,15 @@ def gossip_until_converged_device(
 
     def round_fn(tbl):
         if use_pallas and kind in ("ring", "chain"):
-            from ..ops.ring_kernel import ring_round_pallas
+            from ..ops.ring_kernel import (
+                lean_supported,
+                ring_round_pallas,
+                ring_round_pallas_lean,
+            )
 
+            p, n = tbl.cls.shape
+            if lean and mode == "reference" and lean_supported(p, n):
+                return ring_round_pallas_lean(tbl, wrap=kind == "ring")
             return ring_round_pallas(tbl, mode=mode, wrap=kind == "ring")
         return _gossip_round_jit(tbl, neighbors, kind, mode)
 

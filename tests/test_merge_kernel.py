@@ -106,3 +106,24 @@ def test_absent_loses_to_everything():
     b = b._replace(cls=b.cls.at[0, 0].set(1), vid=b.vid.at[0, 0].set(1))  # null
     merged, changed = merge_tables_xla(a, b, "reference")
     assert int(merged.cls[0, 0]) == 1 and int(changed) == 1
+
+
+def test_lean_sim_converges_to_same_values():
+    """lean_gossip=True must reach the same value state as the full path
+    (metadata arrays may differ)."""
+    import numpy as np
+
+    from bullet_tpu.models.netsim import PeerNetworkSim
+
+    def run(**kw):
+        sim = PeerNetworkSim(8, capacity=128, topology="ring",
+                             use_pallas=True, **kw)
+        rng = np.random.default_rng(11)
+        for _ in range(50):
+            sim.put(int(rng.integers(8)), f"k/v{int(rng.integers(10))}",
+                    int(rng.integers(1000)))
+        sim.run_until_converged()
+        assert sim.tables_equal()
+        return sim.get(0, "k")
+
+    assert run() == run(lean_gossip=True)
