@@ -18,11 +18,22 @@ import numpy as np
 from ..ops.merge import FIELDS
 
 
-def save_checkpoint(sim, directory: str) -> None:
+def save_checkpoint(sim, directory: str, backend: str = "npz") -> None:
+    """``backend="npz"`` (default, dependency-free) or ``"orbax"`` (async-
+    capable, sharding-aware saves for long-running simulations)."""
     os.makedirs(directory, exist_ok=True)
-    arrays = {name: np.asarray(f) for name, f in zip(FIELDS, sim.table)}
-    arrays["clock"] = sim._clock
-    np.savez_compressed(os.path.join(directory, "state.npz"), **arrays)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        state = {name: f for name, f in zip(FIELDS, sim.table)}
+        state["clock"] = sim._clock
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.join(os.path.abspath(directory), "orbax"), state)
+            ckptr.wait_until_finished()
+    else:
+        arrays = {name: np.asarray(f) for name, f in zip(FIELDS, sim.table)}
+        arrays["clock"] = sim._clock
+        np.savez_compressed(os.path.join(directory, "state.npz"), **arrays)
 
     host = sim.host
     values = []
@@ -31,6 +42,7 @@ def save_checkpoint(sim, directory: str) -> None:
     meta = {
         "format": "bullet-tpu-checkpoint",
         "version": 1,
+        "backend": backend,
         "num_peers": sim.num_peers,
         "capacity": sim.capacity,
         "mode": sim.mode,
@@ -81,9 +93,19 @@ def load_checkpoint(directory: str, mesh_devices: Optional[int] = None):
         sim.host.encode_value(value)
     sim.host.needs_rekey = False
 
-    data = np.load(os.path.join(directory, "state.npz"))
     from ..ops.merge import TableState
 
+    if meta.get("backend") == "orbax":
+        import orbax.checkpoint as ocp
+
+        template = {name: np.asarray(f) for name, f in zip(FIELDS, sim.table)}
+        template["clock"] = sim._clock
+        with ocp.StandardCheckpointer() as ckptr:
+            data = ckptr.restore(
+                os.path.join(os.path.abspath(directory), "orbax"), template
+            )
+    else:
+        data = np.load(os.path.join(directory, "state.npz"))
     sim.table = TableState(*(jnp.asarray(data[name]) for name in FIELDS))
     if sim.mesh is not None:
         from ..parallel.mesh import shard_table

@@ -532,10 +532,10 @@ class PeerNetworkSim:
             )
         ]
 
-    def save_checkpoint(self, directory: str) -> None:
+    def save_checkpoint(self, directory: str, backend: str = "npz") -> None:
         from .checkpoint import save_checkpoint
 
-        save_checkpoint(self, directory)
+        save_checkpoint(self, directory, backend=backend)
 
     @staticmethod
     def load_checkpoint(directory: str, mesh_devices: Optional[int] = None):

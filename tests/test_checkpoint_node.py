@@ -1,6 +1,7 @@
 """Engine checkpoint/resume and the fluent cursor API."""
 
 import numpy as np
+import pytest
 
 from bullet_tpu.models.netsim import PeerNetworkSim
 
@@ -64,3 +65,18 @@ def test_checkpoint_string_ranks_replay(tmp_path):
     restored.put(1, "battle", "zzz")
     restored.run_until_converged()
     assert restored.get(0, "battle") == "zzz"
+
+
+def test_checkpoint_orbax_backend(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    sim = PeerNetworkSim(4, capacity=32, topology="ring")
+    sim.put(0, "o/x", 7)
+    sim.put(2, "o/y", "hello")
+    sim.run_until_converged()
+    ckpt = str(tmp_path / "ock")
+    sim.save_checkpoint(ckpt, backend="orbax")
+    restored = PeerNetworkSim.load_checkpoint(ckpt)
+    assert restored.get(1, "o/x") == 7
+    assert restored.get(3, "o/y") == "hello"
+    for a, b in zip(sim.table, restored.table):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -17,6 +17,7 @@ EXAMPLES = [
     "chain_example.py",
     "bridge_example.py",
     "netsim_scale_example.py",
+    "observability_example.py",
     ("sync_example.py", ["--items", "300"]),
 ]
 
