@@ -63,13 +63,6 @@ def serve(args) -> int:
     return 0
 
 
-def bench(args) -> int:
-    import bench as bench_mod
-
-    bench_mod.main()
-    return 0
-
-
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="bullet_tpu")
     sub = parser.add_subparsers(dest="command", required=True)

@@ -220,14 +220,19 @@ class Bullet:
                 cont, path, raw_data = self.middleware.run_put_hooks(path, raw_data)
                 if not cont:
                     return False
-            if (
-                self.validation is not None
-                and self.options["validate_on_write"]
-                and not self.validation.check_write(path, raw_data)
-            ):
-                return False
-
             data, from_network = self._strip_network_flag(raw_data)
+            if self.validation is not None and self.options["validate_on_write"]:
+                # validate the clean payload: wire markers (__vectorClock;
+                # __fromNetwork already stripped) are transport framing, not
+                # user data — otherwise strict schemas would reject every
+                # replicated write and peers would diverge
+                check_data = (
+                    {k: v for k, v in data.items() if k != "__vectorClock"}
+                    if isinstance(data, dict)
+                    else data
+                )
+                if not self.validation.check_write(path, check_data):
+                    return False
             old_data = deep_copy(self._get_data_raw(path))
             result = self.crt.handle_update(path, data, from_network)
 

@@ -187,6 +187,7 @@ class BulletFileStorage(BulletStorage):
 
     def close(self) -> None:
         self._closed = True
+        atexit.unregister(self._exit_save)  # don't pin closed instances
         if self._save_timer is not None:
             self._save_timer.cancel()
             self._save_timer = None

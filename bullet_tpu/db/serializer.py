@@ -355,7 +355,9 @@ class BulletSerializer:
             indices = {
                 key: True
                 for key in self.bullet.query.indices
-                if key.startswith(path)
+                if key == path
+                or key.startswith(path + ":")
+                or key.startswith(path + "/")
             }
             if indices:
                 metadata["indices"] = indices

@@ -191,6 +191,12 @@ class BulletNetworkSync:
         state = self._peer_state(peer_id)
         if state["request_id"] != message.get("requestId"):
             return
+        if message.get("resuming"):
+            # resume acknowledgement, not a fresh transfer: keep the
+            # in-progress state and timeout machinery so the retried full
+            # sync still uses the pre-failure `since` timestamp (finishing
+            # here would advance it and permanently skip the missing chunks)
+            return
         with self._lock:
             self._cancel(state, "timeout_timer")
             state.update(

@@ -144,10 +144,10 @@ class BulletValidation:
                     # exercised): a first segment that is NOT a schema property
                     # is a member id — the member object validates against the
                     # whole schema, deeper segments against its properties.
-                    if (
-                        prop_path[0] not in schema["properties"]
-                        and schema["additionalProperties"]
-                    ):
+                    # additionalProperties governs the member's *contents*,
+                    # not the member ids (else strict collection schemas
+                    # would reject every member write).
+                    if prop_path[0] not in schema["properties"]:
                         member_rest = prop_path[1:]
                         if not member_rest:
                             return self._validate_against_schema(

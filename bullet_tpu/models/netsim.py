@@ -37,6 +37,24 @@ from .table import MISSING, GraphHost, flatten_value
 TopologyLike = Union[str, topo.Topology]
 
 
+def _group_positions(peers: np.ndarray, num_peers: int):
+    """Within-batch sequence position of each op among its peer's ops, plus
+    per-peer counts (stable order). Shared by put_bulk and _drain_ops so the
+    Lamport stamps and dense batch positions can never diverge."""
+    k = len(peers)
+    counts = np.bincount(peers, minlength=num_peers)
+    order = np.argsort(peers, kind="stable")
+    sorted_peers = peers[order]
+    boundaries = np.flatnonzero(np.diff(sorted_peers)) + 1
+    starts = np.concatenate(([0], boundaries))
+    group_sizes = np.diff(np.concatenate((starts, [k])))
+    seq_sorted = np.arange(k) - np.repeat(starts, group_sizes)
+    seq = np.empty(k, dtype=np.int64)
+    seq[order] = seq_sorted
+    return seq, counts
+
+
+
 def _resolve_topology(t: TopologyLike, num_peers: int) -> topo.Topology:
     if isinstance(t, topo.Topology):
         return t
@@ -188,15 +206,7 @@ class PeerNetworkSim:
                 cls[i], khi[i], klo[i], vid[i] = self.host.encode_value(v)
 
         # per-op Lamport stamps: clock[peer] + within-batch sequence
-        counts = np.bincount(peers, minlength=self.num_peers)
-        order = np.argsort(peers, kind="stable")
-        sorted_peers = peers[order]
-        boundaries = np.flatnonzero(np.diff(sorted_peers)) + 1
-        starts = np.concatenate(([0], boundaries))
-        group_sizes = np.diff(np.concatenate((starts, [k])))
-        seq_sorted = np.arange(k) - np.repeat(starts, group_sizes)
-        seq = np.empty(k, dtype=np.int64)
-        seq[order] = seq_sorted
+        seq, counts = _group_positions(peers, self.num_peers)
         ctr = (self._clock[peers] + seq + 1).astype(np.int32)
         self._clock += counts
 
@@ -245,17 +255,8 @@ class PeerNetworkSim:
 
         peers = np.concatenate(chunks_peers)
         flat = [np.concatenate(c) for c in chunks_fields]
-        counts = np.bincount(peers, minlength=self.num_peers)
+        bpos, counts = _group_positions(peers, self.num_peers)
         batch = int(counts.max())
-        k = len(peers)
-        order = np.argsort(peers, kind="stable")
-        sorted_peers = peers[order]
-        boundaries = np.flatnonzero(np.diff(sorted_peers)) + 1
-        starts = np.concatenate(([0], boundaries))
-        group_sizes = np.diff(np.concatenate((starts, [k])))
-        seq_sorted = np.arange(k) - np.repeat(starts, group_sizes)
-        bpos = np.empty(k, dtype=np.int64)
-        bpos[order] = seq_sorted
 
         fields = [np.zeros((self.num_peers, batch), dtype=np.int32) for _ in range(6)]
         for f in range(6):
@@ -380,15 +381,24 @@ class PeerNetworkSim:
         """True iff one more gossip round would change nothing (checked on a
         scratch copy; state is not advanced)."""
         _, changed = gossip_round(
-            self.table, self.topology, self.mode, mesh=self._gossip_mesh()
+            self.table, self.topology, self.mode, mesh=self._gossip_mesh(),
+            lean=self.lean_gossip,
         )
         return int(changed) == 0
 
     # ----------------------------------------------------------------- reads
 
+    def _sync_device_state(self) -> None:
+        """Reads may follow fresh path/value interning: grow the table and
+        re-key BEFORE any device access, or gathers clamp to wrong slots and
+        scans see mismatched struct/table shapes."""
+        self._ensure_capacity()
+        self._maybe_rekey()
+
     def _decode_slots(self, peer: int, slots: List[int]) -> Dict[int, Any]:
         if not slots:
             return {}
+        self._sync_device_state()
         arr = jnp.asarray(np.asarray(slots, dtype=np.int32))
         cls, _khi, _klo, vid, *_ = _gather_entries(
             self.table, jnp.int32(peer), arr
@@ -437,6 +447,7 @@ class PeerNetworkSim:
         if base_pid is None:
             return []
         _, _, _, vid = self.host.encode_value(value)
+        self._sync_device_state()
         struct = self.host.struct()
         if field is not None:
             fid = self.host.seg_lookup(field)
@@ -465,6 +476,7 @@ class PeerNetworkSim:
 
         lo_hi, lo_lo = number_key(float(lo))
         hi_hi, hi_lo = number_key(float(hi))
+        self._sync_device_state()
         struct = self.host.struct()
         args = (
             jnp.int32(lo_hi),

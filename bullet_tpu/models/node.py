@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Optional
 
+from .table import MISSING
+
 
 class SimPeer:
     """A peer-scoped view of the sim: ``sim.peer(3).get("users/a").put(...)``."""
@@ -25,12 +27,12 @@ class SimPeer:
         return self.sim.get(self.index)
 
     # peer-scoped query facade (reference Bullet facades, bullet.js:313-390)
-    def equals(self, base: str, field, value: Any = None):
-        args = (field,) if value is None else (field, value)
+    def equals(self, base: str, field, value: Any = MISSING):
+        args = (field,) if value is MISSING else (field, value)
         return self.sim.equals(self.index, base, *args)
 
-    def range(self, base: str, field, lo=None, hi=None):
-        args = (field, lo) if hi is None else (field, lo, hi)
+    def range(self, base: str, field, lo=MISSING, hi=MISSING):
+        args = (field, lo) if hi is MISSING else (field, lo, hi)
         return self.sim.range(self.index, base, *args)
 
     def filter(self, base: str, fn: Callable):
@@ -42,8 +44,8 @@ class SimPeer:
     def map(self, base: str, fn: Callable):
         return self.sim.map(self.index, base, fn)
 
-    def count(self, base: str, field, value: Any = None) -> int:
-        args = (field,) if value is None else (field, value)
+    def count(self, base: str, field, value: Any = MISSING) -> int:
+        args = (field,) if value is MISSING else (field, value)
         return self.sim.count(self.index, base, *args)
 
 
