@@ -20,6 +20,12 @@ if os.environ.get("BULLET_BACKEND", "tpu").lower() == "cpu":
 
 import jax  # noqa: E402
 
+_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _REPO_ROOT)
+from bench import _enable_compile_cache  # noqa: E402
+
+_enable_compile_cache()
+
 from bullet_tpu.models.netsim import PeerNetworkSim  # noqa: E402
 from bullet_tpu.parallel import topology as topo  # noqa: E402
 
@@ -30,11 +36,14 @@ def main() -> None:
         num_peers, capacity, keys, writes = 256, 1 << 18, 1 << 16, 1 << 20
     else:
         num_peers, capacity, keys, writes = 64, 1 << 12, 1 << 10, 1 << 16
+    lean = os.environ.get("BULLET_LEAN", "1") != "0" and on_tpu
 
     out = {"backend": jax.default_backend(), "num_peers": num_peers,
            "capacity": capacity, "writes": writes}
 
-    sim = PeerNetworkSim(num_peers, capacity=capacity, topology=topo.ring(num_peers))
+    sim = PeerNetworkSim(num_peers, capacity=capacity,
+                         topology=topo.ring(num_peers), lean_gossip=lean)
+    out["lean"] = lean
 
     t0 = time.time()
     slots = np.asarray([sim.intern_path(f"g/k{i}") for i in range(keys)],
@@ -63,6 +72,7 @@ def main() -> None:
         sim.table, jnp.asarray(sim.topology.neighbors), sim.topology.kind,
         sim.mode, num_peers + 2,
         use_pallas=jax.default_backend() == "tpu",
+        lean=sim.lean_gossip,
     )
     _ = int(r)
     del scratch
