@@ -67,6 +67,8 @@ def _resolve_topology(t: TopologyLike, num_peers: int) -> topo.Topology:
     }
     if t == "bridge":
         # the reference bridge example: 2 clusters × 5 + 1 bridge node
+        if num_peers < 3:
+            raise ValueError("bridge topology needs at least 3 peers")
         built = topo.bridge()
         if built.num_peers != num_peers:
             per = max(1, (num_peers - 1) // 2)
@@ -157,6 +159,10 @@ class PeerNetworkSim:
         """Queue a local put at ``peer`` (applied on the next step). Object
         values decompose into leaves (DESIGN.md leaf model)."""
         for leaf_path, leaf_value in flatten_value(path, value):
+            if not leaf_path:
+                raise ValueError(
+                    "cannot put a scalar at the root path (empty leaf path)"
+                )
             slot = self.host.intern_path(leaf_path)
             cls, khi, klo, vid = self.host.encode_value(leaf_value)
             self._clock[peer] += 1
@@ -309,7 +315,8 @@ class PeerNetworkSim:
         residual = 0
         for _ in range(rounds):
             self.table, changed = gossip_round(
-                self.table, self.topology, self.mode, mesh=self._gossip_mesh(),
+                self.table, self.topology, self.mode,
+                use_pallas=self.use_pallas, mesh=self._gossip_mesh(),
                 lean=self.lean_gossip,
             )
             residual = int(changed)
@@ -381,7 +388,8 @@ class PeerNetworkSim:
         """True iff one more gossip round would change nothing (checked on a
         scratch copy; state is not advanced)."""
         _, changed = gossip_round(
-            self.table, self.topology, self.mode, mesh=self._gossip_mesh(),
+            self.table, self.topology, self.mode,
+            use_pallas=self.use_pallas, mesh=self._gossip_mesh(),
             lean=self.lean_gossip,
         )
         return int(changed) == 0
@@ -435,8 +443,8 @@ class PeerNetworkSim:
 
     # --------------------------------------------------------------- queries
 
-    def _mask_paths(self, peer: int, mask) -> List[str]:
-        row = np.asarray(mask[peer])
+    def _mask_paths_row(self, row_mask) -> List[str]:
+        row = np.asarray(row_mask)
         return [self.host.paths.path(int(s)) for s in np.nonzero(row)[0]]
 
     def equals(self, peer: int, base: str, field: Optional[str], value: Any = MISSING):
@@ -449,21 +457,22 @@ class PeerNetworkSim:
         _, _, _, vid = self.host.encode_value(value)
         self._sync_device_state()
         struct = self.host.struct()
+        row = scans.peer_row(self.table, jnp.int32(peer))
         if field is not None:
             fid = self.host.seg_lookup(field)
             if fid < 0:
                 return []
-            mask = scans.equals_field_mask(
-                self.table, struct, jnp.int32(base_pid), jnp.int32(fid), jnp.int32(vid)
+            mask = scans.equals_field_mask_row(
+                row, struct, jnp.int32(base_pid), jnp.int32(fid), jnp.int32(vid)
             )
             return sorted(
                 self.host.paths.path(self.host.paths.parent(int(s)))
-                for s in np.nonzero(np.asarray(mask[peer]))[0]
+                for s in np.nonzero(np.asarray(mask))[0]
             )
-        mask = scans.equals_leaf_mask(
-            self.table, struct, jnp.int32(base_pid), jnp.int32(vid)
+        mask = scans.equals_leaf_mask_row(
+            row, struct, jnp.int32(base_pid), jnp.int32(vid)
         )
-        return sorted(self._mask_paths(peer, mask))
+        return sorted(self._mask_paths_row(mask))
 
     def range(self, peer: int, base: str, field, lo=MISSING, hi=MISSING):
         """Vectorized numeric range scan (reference: bullet-query.js:221-261)."""
@@ -484,19 +493,20 @@ class PeerNetworkSim:
             jnp.int32(hi_hi),
             jnp.int32(hi_lo),
         )
+        row = scans.peer_row(self.table, jnp.int32(peer))
         if field is not None:
             fid = self.host.seg_lookup(field)
             if fid < 0:
                 return []
-            mask = scans.range_field_mask(
-                self.table, struct, jnp.int32(base_pid), jnp.int32(fid), *args
+            mask = scans.range_field_mask_row(
+                row, struct, jnp.int32(base_pid), jnp.int32(fid), *args
             )
             return sorted(
                 self.host.paths.path(self.host.paths.parent(int(s)))
-                for s in np.nonzero(np.asarray(mask[peer]))[0]
+                for s in np.nonzero(np.asarray(mask))[0]
             )
-        mask = scans.range_leaf_mask(self.table, struct, jnp.int32(base_pid), *args)
-        return sorted(self._mask_paths(peer, mask))
+        mask = scans.range_leaf_mask_row(row, struct, jnp.int32(base_pid), *args)
+        return sorted(self._mask_paths_row(mask))
 
     def count(self, peer: int, base: str, field, value: Any = MISSING) -> int:
         return len(self.equals(peer, base, field, value))

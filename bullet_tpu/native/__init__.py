@@ -68,12 +68,14 @@ def load() -> Optional[ctypes.CDLL]:
         lib.six_rank.argtypes = [
             ctypes.c_void_p,
             ctypes.c_char_p,
+            ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint64),
         ]
         lib.six_rank.restype = ctypes.c_int
         lib.six_insert.argtypes = [
             ctypes.c_void_p,
             ctypes.c_char_p,
+            ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint64),
         ]
         lib.six_insert.restype = ctypes.c_int
@@ -120,15 +122,21 @@ class NativeStringOrderIndex:
         return int(self._lib.six_size(self._handle))
 
     def rank(self, s: str) -> int:
+        from ..utils.jsvalues import utf16_key
+
+        key = utf16_key(s)
         out = ctypes.c_uint64()
-        if self._lib.six_rank(self._handle, s.encode("utf-8"), ctypes.byref(out)):
+        if self._lib.six_rank(self._handle, key, len(key), ctypes.byref(out)):
             raise KeyError(s)
         return int(out.value)
 
     def insert(self, s: str):
+        from ..utils.jsvalues import utf16_key
+
+        key = utf16_key(s)
         out = ctypes.c_uint64()
         rebalanced = self._lib.six_insert(
-            self._handle, s.encode("utf-8"), ctypes.byref(out)
+            self._handle, key, len(key), ctypes.byref(out)
         )
         return int(out.value), bool(rebalanced)
 

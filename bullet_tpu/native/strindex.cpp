@@ -51,10 +51,13 @@ uint64_t six_rebalances(void* h) {
   return static_cast<Index*>(h)->rebalances;
 }
 
-// Look up an existing rank. Returns 0 on success, -1 if absent.
-int six_rank(void* h, const char* s, uint64_t* rank_out) {
+// Look up an existing rank. Keys are length-delimited byte strings (the
+// Python side passes UTF-16-BE encodings, whose byte order matches JS's
+// UTF-16 code-unit comparison; they contain NUL bytes, hence the explicit
+// length). Returns 0 on success, -1 if absent.
+int six_rank(void* h, const char* s, int64_t len, uint64_t* rank_out) {
   Index& idx = *static_cast<Index*>(h);
-  auto it = idx.ranks.find(s);
+  auto it = idx.ranks.find(std::string(s, static_cast<size_t>(len)));
   if (it == idx.ranks.end()) return -1;
   *rank_out = it->second;
   return 0;
@@ -62,9 +65,9 @@ int six_rank(void* h, const char* s, uint64_t* rank_out) {
 
 // Insert (idempotent). Returns 1 if a respread happened, 0 otherwise.
 // The assigned rank is written to *rank_out.
-int six_insert(void* h, const char* s, uint64_t* rank_out) {
+int six_insert(void* h, const char* s, int64_t len, uint64_t* rank_out) {
   Index& idx = *static_cast<Index*>(h);
-  std::string key(s);
+  std::string key(s, static_cast<size_t>(len));
   auto it = idx.ranks.find(key);
   if (it != idx.ranks.end()) {
     *rank_out = it->second;
@@ -78,9 +81,9 @@ int six_insert(void* h, const char* s, uint64_t* rank_out) {
                          ? static_cast<int64_t>(std::prev(hi_it)->second)
                          : -1;
   if (hi - lo < 2) {
-    idx.ranks.emplace(std::move(key), 0);
+    idx.ranks.emplace(key, 0);
     idx.respread();
-    *rank_out = idx.ranks[s];
+    *rank_out = idx.ranks[key];
     return 1;
   }
   // lo >= -1 and hi >= lo + 2 ⇒ lo + hi >= 1, so truncating division

@@ -32,6 +32,17 @@ def _keys(vals, writer, ctr, mode: str):
     return (ctr, cls, khi, klo, vid, writer)
 
 
+def _lexmax_vals(a_keys, b_keys, a_vals, b_vals):
+    """Elementwise winner-select under the lexicographic key order; returns
+    (selected values, b-strictly-won mask). Shared by all kernel bodies."""
+    gt = jnp.zeros_like(a_vals[0], dtype=jnp.bool_)
+    eq = jnp.ones_like(a_vals[0], dtype=jnp.bool_)
+    for ka, kb in zip(a_keys, b_keys):
+        gt = gt | (eq & (kb > ka))
+        eq = eq & (ka == kb)
+    return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+
+
 def _ring_round_kernel(mode: str, wrap: bool, tile_p: int, num_peers: int, *refs):
     import jax.experimental.pallas as pl
 
@@ -70,12 +81,7 @@ def _ring_round_kernel(mode: str, wrap: bool, tile_p: int, num_peers: int, *refs
     def lexmax(a_vals, b_vals):
         ak = _keys(a_vals[:4], a_vals[4], a_vals[5], mode)
         bk = _keys(b_vals[:4], b_vals[4], b_vals[5], mode)
-        gt = jnp.zeros_like(a_vals[0], dtype=jnp.bool_)
-        eq = jnp.ones_like(a_vals[0], dtype=jnp.bool_)
-        for ka, kb in zip(ak, bk):
-            gt = gt | (eq & (kb > ka))
-            eq = eq & (ka == kb)
-        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+        return _lexmax_vals(ak, bk, a_vals, b_vals)
 
     m1, gt1 = lexmax(center, shifted(+1))
     m2, gt2 = lexmax(m1, shifted(-1))
@@ -117,12 +123,7 @@ def _fullp_round_kernel(mode: str, wrap: bool, num_peers: int, *refs):
     def lexmax(a_vals, b_vals):
         ak = _keys(a_vals[:4], a_vals[4], a_vals[5], mode)
         bk = _keys(b_vals[:4], b_vals[4], b_vals[5], mode)
-        gt = jnp.zeros_like(a_vals[0], dtype=jnp.bool_)
-        eq = jnp.ones_like(a_vals[0], dtype=jnp.bool_)
-        for ka, kb in zip(ak, bk):
-            gt = gt | (eq & (kb > ka))
-            eq = eq & (ka == kb)
-        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+        return _lexmax_vals(ak, bk, a_vals, b_vals)
 
     m1, gt1 = lexmax(center, shifted(+1))
     m2, gt2 = lexmax(m1, shifted(-1))
@@ -165,12 +166,7 @@ def _fullp_round_kernel_lean(wrap: bool, num_peers: int, *refs):
         return out
 
     def lexmax(a_vals, b_vals):
-        gt = jnp.zeros_like(a_vals[0], dtype=jnp.bool_)
-        eq = jnp.ones_like(a_vals[0], dtype=jnp.bool_)
-        for ka, kb in zip(a_vals, b_vals):
-            gt = gt | (eq & (kb > ka))
-            eq = eq & (ka == kb)
-        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+        return _lexmax_vals(a_vals, b_vals, a_vals, b_vals)
 
     m1, gt1 = lexmax(center, shifted(+1))
     m2, gt2 = lexmax(m1, shifted(-1))
@@ -239,16 +235,26 @@ def _ring_round_pallas_lean_jit(
 
 
 def _pick_tiles(p: int, n: int) -> Tuple[int, int]:
-    def best(total, target, align):
+    """tile_n divides n (lane-aligned); tile_p divides p AND is a multiple of
+    _HALO — the halo index maps assume 8-row block granularity, so any other
+    tile_p silently merges wrong neighbor rows."""
+
+    def best_n(total, target):
         if total <= target:
             return total
         t = target
-        while t > align and total % t:
-            t -= align
+        while t > 128 and total % t:
+            t -= 128
         return t if total % t == 0 else total
 
-    tile_n = best(n, 4096, 128)
-    tile_p = best(p, max(_HALO, (1 << 15) // max(tile_n, 1)), _HALO)
+    tile_n = best_n(n, 4096)
+    target_p = max(_HALO, (1 << 15) // max(tile_n, 1))
+    tile_p = _HALO  # always valid: ring_round_supported requires p % 8 == 0
+    cand = _HALO
+    while cand <= min(p, target_p):
+        if p % cand == 0:
+            tile_p = cand
+        cand += _HALO
     return tile_p, tile_n
 
 
@@ -262,7 +268,13 @@ def ring_round_pallas(
     interpret: bool | None = None
 ) -> Tuple[TableState, jax.Array]:
     """One fused ring (wrap=True) or chain (wrap=False) gossip round.
-    Off-TPU backends run the kernel in interpret mode automatically."""
+    Off-TPU backends run the kernel in interpret mode automatically; shapes
+    the kernel can't tile (p not a multiple of 8, n not lane-aligned) fall
+    back to the XLA implementation rather than erroring."""
+    if not ring_round_supported(table):
+        from ..parallel.gossip import gossip_round_chain, gossip_round_ring
+
+        return (gossip_round_ring if wrap else gossip_round_chain)(table, mode)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _ring_round_pallas_jit(table, mode, wrap, interpret)

@@ -94,6 +94,55 @@ def count_mask(mask: jax.Array) -> jax.Array:
     return jnp.sum(mask.astype(jnp.int32), axis=-1)
 
 
+# --------------------------------------------------------- single-peer rows
+# Per-peer queries slice one replica row first — O(N) instead of O(P*N).
+
+
+class RowView(NamedTuple):
+    cls: jax.Array  # [N]
+    khi: jax.Array
+    klo: jax.Array
+    vid: jax.Array
+
+
+@jax.jit
+def peer_row(table: TableState, peer: jax.Array) -> RowView:
+    return RowView(
+        table.cls[peer], table.khi[peer], table.klo[peer], table.vid[peer]
+    )
+
+
+@jax.jit
+def equals_field_mask_row(row: RowView, struct: PathStruct, base, field, vid):
+    structural = (struct.parent2 == base) & (struct.seg == field)
+    return structural & (row.vid == vid)
+
+
+@jax.jit
+def equals_leaf_mask_row(row: RowView, struct: PathStruct, base, vid):
+    return (struct.parent == base) & (row.vid == vid)
+
+
+def _row_range(row: RowView, lo_hi, lo_lo, hi_hi, hi_lo):
+    numeric = row.cls == CLS_NUMBER
+    ge_lo = (row.khi > lo_hi) | ((row.khi == lo_hi) & (row.klo >= lo_lo))
+    le_hi = (row.khi < hi_hi) | ((row.khi == hi_hi) & (row.klo <= hi_lo))
+    return numeric & ge_lo & le_hi
+
+
+@jax.jit
+def range_field_mask_row(row: RowView, struct: PathStruct, base, field,
+                         lo_hi, lo_lo, hi_hi, hi_lo):
+    structural = (struct.parent2 == base) & (struct.seg == field)
+    return structural & _row_range(row, lo_hi, lo_lo, hi_hi, hi_lo)
+
+
+@jax.jit
+def range_leaf_mask_row(row: RowView, struct: PathStruct, base,
+                        lo_hi, lo_lo, hi_hi, hi_lo):
+    return (struct.parent == base) & _row_range(row, lo_hi, lo_lo, hi_hi, hi_lo)
+
+
 @jax.jit
 def subtree_leaf_mask(table: TableState, member: jax.Array) -> jax.Array:
     """[P, N] mask of present leaves restricted to a precomputed membership

@@ -30,6 +30,11 @@ def initialize_multihost(
     process_id: Optional[int] = None,
 ) -> None:
     """Join the global JAX runtime (idempotent per process)."""
+    try:
+        if jax.distributed.is_initialized():
+            return
+    except AttributeError:  # older jax without is_initialized
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

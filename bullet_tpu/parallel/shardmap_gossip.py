@@ -21,14 +21,10 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..ops.merge import TableState, priority_keys, lex_gt
+from ..ops.merge import TableState, merge_tables_xla
 from .mesh import PEER_AXIS
 
-
-def _lexmax(a: TableState, b: TableState, mode: str):
-    take_b = lex_gt(priority_keys(b, mode), priority_keys(a, mode))
-    merged = TableState(*(jnp.where(take_b, fb, fa) for fa, fb in zip(a, b)))
-    return merged, jnp.sum(take_b.astype(jnp.int32))
+_lexmax = merge_tables_xla  # per-shard local merge is exactly the XLA merge
 
 
 def _ring_block(mode: str, wrap: bool, *fields):

@@ -73,7 +73,8 @@ def rank_key(rank: int) -> Tuple[int, int]:
 
 
 class StringOrderIndex:
-    """Assigns each string a rank in [0, 2^62) preserving lexicographic order.
+    """Assigns each string a rank in [0, 2^62) preserving JS string order
+    (UTF-16 code-unit comparison — see ``jsvalues.utf16_key``).
 
     New strings get the midpoint of their neighbors' ranks; when adjacent
     ranks run out of gap, every rank is respread evenly (a "rebalance") and
@@ -82,15 +83,20 @@ class StringOrderIndex:
     """
 
     def __init__(self) -> None:
-        self._sorted: List[str] = []
-        self._rank: Dict[str, int] = {}
+        self._sorted: List[bytes] = []
+        self._rank: Dict[bytes, int] = {}
         self.rebalances = 0
 
     def rank(self, s: str) -> int:
-        return self._rank[s]
+        from .jsvalues import utf16_key
 
-    def insert(self, s: str) -> Tuple[int, bool]:
+        return self._rank[utf16_key(s)]
+
+    def insert(self, raw: str) -> Tuple[int, bool]:
         """Return (rank, rebalanced). Idempotent for known strings."""
+        from .jsvalues import utf16_key
+
+        s = utf16_key(raw)
         existing = self._rank.get(s)
         if existing is not None:
             return existing, False

@@ -37,6 +37,35 @@ def is_array(v: Any) -> bool:
     return isinstance(v, list)
 
 
+import re as _re
+
+# JS StringNumericLiteral grammar (ToNumber): decimal with optional exponent,
+# or unsigned 0x/0b/0o literals. Notably NO underscores ("1_000" is NaN in
+# JS but valid for Python float()), and only exact-case "Infinity".
+_JS_DECIMAL_RE = _re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+_JS_INFINITY_RE = _re.compile(r"^[+-]?Infinity$")
+_JS_HEX_RE = _re.compile(r"^0[xX][0-9a-fA-F]+$")
+_JS_BIN_RE = _re.compile(r"^0[bB][01]+$")
+_JS_OCT_RE = _re.compile(r"^0[oO][0-7]+$")
+
+
+def _string_to_number(s: str) -> float:
+    sv = s.strip(" \t\n\r\f\v ﻿")
+    if sv == "":
+        return 0.0
+    if _JS_INFINITY_RE.match(sv):
+        return -math.inf if sv[0] == "-" else math.inf
+    if _JS_HEX_RE.match(sv):
+        return float(int(sv, 16))
+    if _JS_BIN_RE.match(sv):
+        return float(int(sv, 2))
+    if _JS_OCT_RE.match(sv):
+        return float(int(sv, 8))
+    if _JS_DECIMAL_RE.match(sv):
+        return float(sv)
+    return math.nan
+
+
 def to_number(v: Any) -> float:
     """JS ToNumber for the value shapes we store (JSON-compatible)."""
     if v is None:
@@ -46,19 +75,46 @@ def to_number(v: Any) -> float:
     if isinstance(v, (int, float)):
         return float(v)
     if isinstance(v, str):
-        s = v.strip()
-        if s == "":
-            return 0.0
-        try:
-            if s.lower().startswith("0x"):
-                return float(int(s, 16))
-            return float(s)
-        except ValueError:
-            return math.nan
+        return _string_to_number(v)
     if isinstance(v, list):
         # ToPrimitive(array) -> elements joined by ","
         return to_number(",".join("" if e is None else to_string(e) for e in v))
     return math.nan  # plain objects -> "[object Object]" -> NaN
+
+
+def js_number_string(v: float) -> str:
+    """Spec-exact JS Number-to-string (ECMA-262 Number::toString base 10):
+    decimal notation for 1e-6 ≤ |v| < 1e21, exponent form otherwise with an
+    unpadded exponent ("1e-7", not Python's "1e-07")."""
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    if v == 0:
+        return "0"
+    sign = "-" if v < 0 else ""
+    r = repr(abs(v))  # shortest round-trip digits, like JS
+    if "e" in r:
+        mant, _, exp_s = r.partition("e")
+        exp = int(exp_s)
+    else:
+        mant, exp = r, 0
+    int_part, _, frac = mant.partition(".")
+    digits = (int_part + frac).lstrip("0")
+    e10 = exp - len(frac)
+    stripped = digits.rstrip("0")
+    e10 += len(digits) - len(stripped)
+    digits = stripped
+    k = len(digits)
+    n = k + e10  # value = 0.digits × 10^n
+    if k <= n <= 21:
+        return sign + digits + "0" * (n - k)
+    if 0 < n <= 21:
+        return sign + digits[:n] + "." + digits[n:]
+    if -6 < n <= 0:
+        return sign + "0." + "0" * (-n) + digits
+    mantissa = digits[0] + ("." + digits[1:] if k > 1 else "")
+    return f"{sign}{mantissa}e{'+' if n - 1 >= 0 else '-'}{abs(n - 1)}"
 
 
 def to_string(v: Any) -> str:
@@ -67,21 +123,21 @@ def to_string(v: Any) -> str:
         return "null"
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if math.isinf(v):
-            return "Infinity" if v > 0 else "-Infinity"
-        if v == int(v) and abs(v) < 1e21:
-            return str(int(v))
-        return repr(v)
-    if isinstance(v, int):
-        return str(v)
+    if isinstance(v, (int, float)):
+        return js_number_string(float(v))
     if isinstance(v, str):
         return v
     if isinstance(v, list):
         return ",".join("" if e is None else to_string(e) for e in v)
     return "[object Object]"
+
+
+def utf16_key(s: str) -> bytes:
+    """Sort key reproducing JS string comparison: JS ``<`` compares UTF-16
+    code units, and big-endian UTF-16 bytes order identically. (Python's
+    str ``<`` compares code points, which differs for astral-plane chars:
+    U+1F600 > U+FFFD by code point but its surrogate D83D < FFFD in JS.)"""
+    return s.encode("utf-16-be", "surrogatepass")
 
 
 def strict_equals(a: Any, b: Any) -> bool:
@@ -107,10 +163,10 @@ def strict_equals(a: Any, b: Any) -> bool:
 
 
 def less_than(a: Any, b: Any) -> bool:
-    """JS abstract ``<``: string/string compares lexicographically, everything
-    else via ToNumber (NaN comparisons are false)."""
+    """JS abstract ``<``: string/string compares by UTF-16 code units,
+    everything else via ToNumber (NaN comparisons are false)."""
     if isinstance(a, str) and isinstance(b, str):
-        return a < b
+        return utf16_key(a) < utf16_key(b)
     fa, fb = to_number(a), to_number(b)
     if math.isnan(fa) or math.isnan(fb):
         return False

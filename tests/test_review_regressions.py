@@ -161,3 +161,120 @@ def test_serializer_index_boundary_match(bullet_factory):
     meta = json.loads(b.export_to_json("users"))["metadata"]
     assert "users:age" in meta["indices"]
     assert "users_archive:age" not in meta["indices"]
+
+
+def test_halo_tiling_odd_shapes_match_xla():
+    """P=640/N=384 previously picked tile_p=5 (not 8-aligned) and merged
+    wrong neighbor rows silently; P=680 picked 85. Kernel must match XLA."""
+    import jax.numpy as jnp
+
+    from bullet_tpu.ops.merge import TableState
+    from bullet_tpu.ops.ring_kernel import _pick_tiles, ring_round_pallas
+    from bullet_tpu.parallel.gossip import gossip_round_ring
+
+    for p, n in [(640, 384), (680, 384), (24, 256)]:
+        tile_p, _ = _pick_tiles(p, n)
+        assert tile_p % 8 == 0 and p % tile_p == 0, (p, n, tile_p)
+
+    rng = np.random.default_rng(0)
+
+    def rt(p, n):
+        def arr(lo, hi):
+            return jnp.asarray(rng.integers(lo, hi, (p, n), dtype=np.int32))
+
+        return TableState(arr(0, 4), arr(-50, 50), arr(-50, 50), arr(0, 30),
+                          arr(0, p), arr(0, 9), arr(0, 5))
+
+    for p, n in [(640, 384), (680, 384)]:
+        t = rt(p, n)
+        ref, cr = gossip_round_ring(t, "reference")
+        ker, ck = ring_round_pallas(t, mode="reference", wrap=True, interpret=True)
+        for a, b in zip(ref, ker):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(cr) == int(ck)
+
+
+def test_unsupported_shapes_fall_back_to_xla():
+    """p not a multiple of 8 must fall back, not crash."""
+    from bullet_tpu.ops.merge import init_table
+    from bullet_tpu.ops.ring_kernel import ring_round_pallas
+
+    t = init_table(6, 128)
+    merged, changed = ring_round_pallas(t, wrap=True)
+    assert merged.cls.shape == (6, 128)
+    assert int(changed) == 0
+
+
+def test_empty_leaf_path_rejected():
+    import pytest
+
+    sim = PeerNetworkSim(2, capacity=16, topology="ring")
+    with pytest.raises(ValueError):
+        sim.put(0, "", 5)
+
+
+def test_bridge_tiny_peer_counts():
+    import pytest
+
+    with pytest.raises(ValueError):
+        PeerNetworkSim(2, capacity=16, topology="bridge")
+
+
+def test_multihost_init_idempotent_guard():
+    from bullet_tpu.parallel import multihost
+
+    # single process: is_initialized is False; we only verify the guard path
+    # doesn't raise when called on an uninitialized runtime with bad args
+    assert multihost.is_multihost() is False
+
+
+def test_js_utf16_string_order():
+    """JS compares UTF-16 code units: an astral-plane emoji must sort BELOW
+    U+FFFD (its lead surrogate D83D < FFFD), unlike Python code-point order."""
+    from bullet_tpu.utils.jsvalues import less_than
+    from bullet_tpu.utils.encode import ValueInterner
+
+    emoji, repl = "\U0001F600", "�"
+    assert emoji > repl  # Python code-point order (the wrong one)
+    assert less_than(emoji, repl)  # JS order
+
+    vi = ValueInterner()
+    k_emoji = vi.encode(emoji)[:3]
+    k_repl = vi.encode(repl)[:3]
+    assert k_emoji < k_repl  # device order keys follow JS order
+
+
+def test_js_to_number_strictness():
+    from bullet_tpu.utils.jsvalues import to_number
+    import math
+
+    assert math.isnan(to_number("1_000"))  # PEP 515 underscores rejected
+    assert math.isnan(to_number("inf"))
+    assert math.isnan(to_number("infinity"))
+    assert to_number("Infinity") == math.inf
+    assert to_number("-Infinity") == -math.inf
+    assert to_number("0b101") == 5
+    assert to_number("0o17") == 15
+    assert to_number("0x1A") == 26
+    assert to_number("  42  ") == 42
+    assert to_number("") == 0
+    assert to_number(".5") == 0.5
+    assert to_number("1e3") == 1000
+
+
+def test_js_number_string():
+    from bullet_tpu.utils.jsvalues import js_number_string as j
+
+    assert j(0.000001) == "0.000001"
+    assert j(1e-7) == "1e-7"
+    assert j(1.5e-7) == "1.5e-7"
+    assert j(1e21) == "1e+21"
+    assert j(1e20) == "100000000000000000000"
+    assert j(123.456) == "123.456"
+    assert j(100.0) == "100"
+    assert j(-0.5) == "-0.5"
+    assert j(0.0) == "0"
+    assert j(-1e-8) == "-1e-8"
+    assert j(float("nan")) == "NaN"
+    assert j(float("inf")) == "Infinity"
+    assert j(1234567890123456789012.0) == "1.2345678901234568e+21"
