@@ -127,14 +127,21 @@ class Bullet:
             from .serializer import BulletSerializer
 
             self.serializer = BulletSerializer(self)
+        # CRT before networking: inbound messages can hit set_data the moment
+        # reader threads exist (disable_crt accepted for option parity only —
+        # conflict resolution is integral here)
+        self.crt = BulletCRT(self)
+        # restarted instances with a pinned peer_id must resume their clocks
+        # from persisted meta, or the first write per path is dropped as
+        # historical (random-id boots, like the reference, start concurrent)
+        for meta_path, meta in self.meta.items():
+            clock = meta.get("vectorClock")
+            if isinstance(clock, dict):
+                self.crt.vector_clocks[meta_path] = clock
         if not self.options["disable_network"]:
             from .network import BulletNetwork
 
             self.network = BulletNetwork(self, self.options)
-        if not self.options["disable_crt"]:
-            self.crt = BulletCRT(self)
-        else:
-            self.crt = BulletCRT(self)  # CRT is integral; flag kept for parity
 
     def _init_storage(self) -> None:
         """Pick the storage provider (bullet.js:71-99)."""
@@ -175,14 +182,18 @@ class Bullet:
         if not path:
             return self.store
         current = self.store
-        for part in split_path(path):
+        parts = split_path(path)
+        for i, part in enumerate(parts):
+            last = i == len(parts) - 1
             if isinstance(current, dict):
                 value = current.get(part)
                 if js_falsy(value):
                     if self.options["autovivify"]:
                         current[part] = {}
                     else:
-                        return value
+                        # non-destructive mode: a falsy value only answers
+                        # the final segment; deeper paths don't exist
+                        return value if last else None
                 current = current[part] if part in current else None
                 if current is None and not self.options["autovivify"]:
                     return None

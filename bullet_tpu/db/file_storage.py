@@ -119,7 +119,17 @@ class BulletFileStorage(BulletStorage):
     # ------------------------------------------------------------------ save
 
     def _save_data(self) -> None:
-        """Write the three files when changed (bullet-file-storage.js:170-210)."""
+        """Write the three files when changed (bullet-file-storage.js:170-210).
+        Holds the bullet lock: the autosave timer races concurrent writers
+        otherwise (dict-changed-during-iteration in json.dumps)."""
+        lock = getattr(self.bullet, "_lock", None)
+        if lock is not None:
+            with lock:
+                self._save_data_locked()
+        else:
+            self._save_data_locked()
+
+    def _save_data_locked(self) -> None:
         if not self._has_changes():
             return
         mw = self.bullet.middleware

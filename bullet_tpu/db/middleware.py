@@ -211,14 +211,25 @@ class BulletMiddleware:
         return lambda p: bool(path_pattern.search(p))
 
     def rewrite_path(self, pattern, replacement) -> "BulletMiddleware":
-        """Path rewrite on reads (bullet-middleware.js:322-337)."""
+        """Path rewrite on reads (bullet-middleware.js:322-337). Matches the
+        reference's String.replace semantics: first occurrence only, callbacks
+        receive ``(match, group1, ...)``, string replacements use ``$1``."""
         regex = re.compile(pattern) if isinstance(pattern, str) else pattern
+
+        if callable(replacement):
+            def apply(path):
+                return regex.sub(
+                    lambda m: replacement(m.group(0), *m.groups()), path, count=1
+                )
+        else:
+            py_repl = re.sub(r"\$(\d+)", r"\\\1", replacement).replace("$$", "$")
+
+            def apply(path):
+                return regex.sub(py_repl, path, count=1)
 
         def hook(path):
             if isinstance(path, str):
-                if callable(replacement):
-                    return regex.sub(lambda m: replacement(*m.groups(), m.group(0)), path)
-                return regex.sub(replacement, path)
+                return apply(path)
             return path
 
         return self.on_get(hook)

@@ -44,6 +44,21 @@ class EventEmitter:
                 pass
 
 
+def strip_array_clock(data):
+    """Array wire payloads carry a trailing ``{"__vectorClock": ...}`` marker
+    element (bullet-crt.js:373-374). The reference never strips it on receive
+    and stores it as data — a corruption bug we fix (documented divergence:
+    PARITY.md): strip the marker so replicas hold the real array."""
+    if (
+        isinstance(data, list)
+        and data
+        and isinstance(data[-1], dict)
+        and set(data[-1].keys()) == {"__vectorClock"}
+    ):
+        return data[:-1], data[-1]["__vectorClock"]
+    return data, None
+
+
 def parse_peer_url(url: str):
     for prefix in ("tcp://", "ws://", "wss://", "http://"):
         if url.startswith(prefix):
@@ -167,11 +182,9 @@ class BulletNetwork(EventEmitter):
                 sock, _addr = self.server_socket.accept()
             except OSError:
                 return
-            t = threading.Thread(
+            threading.Thread(
                 target=self._handle_incoming_connection, args=(sock,), daemon=True
-            )
-            t.start()
-            self._threads.append(t)
+            ).start()
 
     def _handle_incoming_connection(self, sock: socket.socket) -> None:
         """Wait for the handshake, apply auth/duplicate policies
@@ -207,8 +220,12 @@ class BulletNetwork(EventEmitter):
         self._setup_peer_connection(sock, reader, remote_peer_id, outbound=False)
 
     def _connect_to_peers(self) -> None:
+        # dial in the background: a down peer must not block Bullet() startup
+        # for its whole connect timeout (the reference dials asynchronously)
         for peer_url in self.options["peers"]:
-            self._connect_to_peer(peer_url)
+            threading.Thread(
+                target=self._connect_to_peer, args=(peer_url,), daemon=True
+            ).start()
 
     def _connect_to_peer(self, peer_url: str) -> None:
         """Dial a peer, send the handshake, await the response
@@ -273,11 +290,9 @@ class BulletNetwork(EventEmitter):
                     "peerId": self.local_peer_id,
                 }
             )
-        t = threading.Thread(
+        threading.Thread(
             target=self._read_loop, args=(conn, reader), daemon=True
-        )
-        t.start()
-        self._threads.append(t)
+        ).start()
         self.emit("peer:connect", peer_id)
 
     def _read_loop(self, conn: _PeerConnection, reader) -> None:
@@ -344,7 +359,10 @@ class BulletNetwork(EventEmitter):
         path, data, ttl = message.get("path"), message.get("data"), message.get("ttl")
         if ttl is not None and ttl <= 0:
             return
-        network_data = {**data, "__fromNetwork": True} if isinstance(data, dict) else data
+        if isinstance(data, dict):
+            network_data = {**data, "__fromNetwork": True}
+        else:
+            network_data, _clock = strip_array_clock(data)
         self.bullet.set_data(path, network_data, broadcast=False)
         self._relay_message(message, peer_id)
 

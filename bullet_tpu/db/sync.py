@@ -380,6 +380,10 @@ class BulletNetworkSync:
                         "__fromNetwork": True,
                         "__vectorClock": entry.get("vectorClock", {}),
                     }
+                elif isinstance(data, list):
+                    from .network import strip_array_clock
+
+                    data, _clock = strip_array_clock(data)
                 self.bullet.set_data(path, data, broadcast=False)
 
     def _collect_sync_data(self, since, partial, paths) -> List[dict]:
@@ -418,9 +422,16 @@ class BulletNetworkSync:
                 else:
                     emit_leaf(path, value)
 
-        traverse(self.bullet.store, "")
+        lock = getattr(self.bullet, "_lock", None)
+        if lock is not None:
+            with lock:
+                traverse(self.bullet.store, "")
+                meta_items = list(self.bullet.meta.items())
+        else:
+            traverse(self.bullet.store, "")
+            meta_items = list(self.bullet.meta.items())
 
-        for path, meta in self.bullet.meta.items():
+        for path, meta in meta_items:
             if meta.get("deleted") and (not since or meta.get("lastModified", 0) > since):
                 entries.append(
                     {

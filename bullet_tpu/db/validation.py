@@ -109,7 +109,10 @@ class BulletValidation:
     def check_write(self, path: str, data: Any) -> bool:
         """Write-path gate (the repaired version of the reference's dead
         ``_setData`` hook, bullet-validation.js:25-45): invalid writes are
-        blocked and error handlers fire."""
+        blocked and error handlers fire. ``None`` always passes — deletes are
+        null puts (bullet.js:755-758) and must work on schema-bound paths."""
+        if data is None:
+            return True
         return self._validate_data_for_path(path, data)
 
     def _validate_data_for_path(self, path: str, data: Any) -> bool:

@@ -278,3 +278,89 @@ def test_js_number_string():
     assert j(float("nan")) == "NaN"
     assert j(float("inf")) == "Infinity"
     assert j(1234567890123456789012.0) == "1.2345678901234568e+21"
+
+
+def test_delete_works_on_schema_bound_paths(bullet_factory):
+    """Null puts (deletes) must pass validation — replicated deletes were
+    silently vetoed on schema-bound paths."""
+    b = bullet_factory()
+    b.define_schema("user", {"type": "object",
+                             "properties": {"name": {"type": "string"}}})
+    b.apply_schema("users", "user")
+    b.get("users/alice").put({"name": "Alice"})
+    b.get("users/alice").remove()
+    assert b.store["users"]["alice"] is None
+
+
+def test_array_clock_marker_stripped_over_network():
+    """Array broadcasts carry a trailing clock marker; receivers must strip
+    it (the reference stores it — documented divergence)."""
+    import time
+
+    p1 = bt.create({"storage": False, "host": "127.0.0.1", "port": 0,
+                    "connect_sync_delay": 0.05})
+    p2 = bt.create({"storage": False, "host": "127.0.0.1", "port": 0,
+                    "peers": [f"tcp://127.0.0.1:{p1.network.port}"],
+                    "connect_sync_delay": 0.05})
+    try:
+        deadline = time.time() + 10
+        while time.time() < deadline and not (p1.network.peers and p2.network.peers):
+            time.sleep(0.05)
+        p1.get("lists/x").put([1, 2, 3])
+        deadline = time.time() + 10
+        while time.time() < deadline and not p2.store.get("lists", {}).get("x"):
+            time.sleep(0.05)
+        assert p2.store["lists"]["x"] == [1, 2, 3]
+        # sync path too
+        p1.set_data("lists/y", [4, 5], broadcast=False)
+        p2.network.request_sync()
+        deadline = time.time() + 10
+        while time.time() < deadline and not p2.store.get("lists", {}).get("y"):
+            time.sleep(0.05)
+        assert p2.store["lists"]["y"] == [4, 5]
+    finally:
+        p1.close()
+        p2.close()
+
+
+def test_rewrite_path_reference_semantics(bullet_factory):
+    """Callback gets (match, group1, ...); string replacement uses $1 and
+    replaces only the first occurrence (JS String.replace without /g)."""
+    b = bullet_factory()
+    b.get("real/a/data").put(1)
+    b.middleware.rewrite_path(r"alias/(\w+)", lambda match, g1: f"real/{g1}")
+    assert b.get("alias/a/data").value() == 1
+
+    b2 = bullet_factory()
+    b2.get("v2/x/v1").put(7)  # second occurrence of "v1" must NOT rewrite
+    b2.middleware.rewrite_path(r"v1", "v2")
+    assert b2.get("v1/x/v1").value() == 7
+
+    b3 = bullet_factory()
+    b3.get("new/item").put(3)
+    b3.middleware.rewrite_path(r"old/(\w+)", r"new/$1")
+    assert b3.get("old/item").value() == 3
+
+
+def test_restart_pinned_peer_id_first_write_lands(tmp_path):
+    opts = {"disable_network": True, "storage": True, "storage_type": "file",
+            "storage_path": str(tmp_path / "s"), "save_interval": 0,
+            "peer_id": "fixed-peer-id"}
+    b = bt.create(opts)
+    b.get("k").put("v1")
+    b.close()
+    b2 = bt.create(opts)
+    b2.get("k").put("v2")  # first post-restart write must not be dropped
+    assert b2.get("k").value() == "v2"
+    b2.close()
+
+
+def test_autovivify_off_deep_path_through_falsy():
+    import bullet_tpu as bt2
+
+    b = bt2.create({"storage": False, "disable_network": True,
+                    "autovivify": False})
+    b.get("a/b").put(0)
+    assert b.get("a/b").value() == 0
+    assert b.get("a/b/c").value() is None  # not 0
+    b.close()
