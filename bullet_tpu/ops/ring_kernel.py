@@ -182,9 +182,65 @@ def _fullp_round_kernel_lean(wrap: bool, num_peers: int, *refs):
     )
 
 
+def _halo_round_kernel_lean(wrap: bool, tile_p: int, num_peers: int, *refs):
+    """Lean halo variant: 4 value-key arrays with 8-row halo blocks for the
+    cross-tile neighbor rows — lean throughput at any P (the full-P lean
+    kernel is VMEM-bound to P*128 ≤ 2*_FULLP_MAX_ELEMS)."""
+    import jax.experimental.pallas as pl
+
+    c_refs = refs[:4]
+    t_refs = refs[4:8]  # top halo (8 rows above)
+    b_refs = refs[8:12]  # bottom halo (8 rows below)
+    out_refs, count_ref = refs[12:16], refs[16]
+
+    i = pl.program_id(0)
+    center = [r[...] for r in c_refs]
+    row_in_block = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
+    global_row = i * tile_p + row_in_block
+
+    def shifted(direction: int):
+        out = []
+        for f in range(4):
+            c = center[f]
+            if direction == +1:
+                rolled = jnp.roll(c, 1, axis=0)
+                halo_row = t_refs[f][_HALO - 1 : _HALO, :]
+                fixed = jnp.where(row_in_block == 0, halo_row, rolled)
+                if not wrap:
+                    fixed = jnp.where(global_row == 0, 0, fixed)
+            else:
+                rolled = jnp.roll(c, -1, axis=0)
+                halo_row = b_refs[f][0:1, :]
+                fixed = jnp.where(row_in_block == tile_p - 1, halo_row, rolled)
+                if not wrap:
+                    fixed = jnp.where(global_row == num_peers - 1, 0, fixed)
+            out.append(fixed)
+        return out
+
+    up = shifted(+1)
+    down = shifted(-1)
+    m1, gt1 = _lexmax_vals(center, up, center, up)
+    m2, gt2 = _lexmax_vals(m1, down, m1, down)
+    for out, v in zip(out_refs, m2):
+        out[...] = v
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        count_ref[0, 0] = 0
+
+    count_ref[0, 0] += jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(
+        gt2.astype(jnp.int32)
+    )
+
+
 def lean_supported(p: int, n: int) -> bool:
+    # full-P variant, or the halo variant (needs 8-aligned P and ≥2 tiles)
     tile_n = _lean_tile_n(p, n)
-    return p * tile_n <= _FULLP_MAX_ELEMS * 2 and n % tile_n == 0 and n % 128 == 0
+    if p * tile_n <= _FULLP_MAX_ELEMS * 2 and n % tile_n == 0 and n % 128 == 0:
+        return True
+    return p % _HALO == 0 and p >= 2 * _HALO and n % 128 == 0
 
 
 def _lean_tile_n(p: int, n: int) -> int:
@@ -192,6 +248,27 @@ def _lean_tile_n(p: int, n: int) -> int:
     while t > 128 and n % t:
         t -= 128
     return t if n % t == 0 else n
+
+
+def _lean_halo_tiles(p: int, n: int) -> Tuple[int, int]:
+    """tile_p: 8-aligned divisor of p; tile at most 2^17 elements so 8
+    double-buffered center buffers + halos stay well under VMEM."""
+
+    def best_n(total, target):
+        t = min(target, total)
+        while t > 128 and total % t:
+            t -= 128
+        return t if total % t == 0 else total
+
+    tile_n = best_n(n, 2048)
+    target_p = max(_HALO, (1 << 17) // max(tile_n, 1))
+    tile_p = _HALO
+    cand = _HALO
+    while cand <= min(p, target_p):
+        if p % cand == 0:
+            tile_p = cand
+        cand += _HALO
+    return tile_p, tile_n
 
 
 def ring_round_pallas_lean(
@@ -214,22 +291,57 @@ def _ring_round_pallas_lean_jit(
     from jax.experimental.pallas import tpu as pltpu
 
     p, n = table.cls.shape
-    # 8 data buffers instead of 14 -> bigger tiles fit
-    tile_n = _lean_tile_n(p, n)
-    grid = (n // tile_n,)
-    data_spec = pl.BlockSpec((p, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM)
-    count_spec = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
+    keys = (table.cls, table.khi, table.klo, table.vid)
     out_shapes = tuple(
         jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(4)
     ) + (jax.ShapeDtypeStruct((1, 1), jnp.int32),)
+
+    # full-P fast path: no halo traffic (8 data buffers -> bigger tiles fit)
+    tile_n = _lean_tile_n(p, n)
+    if p * tile_n <= _FULLP_MAX_ELEMS * 2 and n % tile_n == 0:
+        grid = (n // tile_n,)
+        data_spec = pl.BlockSpec(
+            (p, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
+        )
+        count_spec = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
+        outs = pl.pallas_call(
+            functools.partial(_fullp_round_kernel_lean, wrap, p),
+            grid=grid,
+            in_specs=[data_spec] * 4,
+            out_specs=tuple([data_spec] * 4) + (count_spec,),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*keys)
+        merged = table._replace(cls=outs[0], khi=outs[1], klo=outs[2], vid=outs[3])
+        return merged, outs[4][0, 0]
+
+    # halo path for big P
+    tile_p, tile_n = _lean_halo_tiles(p, n)
+    grid = (p // tile_p, n // tile_n)
+    p_halo_blocks = p // _HALO
+    blocks_per_tile = tile_p // _HALO
+    center_spec = pl.BlockSpec(
+        (tile_p, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    top_spec = pl.BlockSpec(
+        (_HALO, tile_n),
+        lambda i, j: ((i * blocks_per_tile - 1) % p_halo_blocks, j),
+        memory_space=pltpu.VMEM,
+    )
+    bottom_spec = pl.BlockSpec(
+        (_HALO, tile_n),
+        lambda i, j: (((i + 1) * blocks_per_tile) % p_halo_blocks, j),
+        memory_space=pltpu.VMEM,
+    )
+    count_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
-        functools.partial(_fullp_round_kernel_lean, wrap, p),
+        functools.partial(_halo_round_kernel_lean, wrap, tile_p, p),
         grid=grid,
-        in_specs=[data_spec] * 4,
-        out_specs=tuple([data_spec] * 4) + (count_spec,),
+        in_specs=[center_spec] * 4 + [top_spec] * 4 + [bottom_spec] * 4,
+        out_specs=tuple([center_spec] * 4) + (count_spec,),
         out_shape=out_shapes,
         interpret=interpret,
-    )(table.cls, table.khi, table.klo, table.vid)
+    )(*keys, *keys, *keys)
     merged = table._replace(cls=outs[0], khi=outs[1], klo=outs[2], vid=outs[3])
     return merged, outs[4][0, 0]
 
