@@ -42,10 +42,13 @@ class Decision:
 
 def compare_vector_clocks(c1: Optional[VectorClock], c2: Optional[VectorClock]) -> int:
     """-1 if c1 < c2, +1 if c1 > c2, 0 if concurrent or equal
-    (bullet-crt.js:68-95)."""
-    if not c1:
+    (bullet-crt.js:68-95). JS tests ``!clock`` — an *empty object* is truthy
+    there, so ``{}`` clocks (reachable via sync entries with empty
+    vectorClock metadata) must take the comparison path, not the missing
+    branch; only None means missing."""
+    if c1 is None:
         return -1
-    if not c2:
+    if c2 is None:
         return 1
     one_dominates = two_dominates = False
     for node in set(c1) | set(c2):
@@ -115,7 +118,9 @@ class BulletCRT:
         incoming_value: Any,
         current_value: Any,
     ) -> Decision:
-        if not current_clock:
+        # JS truthiness: only a missing clock (None) means "no current state";
+        # an empty {} clock resolves normally (bullet-crt.js:171)
+        if current_clock is None:
             clock = self.increment_vector_clock(key)
             return Decision(
                 incoming=True,
@@ -206,7 +211,7 @@ class BulletCRT:
             "vectorClock": result.vector_clock,
             "broadcastData": broadcast_data,
             "decision": result,
-            "doUpdate": result.incoming or not current_clock or result.concurrent,
+            "doUpdate": result.incoming or current_clock is None or result.concurrent,
         }
 
     def format_clock(self, clock: Optional[VectorClock]) -> str:

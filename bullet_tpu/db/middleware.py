@@ -222,10 +222,31 @@ class BulletMiddleware:
                     lambda m: replacement(m.group(0), *m.groups()), path, count=1
                 )
         else:
-            py_repl = re.sub(r"\$(\d+)", r"\\\1", replacement).replace("$$", "$")
+            # JS String.replace replacement grammar: "$$" is a literal "$",
+            # "$n"/"$nn" is a group reference (out-of-range refs stay
+            # literal, a 2-digit ref falls back to 1 digit + literal),
+            # backslashes have no special meaning. Expanding via a callable
+            # sidesteps Python's re.sub escaping entirely — "$$1" stays the
+            # literal "$1" and "\" survives untouched.
+            tokens = re.split(r"(\$\$|\$\d{1,2})", replacement)
+
+            def expand_token(tok: str, m) -> str:
+                if tok == "$$":
+                    return "$"
+                if len(tok) > 1 and tok[0] == "$" and tok[1:].isdigit():
+                    digits, n = tok[1:], len(m.groups())
+                    if len(digits) == 2 and 1 <= int(digits) <= n:
+                        return m.group(int(digits)) or ""
+                    if 1 <= int(digits[0]) <= n:
+                        return (m.group(int(digits[0])) or "") + digits[1:]
+                return tok
 
             def apply(path):
-                return regex.sub(py_repl, path, count=1)
+                return regex.sub(
+                    lambda m: "".join(expand_token(t, m) for t in tokens),
+                    path,
+                    count=1,
+                )
 
         def hook(path):
             if isinstance(path, str):

@@ -20,6 +20,7 @@ Peer URLs accept ``tcp://host:port``, ``ws://host:port`` or ``host:port``.
 from __future__ import annotations
 
 import json
+import queue
 import random
 import socket
 import threading
@@ -69,7 +70,14 @@ def parse_peer_url(url: str):
 
 
 class _PeerConnection:
-    """One live link: socket + writer lock + reader thread."""
+    """One live link: socket + outbound writer thread + reader thread.
+
+    Sends are queued and drained by a dedicated writer thread so that a peer
+    with a full TCP buffer can never block a caller — callers frequently hold
+    ``bullet._lock`` (set_data broadcasts, sync chunk emission), and a
+    blocking sendall there deadlocks two peers writing heavily at each other
+    (the async Node reference cannot hit this). Per-connection FIFO order is
+    preserved by the single writer."""
 
     def __init__(self, sock: socket.socket, peer_id: str, outbound: bool, url=None):
         self.socket = sock
@@ -77,21 +85,31 @@ class _PeerConnection:
         self.outbound = outbound
         self.url = url
         self.connected_at = time.time()
-        self._write_lock = threading.Lock()
         self.open = True
+        self._outbox: "queue.Queue[Optional[bytes]]" = queue.Queue()
+        self._writer = threading.Thread(target=self._write_loop, daemon=True)
+        self._writer.start()
 
     def send(self, message: dict) -> bool:
-        data = (json.dumps(message, default=str) + "\n").encode("utf-8")
-        with self._write_lock:
+        if not self.open:
+            return False
+        self._outbox.put((json.dumps(message, default=str) + "\n").encode("utf-8"))
+        return True
+
+    def _write_loop(self) -> None:
+        while True:
+            data = self._outbox.get()
+            if data is None:
+                return
             try:
                 self.socket.sendall(data)
-                return True
             except OSError:
                 self.open = False
-                return False
+                return
 
     def close(self) -> None:
         self.open = False
+        self._outbox.put(None)
         try:
             self.socket.shutdown(socket.SHUT_RDWR)
         except OSError:

@@ -13,12 +13,13 @@ from __future__ import annotations
 
 import base64
 import json
+import math
 import re
 from datetime import datetime, timezone
 from typing import Any, Callable, Dict, Optional
 from xml.etree import ElementTree
 
-from ..utils.jsvalues import to_string
+from ..utils.jsvalues import _string_to_number, js_parse_float, js_parse_int, to_string
 
 
 class BulletSerializer:
@@ -469,7 +470,11 @@ def _parse_csv_row(row: str, delimiter: str):
 
 
 def _convert_csv_value(value: str):
-    """CSV string → typed value (bullet-serializer.js:421-442)."""
+    """CSV string → typed value (bullet-serializer.js:421-442). The numeric
+    gate is JS ``!isNaN(value)`` (ToNumber, StringNumericLiteral grammar) and
+    the conversion is ``parseFloat``/``parseInt(·,10)`` — NOT Python
+    int()/float(): "1_000" stays a string, "1e5" imports as parseInt's 1,
+    "Infinity" imports as NaN."""
     if value == "":
         return None
     low = value.lower()
@@ -477,12 +482,8 @@ def _convert_csv_value(value: str):
         return True
     if low == "false":
         return False
-    stripped = value.strip()
-    if stripped:
-        try:
-            return int(stripped) if "." not in stripped else float(stripped)
-        except ValueError:
-            pass
+    if not math.isnan(_string_to_number(value)) and value.strip() != "":
+        return js_parse_float(value) if "." in value else js_parse_int(value)
     if re.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}", value):
         try:
             return _parse_iso(value)

@@ -139,9 +139,11 @@ class ValueInterner:
         self._klo: List[int] = []
         from ..native import make_number_interner, make_string_order_index
 
-        # native C++ order-statistic index when the toolchain is available
-        # (UTF-8 byte order == codepoint order, so ranks agree); the
-        # pure-Python StringOrderIndex otherwise
+        # native C++ order-statistic index when the toolchain is available;
+        # it is fed UTF-16-BE byte keys, whose byte order matches JS UTF-16
+        # code-unit comparison (the project-wide string order — NOT codepoint
+        # order, which differs for astral-plane strings); the pure-Python
+        # StringOrderIndex otherwise
         self._strings = make_string_order_index()
         # numbers intern through a bits->vid map (native when available)
         # instead of the token dict, enabling batch interning

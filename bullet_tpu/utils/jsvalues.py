@@ -66,6 +66,33 @@ def _string_to_number(s: str) -> float:
     return math.nan
 
 
+_JS_WS = " \t\n\r\f\v ﻿"
+
+_JS_PARSEINT_RE = _re.compile(r"^[+-]?\d+")
+_JS_PARSEFLOAT_RE = _re.compile(
+    r"^[+-]?(Infinity|\d+\.?\d*([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?)"
+)
+
+
+def js_parse_int(s: str):
+    """JS ``parseInt(s, 10)``: trim, optional sign, then the longest decimal
+    digit prefix; NaN when no digits ("1e5" → 1, "Infinity" → NaN)."""
+    m = _JS_PARSEINT_RE.match(s.strip(_JS_WS))
+    return int(m.group(0)) if m else math.nan
+
+
+def js_parse_float(s: str) -> float:
+    """JS ``parseFloat(s)``: trim, then the longest StrDecimalLiteral prefix
+    (sign, digits, '.', exponent, or "Infinity"); NaN when none."""
+    m = _JS_PARSEFLOAT_RE.match(s.strip(_JS_WS))
+    if not m:
+        return math.nan
+    tok = m.group(0)
+    if tok.endswith("Infinity"):
+        return -math.inf if tok[0] == "-" else math.inf
+    return float(tok)
+
+
 def to_number(v: Any) -> float:
     """JS ToNumber for the value shapes we store (JSON-compatible)."""
     if v is None:

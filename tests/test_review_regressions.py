@@ -364,3 +364,97 @@ def test_autovivify_off_deep_path_through_falsy():
     assert b.get("a/b").value() == 0
     assert b.get("a/b/c").value() is None  # not 0
     b.close()
+
+
+def test_peer_send_never_blocks_on_stalled_reader():
+    """ADVICE r1 (medium): conn.send ran blocking sendall while callers held
+    bullet._lock; a peer with a full TCP buffer stalled the writer (mutual
+    deadlock between two busy peers). Sends are now queued to a per-connection
+    writer thread — enqueueing must return immediately no matter how much the
+    remote refuses to read."""
+    import socket
+    import time as _time
+
+    from bullet_tpu.db.network import _PeerConnection
+
+    a, b = socket.socketpair()
+    # shrink buffers so a blocking sendall would wedge within a few messages
+    a.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 4096)
+    b.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+    conn = _PeerConnection(a, "stalled-peer", outbound=True)
+    try:
+        payload = {"type": "put", "path": "x", "data": "y" * 65536}
+        start = _time.monotonic()
+        for _ in range(64):  # ~4 MB >> any socket buffer; b never reads
+            assert conn.send(payload)
+        assert _time.monotonic() - start < 2.0, "send() blocked on peer buffer"
+    finally:
+        conn.close()
+        b.close()
+
+
+def test_empty_vector_clock_is_not_missing():
+    """ADVICE r1: JS `!{}` is false, so an empty {} clock (reachable via sync
+    entries with empty vectorClock metadata) must take the comparison path,
+    not the missing-clock branch (bullet-crt.js:68-95,171)."""
+    from bullet_tpu.db.crt import compare_vector_clocks
+
+    # {} vs {} -> no domination either way -> 0 (concurrent/equal), not -1
+    assert compare_vector_clocks({}, {}) == 0
+    assert compare_vector_clocks(None, {}) == -1
+    assert compare_vector_clocks({}, None) == 1
+    assert compare_vector_clocks({}, {"a": 1}) == -1
+    assert compare_vector_clocks({"a": 1}, {}) == 1
+
+    # resolve with an EMPTY current clock must not take "no current state"
+    b = bt.create({"storage": False, "disable_network": True})
+    try:
+        d = b.crt.resolve("k", {"a": 1}, {}, "new", "old")
+        assert d.reason != "no current state"
+        assert d.incoming and d.value == "new"  # incoming clock dominates {}
+        # {} vs {}: identical clocks -> value comparison (not "no current state")
+        d2 = b.crt.resolve("k2", {}, {}, 5, 3)
+        assert d2.reason == "identical clocks, decided by value comparison"
+        assert d2.value == 5
+    finally:
+        b.close()
+
+
+def test_rewrite_path_dollar_escapes(bullet_factory):
+    """ADVICE r1: '$$1' in a JS String.replace replacement is the literal
+    '$1', not a group backreference; backslashes pass through literally."""
+    b = bullet_factory()
+    b.get(r"lit/$1").put("dollar-one")
+    b.middleware.rewrite_path(r"esc/(\w+)", r"lit/$$1")
+    assert b.get("esc/anything").value() == "dollar-one"
+
+    b2 = bullet_factory()
+    b2.get(r"has\slash/x").put(7)
+    b2.middleware.rewrite_path(r"alias/(\w+)", r"has\slash/$1")
+    assert b2.get("alias/x").value() == 7
+
+    # out-of-range group refs stay literal (JS behavior)
+    b3 = bullet_factory()
+    b3.get("kept/$9").put("literal-nine")
+    b3.middleware.rewrite_path(r"in/(\w+)", r"kept/$9")
+    assert b3.get("in/x").value() == "literal-nine"
+
+
+def test_csv_numeric_coercion_js_semantics():
+    """ADVICE r1: CSV import numeric gate is JS isNaN/parseInt/parseFloat —
+    '1_000' stays a string, '1e5' is parseInt's 1, 'Infinity' is NaN."""
+    import math as _math
+
+    from bullet_tpu.db.serializer import _convert_csv_value
+
+    assert _convert_csv_value("1_000") == "1_000"  # JS ToNumber('1_000') = NaN
+    assert _convert_csv_value("1e5") == 1  # parseInt('1e5', 10)
+    v = _convert_csv_value("Infinity")
+    assert isinstance(v, float) and _math.isnan(v)  # parseInt('Infinity')
+    assert _convert_csv_value("1.5e2") == 150.0  # parseFloat (has '.')
+    assert _convert_csv_value("42") == 42
+    assert _convert_csv_value("-3.25") == -3.25
+    assert _convert_csv_value("0x10") == 0  # !isNaN('0x10'); parseInt(,10)=0
+    assert _convert_csv_value("abc") == "abc"
+    assert _convert_csv_value("") is None
+    assert _convert_csv_value("TRUE") is True
