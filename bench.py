@@ -121,15 +121,27 @@ def main() -> None:
         impls = ["xla"]
 
     best = 0.0
-    best_impl = "xla"
+    best_impl = None
+    errors = []
     for impl in impls:
         try:
             rate = bench_gossip(num_peers, capacity, rounds, impl)
-        except Exception:  # noqa: BLE001 - report the impl that works
+        except Exception as err:  # noqa: BLE001 - report the impl that works
+            errors.append((impl, err))
             continue
         if rate > best:
             best = rate
             best_impl = impl
+
+    if best_impl is None:
+        # every impl raised: fail loudly instead of printing a zero metric
+        import sys
+        import traceback
+
+        for impl, err in errors:
+            print(f"bench impl '{impl}' failed:", file=sys.stderr)
+            traceback.print_exception(type(err), err, err.__traceback__)
+        raise SystemExit(1)
 
     north_star = 100e6  # BASELINE.json north_star: >100M merged ops/sec
     print(
