@@ -144,9 +144,16 @@ class PeerNetworkSim:
         ]
         self._pending_bulk: List[Tuple[np.ndarray, ...]] = []
         self._subs: List[dict] = []
+        from .ingress import EngineHooks, EngineValidation
+
+        # batch-ingress pipeline (SURVEY §7 stage 5): middleware hooks +
+        # schema validation, both zero-cost until something registers
+        self.validation = EngineValidation(self)
+        self.hooks = EngineHooks(self)
         self.stats = {
             "ops_enqueued": 0,
             "ops_applied": 0,
+            "ops_rejected": 0,
             "gossip_rounds": 0,
             "merged_entries": 0,
             "steps": 0,
@@ -155,9 +162,18 @@ class PeerNetworkSim:
 
     # ------------------------------------------------------------ write path
 
-    def put(self, peer: int, path: str, value: Any) -> None:
+    def put(self, peer: int, path: str, value: Any) -> bool:
         """Queue a local put at ``peer`` (applied on the next step). Object
-        values decompose into leaves (DESIGN.md leaf model)."""
+        values decompose into leaves (DESIGN.md leaf model). Put hooks may
+        veto/mutate; schema-bound paths validate with typed errors (both
+        mirror the reference write path, SURVEY §3.2). Returns False iff the
+        put was vetoed/rejected."""
+        if self.hooks.active:
+            cont, path, value = self.hooks.run_put(peer, path, value)
+            if not cont:
+                return False
+        if self.validation.active and not self.validation.check_put(path, value):
+            return False
         for leaf_path, leaf_value in flatten_value(path, value):
             if not leaf_path:
                 raise ValueError(
@@ -170,6 +186,8 @@ class PeerNetworkSim:
                 (slot, cls, khi, klo, vid, int(self._clock[peer]))
             )
             self.stats["ops_enqueued"] += 1
+        self.hooks.queue_after_put(peer, path, value)
+        return True
 
     def put_bulk(self, peers, paths, values) -> None:
         """Vectorized ingestion: enqueue many scalar puts at once.
@@ -223,15 +241,21 @@ class PeerNetworkSim:
         """Pre-intern a path for slot-id based ``put_bulk`` ingestion."""
         return self.host.intern_path(path)
 
-    def remove(self, peer: int, path: str) -> None:
+    def remove(self, peer: int, path: str) -> bool:
         """Put null at ``path`` and every known descendant leaf (the leaf
         model's rendering of the reference's subtree null,
         /root/reference/src/bullet.js:755-758). In reference mode null loses
-        to greater scalars — exactly the reference's quirk; lww deletes."""
+        to greater scalars — exactly the reference's quirk; lww deletes.
+        Delete hooks may veto (bullet-middleware.js:137-186)."""
+        if self.hooks.active and not self.hooks.run_delete(peer, path):
+            return False
         pid = self.host.intern_path(path)
         self.put(peer, path, None)
         for slot in self.host.leaf_slots_under(pid):
             self.put(peer, self.host.paths.path(slot), None)
+        if self.hooks.active:
+            self.hooks.fire_after_delete(peer, path)
+        return True
 
     # ----------------------------------------------------------------- step
 
@@ -288,6 +312,32 @@ class PeerNetworkSim:
             self.table = shard_table(self.table, self.mesh)
         self.capacity = new_cap
 
+    def _ingress(self, ops: Optional[OpBatch]) -> Optional[OpBatch]:
+        """Batch-ingress pipeline between drain and apply (SURVEY §7 stage 5):
+        traced put transforms run inside one jitted chain, then the compiled
+        schema rules veto invalid ops on device (cls=0 ⇒ guaranteed loser);
+        rejected rows produce host-side typed errors."""
+        if ops is None:
+            return None
+        transforms = tuple(self.hooks._traced_put)
+        rules = self.validation.rules() if self.validation.active else None
+        if not transforms and rules is None:
+            return ops
+        struct = self.host.struct()
+        if transforms:
+            from .ingress import traced_pipeline
+
+            ops = traced_pipeline(transforms)(ops, struct)
+        if rules is not None:
+            from .ingress import invalid_op_mask, veto_ops
+
+            invalid = invalid_op_mask(ops, struct, rules)
+            rejected = self.validation.report_rejections(ops, invalid)
+            if rejected:
+                ops = veto_ops(ops, invalid)
+                self.stats["ops_rejected"] += rejected
+        return ops
+
     def _maybe_rekey(self) -> None:
         if not self.host.needs_rekey:
             return
@@ -306,12 +356,13 @@ class PeerNetworkSim:
         self._ensure_capacity()
         self._maybe_rekey()
         self.tick += 1
-        ops = self._drain_ops()
+        ops = self._ingress(self._drain_ops())
         if ops is not None:
             self.table, applied = apply_ops(
                 self.table, ops, jnp.int32(self.tick), mode=self.mode
             )
             self.stats["ops_applied"] += int(applied)
+        self.hooks.fire_after_puts()
         residual = 0
         for _ in range(rounds):
             self.table, changed = gossip_round(
@@ -334,12 +385,13 @@ class PeerNetworkSim:
         self._ensure_capacity()
         self._maybe_rekey()
         self.tick += 1
-        ops = self._drain_ops()
+        ops = self._ingress(self._drain_ops())
         if ops is not None:
             self.table, applied = apply_ops(
                 self.table, ops, jnp.int32(self.tick), mode=self.mode
             )
             self.stats["ops_applied"] += int(applied)
+        self.hooks.fire_after_puts()
         if max_rounds is None:
             max_rounds = max(2 * self.topology.diameter + 2, 4)
         from ..ops.ring_kernel import ring_round_supported
@@ -422,7 +474,16 @@ class PeerNetworkSim:
     def get(self, peer: int, path: str = "") -> Any:
         """Read a value/subtree at ``peer`` (device gather + host tree
         rebuild). Missing paths return None (no auto-vivify in the engine —
-        reads are reads)."""
+        reads are reads). Get hooks may rewrite the path; afterGet hooks may
+        rewrite the data (bullet-middleware.js:27-68)."""
+        if self.hooks.active:
+            path = self.hooks.rewrite_get(peer, path)
+            return self.hooks.rewrite_after_get(
+                peer, path, self._get_raw(peer, path)
+            )
+        return self._get_raw(peer, path)
+
+    def _get_raw(self, peer: int, path: str = "") -> Any:
         if path:
             pid = self.host.paths.lookup(path)
             if pid is None:
@@ -533,6 +594,48 @@ class PeerNetworkSim:
         if not isinstance(data, dict):
             return []
         return [_pred(fn, value, key) for key, value in data.items()]
+
+    # ------------------------------------------- facade: validation + hooks
+
+    def define_schema(self, name: str, schema: dict) -> "PeerNetworkSim":
+        """Register a named schema (reference: bullet-validation.js:54-63)."""
+        self.validation.define_schema(name, schema)
+        return self
+
+    def apply_schema(self, base_path: str, schema_name: str) -> "PeerNetworkSim":
+        """Bind a schema to a base path; writes under it validate at batch
+        ingress — host typed checks for ``put``, compiled device masks for
+        bulk batches (the north star's trace-time validation)."""
+        self.validation.apply_schema(base_path, schema_name)
+        return self
+
+    def remove_schema(self, base_path: str) -> "PeerNetworkSim":
+        self.validation.remove_schema(base_path)
+        return self
+
+    def on_validation_error(self, error_type: str, handler) -> "PeerNetworkSim":
+        self.validation.on_error(error_type, handler)
+        return self
+
+    def validate(self, schema_name: str, data: Any) -> bool:
+        return self.validation.validate(schema_name, data)
+
+    def use(self, operation: str, fn: Callable) -> "PeerNetworkSim":
+        """Register a middleware hook (put/afterPut/get/afterGet/delete/
+        afterDelete — reference: bullet-middleware.js:198-209)."""
+        self.hooks.use(operation, fn)
+        return self
+
+    def use_traced_put(self, fn: Callable) -> "PeerNetworkSim":
+        """Register a pure OpBatch transform traced into the jitted step."""
+        self.hooks.use_traced_put(fn)
+        return self
+
+    def on_event(self, event: str, listener: Callable) -> "PeerNetworkSim":
+        """Subscribe to engine events ("write", "read", "delete", "error",
+        "all" — reference: bullet-middleware.js:278-313)."""
+        self.hooks.on_event(event, listener)
+        return self
 
     # ---------------------------------------------------------- subscriptions
 
