@@ -406,14 +406,23 @@ class PeerNetworkSim:
                 and ring_round_supported(self.table)
             )
         )
+        spmd_mesh = self._gossip_mesh()
+        hub = (
+            int(np.argmax(self.topology.degree()))
+            if self.topology.name == "star"
+            else 0
+        )
         self.table, rounds = gossip_until_converged_device(
             self.table,
             jnp.asarray(self.topology.neighbors),
             self.topology.kind,
             self.mode,
             max_rounds,
-            use_pallas=bool(use_pallas),
+            use_pallas=bool(use_pallas) and spmd_mesh is None,
             lean=self.lean_gossip,
+            spmd_mesh=spmd_mesh,
+            topo_name=self.topology.name,
+            hub=hub,
         )
         rounds = int(rounds)
         self.stats["gossip_rounds"] += rounds

@@ -126,16 +126,15 @@ def gossip_round(
     """One synchronous gossip round; returns (table, changed_count).
 
     Dispatch: on a single TPU device, ring/chain rounds use the fused Pallas
-    kernel (one read + one write per entry); with a mesh provided, ring/chain
-    use the explicit shard_map+ppermute SPMD path (boundary rows over ICI);
-    everything else uses the XLA path (collectives inferred by XLA when the
-    table is sharded)."""
-    if mesh is not None and topology.kind in ("ring", "chain"):
-        from .shardmap_gossip import ring_round_shardmap
+    kernel (one read + one write per entry); with a mesh provided, EVERY
+    topology has an explicit shard_map SPMD path (ppermute boundary rows for
+    ring/chain, recursive-doubling ppermute for mesh, lattice all-reduce for
+    star, masked all_gather for generic adjacencies); otherwise the XLA path
+    (collectives inferred by XLA when the table is sharded)."""
+    if mesh is not None:
+        from .shardmap_gossip import shardmap_round
 
-        return ring_round_shardmap(
-            table, mesh, mode=mode, wrap=topology.kind == "ring"
-        )
+        return shardmap_round(table, topology, mesh, mode=mode)
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"
@@ -162,7 +161,11 @@ def gossip_round(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "mode", "max_rounds", "use_pallas", "lean")
+    jax.jit,
+    static_argnames=(
+        "kind", "mode", "max_rounds", "use_pallas", "lean", "spmd_mesh",
+        "topo_name", "hub",
+    ),
 )
 def gossip_until_converged_device(
     table: TableState,
@@ -172,12 +175,33 @@ def gossip_until_converged_device(
     max_rounds: int,
     use_pallas: bool = False,
     lean: bool = False,
+    spmd_mesh=None,
+    topo_name: str = "",
+    hub: int = 0,
 ) -> Tuple[TableState, jax.Array]:
     """Run rounds on-device until the residual hits zero (bounded by
     ``max_rounds``) — no host round-trips, one compiled while_loop. With
-    ``use_pallas`` the loop body is the fused ring/chain kernel."""
+    ``use_pallas`` the loop body is the fused ring/chain kernel; with
+    ``spmd_mesh`` it is the explicit shard_map collective round."""
 
     def round_fn(tbl):
+        if spmd_mesh is not None:
+            from .shardmap_gossip import (
+                generic_round_shardmap,
+                mesh_round_shardmap,
+                ring_round_shardmap,
+                star_round_shardmap,
+            )
+
+            if kind in ("ring", "chain"):
+                return ring_round_shardmap(
+                    tbl, spmd_mesh, mode=mode, wrap=kind == "ring"
+                )
+            if kind == "mesh":
+                return mesh_round_shardmap(tbl, spmd_mesh, mode=mode)
+            if topo_name == "star":
+                return star_round_shardmap(tbl, spmd_mesh, mode=mode, hub=hub)
+            return generic_round_shardmap(tbl, neighbors, spmd_mesh, mode=mode)
         if use_pallas and kind in ("ring", "chain"):
             from ..ops.ring_kernel import (
                 lean_supported,

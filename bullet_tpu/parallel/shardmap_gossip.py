@@ -1,15 +1,28 @@
-"""Explicit SPMD gossip: shard_map + ppermute over the device mesh.
+"""Explicit SPMD gossip: shard_map + ppermute/all_gather over the device mesh.
 
 The jit+sharding path (parallel.gossip) lets XLA infer collectives from
 ``jnp.roll``/gathers on the sharded peer axis. This module is the explicit
-alternative — per-shard local compute plus hand-placed
-``jax.lax.ppermute`` of exactly the boundary rows over ICI — the pattern
-SURVEY §2 names as the NCCL-equivalent slot. Boundary traffic is one peer
-row per direction per device, so the ICI payload is minimal by
-construction (the jit path may all-gather more).
+alternative — per-shard local compute plus hand-placed collectives — the
+pattern SURVEY §2 names as the NCCL-equivalent slot:
 
-Used for ring and chain topologies when the table is sharded; results are
-bit-identical to the unsharded kernels (tested on the virtual CPU mesh).
+* ring/chain — ``ppermute`` of exactly the boundary rows (one peer row per
+  direction per device; minimal ICI payload by construction).
+* full mesh — recursive doubling: log2(P) rounds of global-roll-by-2^k,
+  each roll at most two block ``ppermute``s (whole-block hop + remainder
+  splice). Bit-identical to ``gossip_round_mesh`` including change counts.
+* star — lattice all-reduce for the hub (local row-reduce → ``all_gather``
+  of one row per device → device reduce) + one-row hub broadcast for the
+  spokes. O(N·D) ICI traffic instead of gathering P rows.
+* generic (bridge, partitions, random graphs) — masked ``all_gather``: the
+  full table is gathered per neighbor column and merged under the adjacency
+  mask, reproducing ``gossip_round_generic`` bit-identically (including its
+  within-round propagation through already-merged rows). Traffic is O(N·P)
+  per device — intended for the moderate peer counts these irregular
+  topologies model (the reference bridge example is 11 peers).
+
+Results are bit-identical to the unsharded kernels (tested on the virtual
+CPU mesh); star's change count is the strict-improvement count against the
+pre-round hub (zero iff the unsharded count is zero).
 """
 
 from __future__ import annotations
@@ -97,3 +110,231 @@ def ring_round_shardmap(
     )
     *fields, changed = fn(*table)
     return TableState(*fields), changed
+
+
+# ---------------------------------------------------------------- full mesh
+
+
+def _global_roll(block: TableState, s: int, axis_size: int, b: int) -> TableState:
+    """Global ``jnp.roll(·, s, axis=0)`` over the sharded peer axis: rows hop
+    ``s // b`` whole devices by ppermute, the ``s % b`` remainder splices the
+    boundary between two permuted blocks."""
+    s %= axis_size * b
+    d, r = divmod(s, b)
+
+    def permute(tbl: TableState, hops: int) -> TableState:
+        if hops % axis_size == 0:
+            return tbl
+        perm = [(i, (i + hops) % axis_size) for i in range(axis_size)]
+        return TableState(
+            *(jax.lax.ppermute(f, PEER_AXIS, perm) for f in tbl)
+        )
+
+    from_d = permute(block, d)
+    if r == 0:
+        return from_d
+    from_d1 = permute(block, d + 1)
+    return TableState(
+        *(
+            jnp.concatenate([f1[b - r :], f0[: b - r]], axis=0)
+            for f0, f1 in zip(from_d, from_d1)
+        )
+    )
+
+
+def _mesh_block(mode: str, steps: int, axis_size: int, *fields):
+    """Recursive doubling (matches gossip_round_mesh exactly): merge with the
+    current table rolled by 2^k, k = 0..steps-1. The loop is a static unroll
+    because each step's ppermute permutation differs (log2(P) steps)."""
+    block = TableState(*fields)
+    b = block.cls.shape[0]
+    total = jnp.int32(0)
+    for k in range(steps):
+        rolled = _global_roll(block, 1 << k, axis_size, b)
+        block, c = _lexmax(block, rolled, mode)
+        total = total + c
+    return (*block, jax.lax.psum(total, PEER_AXIS))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "mode"))
+def mesh_round_shardmap(
+    table: TableState, mesh, mode: str = "reference"
+) -> Tuple[TableState, jax.Array]:
+    """One full-mesh round, explicitly SPMD (bit-identical to the unsharded
+    ``gossip_round_mesh``, change counts included)."""
+    num_peers = table.cls.shape[0]
+    steps = max(1, (num_peers - 1).bit_length())
+    fn = jax.shard_map(
+        functools.partial(_mesh_block, mode, steps, mesh.devices.size),
+        mesh=mesh,
+        in_specs=tuple(P(PEER_AXIS, None) for _ in range(7)),
+        out_specs=(*[P(PEER_AXIS, None)] * 7, P()),
+    )
+    *fields, changed = fn(*table)
+    return TableState(*fields), changed
+
+
+# --------------------------------------------------------------------- star
+
+
+def _star_block(mode: str, hub_dev: int, hub_row: int, *fields):
+    """Hub = lattice max of all rows (local reduce → all_gather of one row
+    per device → device reduce); spokes merge the hub's PRE-round row."""
+    block = TableState(*fields)
+    b = block.cls.shape[0]
+    idx = jax.lax.axis_index(PEER_AXIS)
+    on_hub_dev = idx == hub_dev
+
+    # hub's pre-round row: every device contributes its local hub_row
+    # candidate; the all_gather stack is indexed at the owning device
+    cand = TableState(*(f[hub_row : hub_row + 1] for f in block))
+    stack = TableState(
+        *(
+            jax.lax.all_gather(f, PEER_AXIS, axis=0, tiled=True)
+            for f in cand
+        )
+    )  # [D, N]
+    hub_old = TableState(*(f[hub_dev : hub_dev + 1] for f in stack))
+
+    # spokes merge hub_old (the hub row merging itself is an idempotent
+    # no-op contributing zero to the change count)
+    bcast = TableState(
+        *(jnp.broadcast_to(f, (b, f.shape[1])) for f in hub_old)
+    )
+    merged, c_spokes = _lexmax(block, bcast, mode)
+
+    # hub's new row: lattice max over ALL peer rows (includes hub itself)
+    def row_reduce(k, acc):
+        row = TableState(*(jax.lax.dynamic_slice_in_dim(f, k, 1) for f in block))
+        m, _ = _lexmax(acc, row, mode)
+        return m
+
+    local_max = TableState(*(f[0:1] for f in block))
+    local_max = jax.lax.fori_loop(1, b, row_reduce, local_max)
+    gstack = TableState(
+        *(
+            jax.lax.all_gather(f, PEER_AXIS, axis=0, tiled=True)
+            for f in local_max
+        )
+    )  # [D, N]
+
+    def dev_reduce(k, acc):
+        row = TableState(*(jax.lax.dynamic_slice_in_dim(f, k, 1) for f in gstack))
+        m, _ = _lexmax(acc, row, mode)
+        return m
+
+    gmax = TableState(*(f[0:1] for f in gstack))
+    gmax = jax.lax.fori_loop(1, gstack.cls.shape[0], dev_reduce, gmax)
+    new_hub, c_hub = _lexmax(hub_old, gmax, mode)
+
+    rows = jnp.arange(b)[:, None]
+    sel = on_hub_dev & (rows == hub_row)
+    out = TableState(
+        *(
+            jnp.where(sel, jnp.broadcast_to(nh, f.shape), f)
+            for f, nh in zip(merged, new_hub)
+        )
+    )
+    changed = jax.lax.psum(
+        c_spokes + jnp.where(on_hub_dev, c_hub, 0), PEER_AXIS
+    )
+    return (*out, changed)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "mode", "hub"))
+def star_round_shardmap(
+    table: TableState, mesh, mode: str = "reference", hub: int = 0
+) -> Tuple[TableState, jax.Array]:
+    """One star round, explicitly SPMD. Converged values are identical to the
+    unsharded generic round (lattice max is merge-order-free); the change
+    count is the strict-improvement count vs the pre-round hub (zero iff the
+    unsharded count is zero)."""
+    b = table.cls.shape[0] // mesh.devices.size
+    hub_dev, hub_row = divmod(hub, b)
+    fn = jax.shard_map(
+        functools.partial(_star_block, mode, hub_dev, hub_row),
+        mesh=mesh,
+        in_specs=tuple(P(PEER_AXIS, None) for _ in range(7)),
+        out_specs=(*[P(PEER_AXIS, None)] * 7, P()),
+    )
+    *fields, changed = fn(*table)
+    return TableState(*fields), changed
+
+
+# ---------------------------------------------------- generic (masked AG)
+
+
+def _generic_block(mode: str, *args):
+    """Masked all_gather: per neighbor column, gather the CURRENT full table
+    (so within-round propagation through already-merged rows matches
+    ``gossip_round_generic`` bit-exactly) and merge under the adjacency
+    mask. Padded (-1) neighbors are masked to ABSENT and cannot win."""
+    neighbors, fields = args[0], args[1:]
+    block = TableState(*fields)
+    b = block.cls.shape[0]
+    idx = jax.lax.axis_index(PEER_AXIS)
+    my_rows = idx * b + jnp.arange(b)
+    my_nbrs = neighbors[my_rows]  # [b, max_deg]
+
+    def body(k, carry):
+        blk, total = carry
+        full = TableState(
+            *(
+                jax.lax.all_gather(f, PEER_AXIS, axis=0, tiled=True)
+                for f in blk
+            )
+        )  # [P, N]
+        col = jax.lax.dynamic_index_in_dim(my_nbrs, k, axis=1, keepdims=False)
+        valid = (col >= 0)[:, None]
+        safe = jnp.where(col >= 0, col, 0)
+        gathered = TableState(
+            *(jnp.where(valid, f[safe], jnp.zeros_like(f[safe])) for f in full)
+        )
+        blk, c = _lexmax(blk, gathered, mode)
+        return blk, total + c
+
+    # the count carry must enter the loop already device-varying, or the
+    # carry types mismatch once a varying c is added (shard_map typing)
+    zero = jax.lax.pcast(jnp.int32(0), PEER_AXIS, to="varying")
+    block, total = jax.lax.fori_loop(0, my_nbrs.shape[1], body, (block, zero))
+    return (*block, jax.lax.psum(total, PEER_AXIS))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "mode"))
+def generic_round_shardmap(
+    table: TableState, neighbors: jax.Array, mesh, mode: str = "reference"
+) -> Tuple[TableState, jax.Array]:
+    """One round over an arbitrary adjacency (bridge, partitioned, random),
+    explicitly SPMD; bit-identical to ``gossip_round_generic`` including
+    change counts. O(N·P) gather traffic per device — for the moderate P
+    these irregular topologies model."""
+    fn = jax.shard_map(
+        functools.partial(_generic_block, mode),
+        mesh=mesh,
+        in_specs=(P(), *[P(PEER_AXIS, None)] * 7),
+        out_specs=(*[P(PEER_AXIS, None)] * 7, P()),
+    )
+    *fields, changed = fn(neighbors, *table)
+    return TableState(*fields), changed
+
+
+def shardmap_round(
+    table: TableState, topology, mesh, mode: str = "reference"
+) -> Tuple[TableState, jax.Array]:
+    """Dispatch one explicit-SPMD round for any topology (SURVEY §2:
+    ppermute for ring/chain, recursive-doubling ppermute for mesh, lattice
+    all-reduce for star, masked all_gather otherwise)."""
+    import numpy as np
+
+    if topology.kind in ("ring", "chain"):
+        return ring_round_shardmap(
+            table, mesh, mode=mode, wrap=topology.kind == "ring"
+        )
+    if topology.kind == "mesh":
+        return mesh_round_shardmap(table, mesh, mode=mode)
+    if topology.name == "star":
+        hub = int(np.argmax(topology.degree()))
+        return star_round_shardmap(table, mesh, mode=mode, hub=hub)
+    return generic_round_shardmap(
+        table, jnp.asarray(topology.neighbors), mesh, mode=mode
+    )
