@@ -69,8 +69,9 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
     """Entries merged per second for repeated ring gossip rounds
     (2 neighbor merges per round), all rounds fused into one compiled loop.
 
-    impl: "xla" (fused by XLA), "pallas" (generic merge kernel ×2), or
-    "fused" (the single-pass ring-round Pallas kernel)."""
+    impl: "xla" (fused by XLA), "pallas" (generic merge kernel ×2), "fused"
+    (single-pass ring-round Pallas kernel), "lean" (4-array value-key
+    variant), or "packed" (3-array 12 B/entry layout, in-place stripes)."""
     import jax
     import jax.numpy as jnp
 
@@ -79,7 +80,67 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
         merge_tables_pallas,
         merge_tables_xla,
     )
+    from bullet_tpu.ops.packed import (
+        _fullp_round_kernel_packed,
+        _stripe_tile_n,
+        pack_table,
+        packed_ring_supported,
+        ring_round_packed_pallas,
+    )
     from bullet_tpu.ops.ring_kernel import ring_round_pallas, ring_round_pallas_lean
+
+    if impl == "packed":
+        # the 12 B/entry layout benches at the BASELINE.json north-star shape
+        # (1,024 peers × 1M slots ≈ 12.9 GB) — the dense layouts cannot hold
+        # it on one chip, which is the point of packing
+        num_peers, capacity = 1024, 1 << 20
+        if not packed_ring_supported(num_peers, capacity):
+            raise RuntimeError("packed stripe kernel unsupported at this shape")
+        from bullet_tpu.ops.packed import PackedTable
+
+        @jax.jit
+        def build_packed():
+            row = jax.lax.broadcasted_iota(jnp.int32, (num_peers, capacity), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (num_peers, capacity), 1)
+            h = (row * 1103515245 + col * 40503) & 0x7FFFFFFF
+
+            def mix(salt, mod):
+                return ((h ^ salt) * 1664525 & 0x7FFFFFFF) % mod
+
+            cv = (mix(1, 4) << 28) | mix(4, 1 << 20)
+            return PackedTable(
+                khi=mix(2, 2000) - 1000, klo=mix(3, 2000) - 1000, cv=cv
+            )
+
+        from bullet_tpu.ops.packed import ring_round_packed_traced
+
+        def packed_round(_, t):
+            # traced (not the jit wrapper): the pallas in->out aliasing makes
+            # the donated fori carry update fully in place
+            t2, _c = ring_round_packed_traced(t, True, False)
+            return t2
+
+        import functools
+
+        # the table must be DONATED and RETURNED: at 12.9 GB a fori-carry
+        # copy exceeds HBM, and a donated input only aliases in place when a
+        # matching output exists. Rebuild (one cheap fused jit) per run.
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_packed(t):
+            out = jax.lax.fori_loop(0, rounds, packed_round, t)
+            return jnp.sum(out.cv), out
+
+        s, warm_out = run_packed(build_packed())  # compile + warm
+        int(s)
+        del warm_out
+        ptable = build_packed()
+        int(jnp.sum(ptable.cv[:1, :128]))  # force build before timing
+        t0 = time.perf_counter()
+        s, out = run_packed(ptable)
+        int(s)  # scalar readback = real completion
+        dt = time.perf_counter() - t0
+        del out
+        return 2 * num_peers * capacity * rounds / dt, num_peers, capacity
 
     def one_round(_, t):
         if impl == "lean":
@@ -104,7 +165,7 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
     t0 = time.perf_counter()
     int(run(table))  # timed: scalar readback = real completion
     dt = time.perf_counter() - t0
-    return 2 * num_peers * capacity * rounds / dt
+    return 2 * num_peers * capacity * rounds / dt, num_peers, capacity
 
 
 def main() -> None:
@@ -115,23 +176,25 @@ def main() -> None:
     on_tpu = backend == "tpu"
     if on_tpu:
         num_peers, capacity, rounds = 256, 1 << 18, 30
-        impls = ["lean", "fused", "xla"]
+        impls = ["packed", "lean", "fused", "xla"]
     else:  # CPU smoke sizing
         num_peers, capacity, rounds = 16, 1 << 14, 5
         impls = ["xla"]
 
     best = 0.0
     best_impl = None
+    best_shape = (num_peers, capacity)
     errors = []
     for impl in impls:
         try:
-            rate = bench_gossip(num_peers, capacity, rounds, impl)
+            rate, bp, bn = bench_gossip(num_peers, capacity, rounds, impl)
         except Exception as err:  # noqa: BLE001 - report the impl that works
             errors.append((impl, err))
             continue
         if rate > best:
             best = rate
             best_impl = impl
+            best_shape = (bp, bn)
 
     if best_impl is None:
         # every impl raised: fail loudly instead of printing a zero metric
@@ -148,7 +211,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"merged graph ops/sec/chip (ring gossip, {best_impl}, "
-                f"P={num_peers}, N={capacity}, backend={backend})",
+                f"P={best_shape[0]}, N={best_shape[1]}, backend={backend})",
                 "value": round(best),
                 "unit": "merges/s",
                 "vs_baseline": round(best / north_star, 3),

@@ -32,17 +32,30 @@ from bullet_tpu.parallel import topology as topo  # noqa: E402
 
 def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
+    packed = os.environ.get("BULLET_PACKED", "0") == "1"
+    north_star = os.environ.get("BULLET_NORTH_STAR", "0") == "1"
+    if north_star:
+        # the BASELINE.json target shape: 1,024 peers × 1M-slot graphs.
+        # Dense (28 B/entry) would need 28 GB; packed (12 B/entry) fits one
+        # v5e chip at ~12.9 GB with the in-place Pallas round.
+        packed = True
+        num_peers, capacity, keys, writes = 1024, 1 << 20, 1 << 16, 1 << 20
+        if not on_tpu:  # CPU smoke of the same code path
+            num_peers, capacity, keys, writes = 64, 1 << 12, 1 << 10, 1 << 16
+    elif on_tpu:
         num_peers, capacity, keys, writes = 256, 1 << 18, 1 << 16, 1 << 20
     else:
         num_peers, capacity, keys, writes = 64, 1 << 12, 1 << 10, 1 << 16
-    lean = os.environ.get("BULLET_LEAN", "1") != "0" and on_tpu
+    lean = (os.environ.get("BULLET_LEAN", "1") != "0" and on_tpu
+            and not packed)
 
     out = {"backend": jax.default_backend(), "num_peers": num_peers,
-           "capacity": capacity, "writes": writes}
+           "capacity": capacity, "writes": writes,
+           "layout": "packed" if packed else "dense"}
 
     sim = PeerNetworkSim(num_peers, capacity=capacity,
-                         topology=topo.ring(num_peers), lean_gossip=lean)
+                         topology=topo.ring(num_peers), lean_gossip=lean,
+                         layout="packed" if packed else "dense")
     out["lean"] = lean
 
     t0 = time.time()
@@ -62,30 +75,58 @@ def main() -> None:
     out["ingest_ops_per_s"] = round(writes / out["ingest_s"])
     print("# ingested", out["ingest_s"], flush=True)
 
-    # warm the convergence program on a scratch copy so the timed run is
-    # steady-state (the one-time Pallas compile costs ~2 min via the tunnel)
     import jax.numpy as jnp
-    from bullet_tpu.parallel.gossip import gossip_until_converged_device
 
-    t0 = time.time()
-    scratch, r = gossip_until_converged_device(
-        sim.table, jnp.asarray(sim.topology.neighbors), sim.topology.kind,
-        sim.mode, num_peers + 2,
-        use_pallas=jax.default_backend() == "tpu",
-        lean=sim.lean_gossip,
-    )
-    _ = int(r)
-    del scratch
-    out["compile_s"] = round(time.time() - t0, 3)
-    print("# warmed", out["compile_s"], flush=True)
+    if packed:
+        # a scratch warm-up copy would double the (north-star-sized) table,
+        # so warm by converging a first half-load, then time a second
+        # convergence after fresh writes (same compiled while_loop, hot)
+        t0 = time.time()
+        rounds0 = sim.run_until_converged(max_rounds=num_peers + 2)
+        _ = int(np.asarray(sim.table.cv[0, 0]))
+        out["compile_s"] = round(time.time() - t0, 3)
+        print("# warmed (cold converge)", out["compile_s"], flush=True)
 
-    t0 = time.time()
-    rounds = sim.run_until_converged(max_rounds=num_peers + 2)
-    # force completion before timing (axon block semantics)
-    _ = int(np.asarray(sim.table.vid[0, 0]))
-    out["converge_s"] = round(time.time() - t0, 3)
-    out["rounds"] = rounds
-    print("# converged", out["converge_s"], flush=True)
+        t0 = time.time()
+        sim.put_bulk(
+            rng.integers(0, num_peers, writes).astype(np.int32),
+            slots[rng.integers(0, keys, writes)],
+            rng.integers(0, 1 << 30, writes).astype(np.float64),
+        )
+        out["ingest_s"] = round(time.time() - t0, 3)  # hot-phase ingest
+        out["ingest_ops_per_s"] = round(writes / max(out["ingest_s"], 1e-9))
+        t0 = time.time()
+        rounds = sim.run_until_converged(max_rounds=num_peers + 2)
+        _ = int(np.asarray(sim.table.cv[0, 0]))
+        out["converge_s"] = round(time.time() - t0, 3)
+        out["rounds"] = rounds0 + rounds
+        rounds = max(rounds, 1)
+        print("# converged", out["converge_s"], flush=True)
+    else:
+        # warm the convergence program on a scratch copy so the timed run is
+        # steady-state (the one-time Pallas compile costs ~2 min via the
+        # tunnel)
+        from bullet_tpu.parallel.gossip import gossip_until_converged_device
+
+        t0 = time.time()
+        scratch, r = gossip_until_converged_device(
+            sim.table, jnp.asarray(sim.topology.neighbors), sim.topology.kind,
+            sim.mode, num_peers + 2,
+            use_pallas=jax.default_backend() == "tpu",
+            lean=sim.lean_gossip,
+        )
+        _ = int(r)
+        del scratch
+        out["compile_s"] = round(time.time() - t0, 3)
+        print("# warmed", out["compile_s"], flush=True)
+
+        t0 = time.time()
+        rounds = sim.run_until_converged(max_rounds=num_peers + 2)
+        # force completion before timing (axon block semantics)
+        _ = int(np.asarray(sim.table.vid[0, 0]))
+        out["converge_s"] = round(time.time() - t0, 3)
+        out["rounds"] = rounds
+        print("# converged", out["converge_s"], flush=True)
 
     t0 = time.time()
     equal = sim.tables_equal()

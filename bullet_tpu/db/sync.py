@@ -96,6 +96,11 @@ class BulletNetworkSync:
         state = self._peer_state(peer_id)
         with self._lock:
             if state["status"] == "in-progress":
+                # the reference silently drops this (bullet-network-sync.js:
+                # 88-91), leaving an explicit request unserved if it races an
+                # auto-sync; queue a follow-up instead so request_sync always
+                # eventually reflects current state
+                state["resync_pending"] = True
                 return
             request = {
                 "type": "sync-request",
@@ -126,7 +131,17 @@ class BulletNetworkSync:
 
     def _handle_sync_request(self, peer_id: str, message: dict) -> None:
         """Serve a full/partial state transfer in chunks
-        (bullet-network-sync.js:125-198)."""
+        (bullet-network-sync.js:125-198).
+
+        The response ``timestamp`` is stamped BEFORE collection and becomes
+        the requester's next ``since`` watermark. The reference stamps the
+        requester's own finish time (:402) — a write landing on the
+        responder between collection and completion is then both missing
+        from the transfer and ≤ the next since, so incremental syncs skip
+        it forever (documented divergence, fixed like quirk Q1). A
+        collection-start watermark on the responder's own clock re-sends
+        the overlap instead (idempotent under CRT resolve)."""
+        watermark_ms = int(time.time() * 1000)
         entries = self._collect_sync_data(
             message.get("since", 0), message.get("partial"), message.get("paths")
         )
@@ -143,7 +158,7 @@ class BulletNetworkSync:
                 "requestId": request_id,
                 "totalChunks": len(chunks),
                 "totalEntries": len(entries),
-                "timestamp": int(time.time() * 1000),
+                "timestamp": watermark_ms,
             },
         )
         for index, chunk in enumerate(chunks):
@@ -205,6 +220,8 @@ class BulletNetworkSync:
                 total_entries=message.get("totalEntries", 0),
                 received_chunks=set(),
                 last_activity=time.time(),
+                # responder's collection-start watermark: the next `since`
+                watermark_ms=message.get("timestamp"),
             )
             self._cancel(state, "sync_timeout_timer")
             state["sync_timeout_timer"] = self._after(
@@ -286,18 +303,31 @@ class BulletNetworkSync:
         self._after(1.0, self.request_sync, peer_id)
 
     def _finish_sync(self, peer_id: str, request_id) -> None:
-        """(bullet-network-sync.js:391-416)"""
+        """(bullet-network-sync.js:391-416). Idempotent per request: both the
+        last chunk and the sync-complete message finish a sync; the second
+        call must not clobber the stored watermark with local finish time."""
         state = self._peer_state(peer_id)
         with self._lock:
+            if state["status"] == "complete" and state.get("request_id") == request_id:
+                return
             self._cancel(state, "sync_timeout_timer")
             self._cancel(state, "timeout_timer")
             state["status"] = "complete"
             state["last_sync_time"] = time.time()
-            state["last_sync_time_ms"] = int(state["last_sync_time"] * 1000)
+            # prefer the responder's collection-start watermark (see
+            # _handle_sync_request); fall back to local finish time for
+            # peers that don't send one
+            state["last_sync_time_ms"] = (
+                state.pop("watermark_ms", None)
+                or int(state["last_sync_time"] * 1000)
+            )
             state["last_sync_duration"] = state["last_sync_time"] - (
                 state.get("start_time") or state["last_sync_time"]
             )
             state["attempts"] = 0
+            resync = state.pop("resync_pending", False)
+        if resync and not self._closed:
+            self._after(0.05, self.request_sync, peer_id)
         self.network.emit(
             "sync:complete",
             {

@@ -15,23 +15,23 @@ from typing import Optional
 
 import numpy as np
 
-from ..ops.merge import FIELDS
-
 
 def save_checkpoint(sim, directory: str, backend: str = "npz") -> None:
     """``backend="npz"`` (default, dependency-free) or ``"orbax"`` (async-
-    capable, sharding-aware saves for long-running simulations)."""
+    capable, sharding-aware saves for long-running simulations). The field
+    set follows the sim's table layout (dense 7-array or packed 3-array)."""
     os.makedirs(directory, exist_ok=True)
+    fields = sim.table._fields
     if backend == "orbax":
         import orbax.checkpoint as ocp
 
-        state = {name: f for name, f in zip(FIELDS, sim.table)}
+        state = {name: f for name, f in zip(fields, sim.table)}
         state["clock"] = sim._clock
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(os.path.join(os.path.abspath(directory), "orbax"), state)
             ckptr.wait_until_finished()
     else:
-        arrays = {name: np.asarray(f) for name, f in zip(FIELDS, sim.table)}
+        arrays = {name: np.asarray(f) for name, f in zip(fields, sim.table)}
         arrays["clock"] = sim._clock
         np.savez_compressed(os.path.join(directory, "state.npz"), **arrays)
 
@@ -46,6 +46,7 @@ def save_checkpoint(sim, directory: str, backend: str = "npz") -> None:
         "num_peers": sim.num_peers,
         "capacity": sim.capacity,
         "mode": sim.mode,
+        "layout": getattr(sim, "layout", "dense"),
         "tick": sim.tick,
         "topology": {
             "name": sim.topology.name,
@@ -85,6 +86,7 @@ def load_checkpoint(directory: str, mesh_devices: Optional[int] = None):
         topology=topology,
         mode=meta["mode"],
         mesh_devices=mesh_devices,
+        layout=meta.get("layout", "dense"),
     )
     # replay interners in insertion order -> identical ids and ranks
     for path in meta["paths"]:
@@ -93,12 +95,11 @@ def load_checkpoint(directory: str, mesh_devices: Optional[int] = None):
         sim.host.encode_value(value)
     sim.host.needs_rekey = False
 
-    from ..ops.merge import TableState
-
+    fields = sim.table._fields
     if meta.get("backend") == "orbax":
         import orbax.checkpoint as ocp
 
-        template = {name: np.asarray(f) for name, f in zip(FIELDS, sim.table)}
+        template = {name: np.asarray(f) for name, f in zip(fields, sim.table)}
         template["clock"] = sim._clock
         with ocp.StandardCheckpointer() as ckptr:
             data = ckptr.restore(
@@ -106,7 +107,7 @@ def load_checkpoint(directory: str, mesh_devices: Optional[int] = None):
             )
     else:
         data = np.load(os.path.join(directory, "state.npz"))
-    sim.table = TableState(*(jnp.asarray(data[name]) for name in FIELDS))
+    sim.table = type(sim.table)(*(jnp.asarray(data[name]) for name in fields))
     if sim.mesh is not None:
         from ..parallel.mesh import shard_table
 

@@ -90,7 +90,8 @@ def invalid_op_mask(ops: OpBatch, struct: PathStruct, rules: RuleTable) -> jax.A
         bad_range = is_num & (below | above)
         evids = rules.enum_vids[r]
         enum_active = evids[0] >= 0
-        enum_hit = jnp.any(ops.vid[..., None] == evids[None, None, :], axis=-1)
+        # rank-agnostic: ops arrays are [P, B] (dense batches) or [K] (flat)
+        enum_hit = jnp.any(ops.vid[..., None] == evids, axis=-1)
         bad_enum = enum_active & ~enum_hit
         return inv | (match & (bad_cls | bad_range | bad_enum))
 
@@ -236,9 +237,10 @@ class EngineValidation:
             return 0
         slots = np.asarray(ops.slot)
         vids = np.asarray(ops.vid)
-        for p, b in zip(*np.nonzero(inv)):
-            path = self.sim.host.paths.path(int(slots[p, b]))
-            value = self.sim.host.values.decode(int(vids[p, b]))
+        for idx in np.argwhere(inv):
+            pos = tuple(idx)
+            path = self.sim.host.paths.path(int(slots[pos]))
+            value = self.sim.host.values.decode(int(vids[pos]))
             ok = self.host.check_write(path, value)
             if ok:
                 # device rule fired but host disagrees (shouldn't happen);

@@ -85,12 +85,46 @@ def _gather_entries(table: TableState, peer, slots):
 
 
 @jax.jit
+def _gather_entries_packed(table, peer, slots):
+    from ..ops.packed import CV_SHIFT, VID_MASK
+
+    cv = table.cv[peer, slots]
+    return cv >> CV_SHIFT, cv & VID_MASK
+
+
+@jax.jit
 def _rekey(table: TableState, cls_map, khi_map, klo_map):
     """Refresh (cls, khi, klo) from vid after a string-rank rebalance."""
     return table._replace(
         cls=jnp.where(table.cls > 0, cls_map[table.vid], table.cls),
         khi=jnp.where(table.cls > 0, khi_map[table.vid], table.khi),
         klo=jnp.where(table.cls > 0, klo_map[table.vid], table.klo),
+    )
+
+
+@jax.jit
+def _rekey_packed(table, cls_map, khi_map, klo_map):
+    from ..ops.packed import CV_SHIFT, VID_MASK, PackedTable, pack_cv
+
+    vid = table.cv & VID_MASK
+    present = (table.cv >> CV_SHIFT) > 0
+    return PackedTable(
+        khi=jnp.where(present, khi_map[vid], table.khi),
+        klo=jnp.where(present, klo_map[vid], table.klo),
+        cv=jnp.where(present, pack_cv(cls_map[vid], vid), table.cv),
+    )
+
+
+@jax.jit
+def _peer_row_packed(table, peer):
+    from ..ops.packed import CV_SHIFT, VID_MASK
+
+    cv = table.cv[peer]
+    return scans.RowView(
+        cls=cv >> CV_SHIFT,
+        khi=table.khi[peer],
+        klo=table.klo[peer],
+        vid=cv & VID_MASK,
     )
 
 
@@ -104,6 +138,9 @@ class PeerNetworkSim:
     topology : "ring" | "chain" | "mesh" | "star" | "bridge" | Topology
     mode : "reference" (converged-state parity) | "lww" (Lamport LWW)
     mesh_devices : int | None — shard the peer axis over this many devices
+    layout : "dense" (7-array, full metadata) | "packed" (3-array,
+        12 B/entry — reference mode only; fits the 1,024×1M north-star
+        shape on one chip, see ops/packed.py)
     """
 
     def __init__(
@@ -116,7 +153,17 @@ class PeerNetworkSim:
         use_pallas: Optional[bool] = None,
         use_shard_map: bool = False,
         lean_gossip: bool = False,
+        layout: str = "dense",
     ) -> None:
+        if layout not in ("dense", "packed"):
+            raise ValueError(f"unknown layout: {layout}")
+        if layout == "packed" and mode != "reference":
+            raise ValueError("packed layout supports reference mode only "
+                             "(no writer/ctr metadata for lww priority)")
+        if layout == "packed" and mesh_devices:
+            raise ValueError("packed layout is single-device for now "
+                             "(the north-star shape fits one chip)")
+        self.layout = layout
         self.mode = mode
         self.use_pallas = use_pallas
         self.use_shard_map = use_shard_map
@@ -133,7 +180,12 @@ class PeerNetworkSim:
             raise ValueError("topology size != num_peers")
         self.host = GraphHost(capacity)
         self.capacity = 0
-        self.table = init_table(num_peers, capacity)
+        if layout == "packed":
+            from ..ops.packed import init_packed
+
+            self.table = init_packed(num_peers, capacity)
+        else:
+            self.table = init_table(num_peers, capacity)
         self.capacity = capacity
         if self.mesh is not None:
             self.table = shard_table(self.table, self.mesh)
@@ -305,7 +357,7 @@ class PeerNetworkSim:
         while new_cap < needed:
             new_cap *= 2
         pad = new_cap - self.capacity
-        self.table = TableState(
+        self.table = type(self.table)(
             *(jnp.pad(f, ((0, 0), (0, pad))) for f in self.table)
         )
         if self.mesh is not None:
@@ -342,7 +394,8 @@ class PeerNetworkSim:
         if not self.host.needs_rekey:
             return
         cls_map, khi_map, klo_map = self.host.key_tables()
-        self.table = _rekey(
+        rekey = _rekey_packed if self.layout == "packed" else _rekey
+        self.table = rekey(
             self.table,
             jnp.asarray(cls_map),
             jnp.asarray(khi_map),
@@ -350,26 +403,113 @@ class PeerNetworkSim:
         )
         self.host.needs_rekey = False
 
+    def _apply_pending(self) -> int:
+        """Drain + ingress + apply, layout-dispatched; returns applied count."""
+        if self.layout == "packed":
+            return self._apply_pending_packed()
+        ops = self._ingress(self._drain_ops())
+        if ops is None:
+            return 0
+        self.table, applied = apply_ops(
+            self.table, ops, jnp.int32(self.tick), mode=self.mode
+        )
+        return int(applied)
+
+    def _drain_flat(self):
+        """Queued ops as flat numpy arrays (peer, slot, cls, khi, klo, vid) —
+        the packed-layout ingestion shape (no dense [P, B] padding)."""
+        chunks = []
+        for p, ops in enumerate(self._pending):
+            if ops:
+                a = np.asarray(ops, dtype=np.int32)  # rows: slot..ctr
+                chunks.append(
+                    (np.full(len(ops), p, dtype=np.int32),
+                     a[:, 0], a[:, 1], a[:, 2], a[:, 3], a[:, 4])
+                )
+                ops.clear()
+        for bulk in self._pending_bulk:
+            peers, slots, cls, khi, klo, vid, _ctr = bulk
+            chunks.append((peers, slots, cls, khi, klo, vid))
+        self._pending_bulk.clear()
+        if not chunks:
+            return None
+        return tuple(
+            np.concatenate([c[i] for c in chunks]) for i in range(6)
+        )
+
+    def _apply_pending_packed(self) -> int:
+        """Packed apply: flat ingress (traced transforms + device validation
+        veto), host lattice pre-reduction per (peer, slot), then ONE
+        gather+scatter apply — no dense batch, no scan (ops/packed.py)."""
+        from ..ops.packed import MAX_VID, apply_flat_packed, reduce_flat_ops
+
+        flat = self._drain_flat()
+        if flat is None:
+            return 0
+        if len(self.host.values) > MAX_VID:
+            raise RuntimeError(
+                f"packed layout caps distinct values at 2^28; interner "
+                f"holds {len(self.host.values)} — use layout='dense'"
+            )
+        peer, slot, cls, khi, klo, vid = flat
+        transforms = tuple(self.hooks._traced_put)
+        rules = self.validation.rules() if self.validation.active else None
+        if transforms or rules is not None:
+            struct = self.host.struct()
+            ops = OpBatch(
+                slot=jnp.asarray(slot), cls=jnp.asarray(cls),
+                khi=jnp.asarray(khi), klo=jnp.asarray(klo),
+                vid=jnp.asarray(vid),
+                ctr=jnp.zeros(slot.shape, dtype=jnp.int32),
+            )
+            if transforms:
+                from .ingress import traced_pipeline
+
+                ops = traced_pipeline(transforms)(ops, struct)
+            if rules is not None:
+                from .ingress import invalid_op_mask, veto_ops
+
+                invalid = invalid_op_mask(ops, struct, rules)
+                rejected = self.validation.report_rejections(ops, invalid)
+                if rejected:
+                    ops = veto_ops(ops, invalid)
+                    self.stats["ops_rejected"] += rejected
+            slot, cls, khi, klo, vid = (
+                np.asarray(ops.slot), np.asarray(ops.cls),
+                np.asarray(ops.khi), np.asarray(ops.klo), np.asarray(ops.vid),
+            )
+        reduced = reduce_flat_ops(peer, slot, cls, khi, klo, vid)
+        if reduced is None:
+            return 0
+        self.table, applied = apply_flat_packed(
+            self.table, *(jnp.asarray(a) for a in reduced)
+        )
+        return int(applied)
+
+    def _one_round(self):
+        if self.layout == "packed":
+            from ..ops.packed import gossip_round_packed
+
+            return gossip_round_packed(
+                self.table, self.topology, use_pallas=self.use_pallas
+            )
+        return gossip_round(
+            self.table, self.topology, self.mode,
+            use_pallas=self.use_pallas, mesh=self._gossip_mesh(),
+            lean=self.lean_gossip,
+        )
+
     def step(self, rounds: int = 1) -> int:
         """Apply queued ops, run ``rounds`` gossip rounds; returns residual
         (entries changed in the last round)."""
         self._ensure_capacity()
         self._maybe_rekey()
         self.tick += 1
-        ops = self._ingress(self._drain_ops())
-        if ops is not None:
-            self.table, applied = apply_ops(
-                self.table, ops, jnp.int32(self.tick), mode=self.mode
-            )
-            self.stats["ops_applied"] += int(applied)
+        self.stats["ops_applied"] += self._apply_pending()
         self.hooks.fire_after_puts()
         residual = 0
         for _ in range(rounds):
-            self.table, changed = gossip_round(
-                self.table, self.topology, self.mode,
-                use_pallas=self.use_pallas, mesh=self._gossip_mesh(),
-                lean=self.lean_gossip,
-            )
+            self.table, changed = self._one_round()
             residual = int(changed)
             self.stats["gossip_rounds"] += 1
             self.stats["merged_entries"] += residual
@@ -385,15 +525,38 @@ class PeerNetworkSim:
         self._ensure_capacity()
         self._maybe_rekey()
         self.tick += 1
-        ops = self._ingress(self._drain_ops())
-        if ops is not None:
-            self.table, applied = apply_ops(
-                self.table, ops, jnp.int32(self.tick), mode=self.mode
-            )
-            self.stats["ops_applied"] += int(applied)
+        self.stats["ops_applied"] += self._apply_pending()
         self.hooks.fire_after_puts()
         if max_rounds is None:
             max_rounds = max(2 * self.topology.diameter + 2, 4)
+        if self.layout == "packed":
+            from ..ops.packed import (
+                gossip_until_converged_packed,
+                packed_ring_supported,
+            )
+
+            use_pallas = (
+                self.use_pallas
+                if self.use_pallas is not None
+                else (
+                    jax.default_backend() == "tpu"
+                    and self.topology.kind in ("ring", "chain")
+                    and packed_ring_supported(*self.table.khi.shape)
+                )
+            )
+            self.table, rounds = gossip_until_converged_packed(
+                self.table,
+                jnp.asarray(self.topology.neighbors),
+                self.topology.kind,
+                max_rounds,
+                use_pallas=bool(use_pallas),
+            )
+            rounds = int(rounds)
+            self.stats["gossip_rounds"] += rounds
+            self.stats["steps"] += 1
+            self.last_residual = 0
+            self._fire_subscriptions()
+            return rounds
         from ..ops.ring_kernel import ring_round_supported
 
         use_pallas = (
@@ -448,11 +611,7 @@ class PeerNetworkSim:
     def converged(self) -> bool:
         """True iff one more gossip round would change nothing (checked on a
         scratch copy; state is not advanced)."""
-        _, changed = gossip_round(
-            self.table, self.topology, self.mode,
-            use_pallas=self.use_pallas, mesh=self._gossip_mesh(),
-            lean=self.lean_gossip,
-        )
+        _, changed = self._one_round()
         return int(changed) == 0
 
     # ----------------------------------------------------------------- reads
@@ -469,9 +628,12 @@ class PeerNetworkSim:
             return {}
         self._sync_device_state()
         arr = jnp.asarray(np.asarray(slots, dtype=np.int32))
-        cls, _khi, _klo, vid, *_ = _gather_entries(
-            self.table, jnp.int32(peer), arr
-        )
+        if self.layout == "packed":
+            cls, vid = _gather_entries_packed(self.table, jnp.int32(peer), arr)
+        else:
+            cls, _khi, _klo, vid, *_ = _gather_entries(
+                self.table, jnp.int32(peer), arr
+            )
         cls = np.asarray(cls)
         vid = np.asarray(vid)
         out: Dict[int, Any] = {}
@@ -527,7 +689,7 @@ class PeerNetworkSim:
         _, _, _, vid = self.host.encode_value(value)
         self._sync_device_state()
         struct = self.host.struct()
-        row = scans.peer_row(self.table, jnp.int32(peer))
+        row = self._peer_row(peer)
         if field is not None:
             fid = self.host.seg_lookup(field)
             if fid < 0:
@@ -563,7 +725,7 @@ class PeerNetworkSim:
             jnp.int32(hi_hi),
             jnp.int32(hi_lo),
         )
-        row = scans.peer_row(self.table, jnp.int32(peer))
+        row = self._peer_row(peer)
         if field is not None:
             fid = self.host.seg_lookup(field)
             if fid < 0:
@@ -711,7 +873,7 @@ class PeerNetworkSim:
         }
 
     def restore(self, snap: dict) -> None:
-        self.table = TableState(*(jnp.asarray(f) for f in snap["table"]))
+        self.table = type(self.table)(*(jnp.asarray(f) for f in snap["table"]))
         if self.mesh is not None:
             self.table = shard_table(self.table, self.mesh)
         self.tick = snap["tick"]
@@ -726,7 +888,22 @@ class PeerNetworkSim:
         def _equal(vid, cls):
             return jnp.all(vid == vid[0:1]) & jnp.all(cls == cls[0:1])
 
+        if self.layout == "packed":
+            # compare cv directly (cv equal ⇔ (cls, vid) equal) in ONE fused
+            # jit — eager &/>> would each allocate a table-sized temp, which
+            # does not fit next to the north-star table
+            @jax.jit
+            def _equal_cv(cv):
+                return jnp.all(cv == cv[0:1])
+
+            return bool(_equal_cv(self.table.cv))
         return bool(_equal(self.table.vid, self.table.cls))
+
+    def _peer_row(self, peer: int) -> scans.RowView:
+        """One replica row as a query RowView, layout-independent."""
+        if self.layout == "packed":
+            return _peer_row_packed(self.table, jnp.int32(peer))
+        return scans.peer_row(self.table, jnp.int32(peer))
 
 
 def _pred(fn, value, key):

@@ -1,0 +1,481 @@
+"""Packed ultra-lean table layout: 12 B/entry, the north-star shape enabler.
+
+The dense layout (ops.merge.TableState) spends 28 B/entry; reference-mode
+merge priority only ever reads the four value keys (cls, khi, klo, vid) —
+writer/ctr/tick are local bookkeeping the reference discards on receive
+(meta.source, /root/reference/src/bullet.js:198-203). Packing cls (3 bits)
+and vid (≤ 2^28) into one word ``cv = cls << 28 | vid`` yields a 3-array
+layout:
+
+    khi, klo, cv : int32 [P, N]   → 12 B/entry
+
+1,024 peers × 1M slots ≈ 12.9 GB — the BASELINE.json north-star shape fits a
+single v5e chip. The merge order is unchanged: lexicographic over
+``(cv >> 28, khi, klo, cv)`` ≡ (cls, khi, klo, vid), because equal cls makes
+the final cv comparison a vid comparison. Converged states are bit-identical
+to dense reference mode (tested); ``applied``/``changed`` counts exclude
+metadata-only updates (a dense-mode op that ties on all four value keys but
+wins on writer/ctr updates bookkeeping without changing the value).
+
+The fused Pallas ring/chain round streams full-P column stripes with
+``input_output_aliases`` — the round is IN-PLACE in HBM, so peak memory is
+the table itself (a separate output copy would not fit the north-star shape).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .apply import OpBatch
+from .merge import TableState
+
+CV_SHIFT = 28
+VID_MASK = (1 << CV_SHIFT) - 1
+MAX_VID = VID_MASK  # interner capacity in packed mode: 2^28 distinct values
+
+
+class PackedTable(NamedTuple):
+    """Reference-mode replica tables at 12 B/entry (see module docstring)."""
+
+    khi: jax.Array
+    klo: jax.Array
+    cv: jax.Array  # cls << 28 | vid
+
+
+def init_packed(num_peers: int, capacity: int) -> PackedTable:
+    # three DISTINCT zero buffers: apply donates the table, and donating one
+    # aliased buffer three times is an error
+    return PackedTable(
+        *(jnp.zeros((num_peers, capacity), dtype=jnp.int32) for _ in range(3))
+    )
+
+
+def pack_cv(cls, vid):
+    return (cls << CV_SHIFT) | vid
+
+
+def pack_table(t: TableState) -> PackedTable:
+    """Dense → packed (drops writer/ctr/tick)."""
+    return PackedTable(t.khi, t.klo, pack_cv(t.cls, t.vid))
+
+
+def unpack_table(pt: PackedTable) -> TableState:
+    """Packed → dense with zeroed metadata (for interop/serialization)."""
+    z = jnp.zeros_like(pt.cv)
+    return TableState(
+        cls=pt.cv >> CV_SHIFT,
+        khi=pt.khi,
+        klo=pt.klo,
+        vid=pt.cv & VID_MASK,
+        writer=z,
+        ctr=z,
+        tick=z,
+    )
+
+
+def packed_keys(khi, klo, cv):
+    """(cls, khi, klo, vid) as a 4-key lex chain on packed fields."""
+    return (cv >> CV_SHIFT, khi, klo, cv)
+
+
+def _lex_gt_packed(b_keys, a_keys):
+    gt = jnp.zeros_like(a_keys[0], dtype=jnp.bool_)
+    eq = jnp.ones_like(a_keys[0], dtype=jnp.bool_)
+    for ka, kb in zip(a_keys, b_keys):
+        gt = gt | (eq & (kb > ka))
+        eq = eq & (ka == kb)
+    return gt
+
+
+def merge_packed_xla(
+    a: PackedTable, b: PackedTable
+) -> Tuple[PackedTable, jax.Array]:
+    """Reference-mode winner-select over packed tables + changed count."""
+    take_b = _lex_gt_packed(
+        packed_keys(*b), packed_keys(*a)
+    )
+    merged = PackedTable(*(jnp.where(take_b, fb, fa) for fa, fb in zip(a, b)))
+    return merged, jnp.sum(take_b.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------- op apply
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def apply_ops_packed(
+    table: PackedTable, ops: OpBatch, tick: jax.Array
+) -> Tuple[PackedTable, jax.Array]:
+    """Reference-mode op application on the packed layout.
+
+    An op lands iff its value keys strictly beat the current entry
+    (quirk Q2's value-LWW); metadata-only wins (vid tie, higher writer/ctr)
+    are value no-ops in dense mode and simply don't exist here.
+
+    The table buffer is DONATED: at the north-star shape the table is most
+    of HBM, and a second scan-carry copy does not fit. Callers must not
+    reuse their input reference (netsim reassigns ``self.table``).
+    """
+    num_peers = table.khi.shape[0]
+    rows = jnp.arange(num_peers, dtype=jnp.int32)
+
+    def body(carry, op_col):
+        tbl, applied = carry
+        slot, ocls, okhi, oklo, ovid, _octr = op_col
+        cur = tuple(f[rows, slot] for f in tbl)  # (khi, klo, cv) [P]
+        ocv = pack_cv(ocls, ovid)
+        win = _lex_gt_packed(
+            packed_keys(okhi, oklo, ocv), packed_keys(*cur)
+        ) & (ocls > 0)
+        new_vals = (
+            jnp.where(win, okhi, cur[0]),
+            jnp.where(win, oklo, cur[1]),
+            jnp.where(win, ocv, cur[2]),
+        )
+        tbl = PackedTable(
+            *(f.at[rows, slot].set(v) for f, v in zip(tbl, new_vals))
+        )
+        return (tbl, applied + jnp.sum(win.astype(jnp.int32))), None
+
+    cols = tuple(jnp.moveaxis(f, 1, 0) for f in ops)
+    (table, applied), _ = jax.lax.scan(body, (table, jnp.int32(0)), cols)
+    return table, applied
+
+
+@jax.jit
+def _flat_winners(table, peer, slot, khi, klo, cv):
+    """Read-only pass: gather current entries, decide winners, emit the [K]
+    update values (loser slots re-emit their current value)."""
+    cur = tuple(f[peer, slot] for f in table)
+    win = _lex_gt_packed(
+        packed_keys(khi, klo, cv), packed_keys(*cur)
+    ) & ((cv >> CV_SHIFT) > 0)
+    return (
+        jnp.where(win, khi, cur[0]),
+        jnp.where(win, klo, cur[1]),
+        jnp.where(win, cv, cur[2]),
+        jnp.sum(win.astype(jnp.int32)),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_one(arr, peer, slot, values):
+    """Scatter into ONE donated array without an array-sized temp.
+
+    XLA:TPU scatter always materializes a copy of its operand (measured:
+    temp == operand even with donated, sorted, unique indices) — a 4 GB
+    temp per array at the north-star shape, which does not fit. Instead,
+    loop over peer-row blocks: slice a block (bounded copy), scatter the
+    ops that fall in it (out-of-block rows drop via mode="drop"), and
+    dynamic_update_slice it back — the fori carry updates in place.
+    """
+    p, n = arr.shape
+    # block temp ≈ 2 × pb × n × 4 B (slice + its scatter copy); cap ~0.5 GB
+    pb = max(8, min(p, (1 << 25) // max(n, 1)))
+    while p % pb:
+        pb -= 1
+    if pb == p:
+        return arr.at[peer, slot].set(
+            values, unique_indices=True, indices_are_sorted=True
+        )
+
+    def body(b, a):
+        block = jax.lax.dynamic_slice(a, (b * pb, 0), (pb, n))
+        rel = peer - b * pb  # rows outside [0, pb) are dropped
+        block = block.at[rel, slot].set(
+            values, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        return jax.lax.dynamic_update_slice(a, block, (b * pb, 0))
+
+    return jax.lax.fori_loop(0, p // pb, body, arr)
+
+
+def _flat_scatter(table, peer, slot, new_khi, new_klo, new_cv):
+    return PackedTable(
+        *(
+            _scatter_one(f, peer, slot, v)
+            for f, v in zip(table, (new_khi, new_klo, new_cv))
+        )
+    )
+
+
+def apply_flat_packed(
+    table: PackedTable,
+    peer: jax.Array,
+    slot: jax.Array,
+    khi: jax.Array,
+    klo: jax.Array,
+    cv: jax.Array,
+) -> Tuple[PackedTable, jax.Array]:
+    """One-shot flat apply: K ops with UNIQUE (peer, slot) pairs (the caller
+    pre-reduces duplicates to their lattice winner — order-free, so the
+    outcome matches sequential application). Gather+compare and scatter run
+    as two programs: fusing them forces XLA to copy the table (the scatter
+    output aliases a buffer the gather still reads), and at the north-star
+    shape that copy alone exceeds HBM. The table buffer is DONATED."""
+    new_khi, new_klo, new_cv, applied = _flat_winners(
+        table, peer, slot, khi, klo, cv
+    )
+    table = _flat_scatter(table, peer, slot, new_khi, new_klo, new_cv)
+    return table, applied
+
+
+def reduce_flat_ops(peer, slot, cls, khi, klo, vid):
+    """Host-side lattice pre-reduction: keep the (cls, khi, klo, vid)-max op
+    per (peer, slot). numpy lexsort (last key is primary) groups by peer,
+    slot and orders ascending by the value keys — the last row of each group
+    is the winner."""
+    import numpy as np
+
+    keep = cls > 0
+    peer, slot, cls, khi, klo, vid = (
+        a[keep] for a in (peer, slot, cls, khi, klo, vid)
+    )
+    if peer.size == 0:
+        return None
+    order = np.lexsort((vid, klo, khi, cls, slot, peer))
+    p_s, s_s = peer[order], slot[order]
+    last = np.ones(order.size, dtype=bool)
+    last[:-1] = (p_s[1:] != p_s[:-1]) | (s_s[1:] != s_s[:-1])
+    idx = order[last]
+    cv = ((cls[idx].astype(np.int64) << CV_SHIFT) | vid[idx]).astype(np.int32)
+    return peer[idx], slot[idx], khi[idx], klo[idx], cv
+
+
+# ------------------------------------------------------------ gossip (XLA)
+
+
+def _mask_rows(table: PackedTable, valid: jax.Array) -> PackedTable:
+    valid = valid[:, None]
+    return PackedTable(*(jnp.where(valid, f, jnp.zeros_like(f)) for f in table))
+
+
+def gossip_round_ring_packed(table: PackedTable) -> Tuple[PackedTable, jax.Array]:
+    roll = lambda s: PackedTable(*(jnp.roll(f, s, axis=0) for f in table))
+    m1, c1 = merge_packed_xla(table, roll(1))
+    m2, c2 = merge_packed_xla(m1, roll(-1))
+    return m2, c1 + c2
+
+
+def gossip_round_chain_packed(table: PackedTable) -> Tuple[PackedTable, jax.Array]:
+    num_peers = table.khi.shape[0]
+    rows = jnp.arange(num_peers)
+    roll = lambda s: PackedTable(*(jnp.roll(f, s, axis=0) for f in table))
+    m1, c1 = merge_packed_xla(table, _mask_rows(roll(1), rows >= 1))
+    m2, c2 = merge_packed_xla(m1, _mask_rows(roll(-1), rows < num_peers - 1))
+    return m2, c1 + c2
+
+
+def gossip_round_mesh_packed(table: PackedTable) -> Tuple[PackedTable, jax.Array]:
+    num_peers = table.khi.shape[0]
+    steps = max(1, (num_peers - 1).bit_length())
+
+    def body(k, carry):
+        tbl, total = carry
+        shift = jnp.left_shift(jnp.int32(1), k)
+        rolled = PackedTable(*(jnp.roll(f, shift, axis=0) for f in tbl))
+        tbl, c = merge_packed_xla(tbl, rolled)
+        return tbl, total + c
+
+    return jax.lax.fori_loop(0, steps, body, (table, jnp.int32(0)))
+
+
+def gossip_round_generic_packed(
+    table: PackedTable, neighbors: jax.Array
+) -> Tuple[PackedTable, jax.Array]:
+    def body(k, carry):
+        tbl, total = carry
+        idx = jax.lax.dynamic_index_in_dim(neighbors, k, axis=1, keepdims=False)
+        valid = idx >= 0
+        safe = jnp.where(valid, idx, 0)
+        gathered = _mask_rows(PackedTable(*(f[safe] for f in tbl)), valid)
+        tbl, c = merge_packed_xla(tbl, gathered)
+        return tbl, total + c
+
+    return jax.lax.fori_loop(
+        0, neighbors.shape[1], body, (table, jnp.int32(0))
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def _gossip_round_packed_jit(table, neighbors, kind: str):
+    if kind == "ring":
+        return gossip_round_ring_packed(table)
+    if kind == "chain":
+        return gossip_round_chain_packed(table)
+    if kind == "mesh":
+        return gossip_round_mesh_packed(table)
+    return gossip_round_generic_packed(table, neighbors)
+
+
+# --------------------------------------------------------------- pallas
+
+
+def _fullp_round_kernel_packed(wrap: bool, num_peers: int, *refs):
+    """Fused in-place ring/chain round on the 3-array layout: the block spans
+    all P rows of one slot stripe, so rolls wrap inside the block; inputs and
+    outputs alias the same HBM buffers (each stripe is read before written
+    and stripes are independent)."""
+    import jax.experimental.pallas as pl
+
+    c_refs, out_refs, count_ref = refs[:3], refs[3:6], refs[6]
+    center = [r[...] for r in c_refs]
+    row = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
+
+    def shifted(direction: int):
+        out = []
+        for f in range(3):
+            rolled = jnp.roll(center[f], direction, axis=0)
+            if not wrap:
+                edge = row == (0 if direction == +1 else num_peers - 1)
+                rolled = jnp.where(edge, 0, rolled)
+            out.append(rolled)
+        return out
+
+    def lexmax(a_vals, b_vals):
+        gt = _lex_gt_packed(packed_keys(*b_vals), packed_keys(*a_vals))
+        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+
+    m1, gt1 = lexmax(center, shifted(+1))
+    m2, gt2 = lexmax(m1, shifted(-1))
+    for out, v in zip(out_refs, m2):
+        out[...] = v
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        count_ref[0, 0] = 0
+
+    count_ref[0, 0] += jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(
+        gt2.astype(jnp.int32)
+    )
+
+
+# 6 stripe buffers (3 in + 3 out) double-buffered must fit VMEM comfortably:
+# cap a stripe at 2^17 int32 (512 KB) → 6 MB total
+_STRIPE_MAX_ELEMS = 1 << 17
+
+
+def _stripe_tile_n(p: int, n: int) -> int:
+    t = min(max(128, _STRIPE_MAX_ELEMS // p), n)
+    while t > 128 and n % t:
+        t -= 128
+    return t if n % t == 0 else n
+
+
+def packed_ring_supported(p: int, n: int) -> bool:
+    tile_n = _stripe_tile_n(p, n)
+    return p * tile_n <= _STRIPE_MAX_ELEMS * 2 and n % tile_n == 0 and n % 128 == 0
+
+
+def ring_round_packed_traced(
+    table: PackedTable, wrap: bool, interpret: bool
+) -> Tuple[PackedTable, jax.Array]:
+    """The raw pallas round, traceable inside any jit/loop. The pallas call
+    aliases inputs to outputs — inside a donated while/fori carry the round
+    runs fully in place (no inner-jit donation, which an outer trace would
+    ignore and which blocks carry aliasing)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, n = table.khi.shape
+    tile_n = _stripe_tile_n(p, n)
+    grid = (n // tile_n,)
+    data_spec = pl.BlockSpec((p, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM)
+    count_spec = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)
+    ) + (jax.ShapeDtypeStruct((1, 1), jnp.int32),)
+    outs = pl.pallas_call(
+        functools.partial(_fullp_round_kernel_packed, wrap, p),
+        grid=grid,
+        in_specs=[data_spec] * 3,
+        out_specs=tuple([data_spec] * 3) + (count_spec,),
+        out_shape=out_shapes,
+        input_output_aliases={0: 0, 1: 1, 2: 2},
+        interpret=interpret,
+    )(*table)
+    return PackedTable(*outs[:3]), outs[3][0, 0]
+
+
+def ring_round_packed_pallas(
+    table: PackedTable, wrap: bool = True, interpret: bool | None = None
+) -> Tuple[PackedTable, jax.Array]:
+    """One fused ring/chain round, 24 B/entry of HBM traffic (12 read +
+    12 written in place). Check ``packed_ring_supported`` first."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _ring_round_packed_jit(table, wrap, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("wrap", "interpret"))
+def _ring_round_packed_jit(
+    table: PackedTable, wrap: bool, interpret: bool
+) -> Tuple[PackedTable, jax.Array]:
+    # NOT donated: standalone callers (e.g. converged() probing a scratch
+    # round) keep their table; loops that need in-place rounds trace
+    # ring_round_packed_traced inside their own donated carry instead
+    return ring_round_packed_traced(table, wrap, interpret)
+
+
+# ----------------------------------------------------------- convergence
+
+
+def gossip_round_packed(
+    table: PackedTable,
+    topology,
+    use_pallas: bool | None = None,
+) -> Tuple[PackedTable, jax.Array]:
+    """One packed round for any topology (Pallas fused ring/chain on TPU)."""
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and topology.kind in ("ring", "chain")
+            and packed_ring_supported(*table.khi.shape)
+        )
+    if use_pallas and topology.kind in ("ring", "chain"):
+        return ring_round_packed_pallas(table, wrap=topology.kind == "ring")
+    return _gossip_round_packed_jit(
+        table, jnp.asarray(topology.neighbors), topology.kind
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "max_rounds", "use_pallas"),
+    donate_argnums=(0,),
+)
+def gossip_until_converged_packed(
+    table: PackedTable,
+    neighbors: jax.Array,
+    kind: str,
+    max_rounds: int,
+    use_pallas: bool = False,
+) -> Tuple[PackedTable, jax.Array]:
+    """Packed convergence loop: compiled while_loop, donated carry — the
+    north-star shape runs with a single table-sized HBM allocation."""
+
+    def round_fn(tbl):
+        if use_pallas and kind in ("ring", "chain"):
+            p, n = tbl.khi.shape
+            if packed_ring_supported(p, n):
+                return ring_round_packed_traced(
+                    tbl, kind == "ring", jax.default_backend() != "tpu"
+                )
+        return _gossip_round_packed_jit(tbl, neighbors, kind)
+
+    def cond(state):
+        _, rounds, last_changed = state
+        return (rounds < max_rounds) & (last_changed > 0)
+
+    def body(state):
+        tbl, rounds, _ = state
+        tbl, changed = round_fn(tbl)
+        return tbl, rounds + 1, changed
+
+    table, rounds, _ = jax.lax.while_loop(
+        cond, body, (table, jnp.int32(0), jnp.int32(1))
+    )
+    return table, rounds

@@ -159,3 +159,45 @@ def test_scalar_put_over_network(pair):
     p1, p2 = pair
     p1.get("nums/x").put(7)
     assert wait_for(lambda: p2.store.get("nums", {}).get("x") == 7)
+
+
+def test_sync_watermark_covers_writes_during_collection():
+    """Anti-entropy watermark: a write landing on the responder WHILE it is
+    collecting/sending a sync must be picked up by the NEXT sync. The
+    reference stamps the requester's finish time as `since`
+    (bullet-network-sync.js:402), which permanently skips such writes
+    (divergence fixed like Q1): the responder now sends its collection-start
+    time and the requester uses it as the watermark."""
+    # auto-sync disabled: the race window must be driven manually
+    p1 = make_peer(connect_sync_delay=1000)
+    p2 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"],
+                   connect_sync_delay=1000)
+    assert wait_for(lambda: p1.network.peers and p2.network.peers, 10)
+    sync1 = p1.network.sync
+
+    orig_collect = sync1._collect_sync_data
+
+    def racing_collect(since, partial, paths):
+        entries = orig_collect(since, partial, paths)
+        # a write lands after collection but before sync-complete: the
+        # transfer misses it, the watermark must not
+        p1.set_data("raced/key", "late-write", broadcast=False)
+        return entries
+
+    sync1._collect_sync_data = racing_collect
+    p2.network.request_sync()
+    assert wait_for(
+        lambda: p2.network.sync._peer_state(p1.id)["status"] == "complete"
+    )
+    sync1._collect_sync_data = orig_collect
+    assert p2.store.get("raced") is None  # indeed missed by the first sync
+
+    time.sleep(0.01)  # the raced write must be strictly inside the window
+    p2.network.request_sync()
+    try:
+        assert wait_for(
+            lambda: p2.store.get("raced", {}).get("key") == "late-write"
+        ), "incremental sync skipped the write raced against collection"
+    finally:
+        p1.close()
+        p2.close()

@@ -1,0 +1,202 @@
+"""Packed 12 B/entry layout (ops/packed.py): bit-identity with dense
+reference mode, the fused in-place Pallas round, and sim integration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bullet_tpu.models.netsim import PeerNetworkSim
+from bullet_tpu.ops.merge import TableState, merge_tables_xla
+from bullet_tpu.ops.packed import (
+    CV_SHIFT,
+    VID_MASK,
+    PackedTable,
+    apply_ops_packed,
+    gossip_round_chain_packed,
+    gossip_round_generic_packed,
+    gossip_round_mesh_packed,
+    gossip_round_ring_packed,
+    merge_packed_xla,
+    pack_table,
+    ring_round_packed_pallas,
+    unpack_table,
+)
+from bullet_tpu.parallel import topology as topo
+from bullet_tpu.parallel.gossip import (
+    gossip_round_chain,
+    gossip_round_generic,
+    gossip_round_mesh,
+    gossip_round_ring,
+)
+
+
+def random_dense(p, n, seed=0):
+    """Sim-realistic dense table: absent entries all-zero, metadata zeroed
+    (packed mode drops it, so value-state comparisons need it zero)."""
+    rng = np.random.default_rng(seed)
+
+    def arr(lo, hi):
+        return jnp.asarray(rng.integers(lo, hi, (p, n), dtype=np.int32))
+
+    cls = arr(0, 4)
+    present = cls > 0
+    z = jnp.zeros((p, n), dtype=jnp.int32)
+    m = lambda a: jnp.where(present, a, z)
+    return TableState(cls, m(arr(-50, 50)), m(arr(-50, 50)), m(arr(0, 30)), z, z, z)
+
+
+def value_state(t: TableState):
+    return [np.asarray(f) for f in (t.cls, t.khi, t.klo, t.vid)]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_merge_packed_matches_dense(seed):
+    a, b = random_dense(16, 256, seed), random_dense(16, 256, seed + 100)
+    dm, dc = merge_tables_xla(a, b, "reference")
+    pm, pc = merge_packed_xla(pack_table(a), pack_table(b))
+    for x, y in zip(value_state(dm), value_state(unpack_table(pm))):
+        np.testing.assert_array_equal(x, y)
+    assert int(dc) == int(pc)
+
+
+@pytest.mark.parametrize("maker_pair", [
+    (gossip_round_ring, gossip_round_ring_packed),
+    (gossip_round_chain, gossip_round_chain_packed),
+    (gossip_round_mesh, gossip_round_mesh_packed),
+])
+def test_rounds_match_dense(maker_pair):
+    dense_fn, packed_fn = maker_pair
+    t = random_dense(16, 256, seed=3)
+    dm, dc = dense_fn(t, "reference")
+    pm, pc = packed_fn(pack_table(t))
+    for x, y in zip(value_state(dm), value_state(unpack_table(pm))):
+        np.testing.assert_array_equal(x, y)
+    assert int(dc) == int(pc)
+
+
+def test_generic_round_matches_dense():
+    t = random_dense(11, 256, seed=4)
+    nb = jnp.asarray(topo.bridge((5, 5), 1).neighbors)
+    dm, dc = gossip_round_generic(t, nb, "reference")
+    pm, pc = gossip_round_generic_packed(pack_table(t), nb)
+    for x, y in zip(value_state(dm), value_state(unpack_table(pm))):
+        np.testing.assert_array_equal(x, y)
+    assert int(dc) == int(pc)
+
+
+@pytest.mark.parametrize("wrap", [True, False])
+def test_pallas_round_matches_xla(wrap):
+    """Interpret-mode bit-identity of the fused in-place stripe kernel."""
+    t = pack_table(random_dense(16, 256, seed=5))
+    ref_fn = gossip_round_ring_packed if wrap else gossip_round_chain_packed
+    expected, c_ref = ref_fn(t)
+    got, c_got = ring_round_packed_pallas(t, wrap=wrap, interpret=True)
+    for a, b in zip(expected, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(c_ref) == int(c_got)
+
+
+def test_apply_matches_dense_values():
+    """Value state after packed apply == dense apply (metadata aside).
+    Note packed 'applied' may be lower: dense counts metadata-only wins."""
+    from bullet_tpu.ops.apply import OpBatch, apply_ops
+    from bullet_tpu.ops.merge import init_table
+    from bullet_tpu.ops.packed import init_packed
+
+    rng = np.random.default_rng(6)
+    p, n, b = 8, 64, 5
+    ops = OpBatch(
+        slot=jnp.asarray(rng.integers(0, n, (p, b), dtype=np.int32)),
+        cls=jnp.asarray(rng.integers(0, 4, (p, b), dtype=np.int32)),
+        khi=jnp.asarray(rng.integers(-50, 50, (p, b), dtype=np.int32)),
+        klo=jnp.asarray(rng.integers(-50, 50, (p, b), dtype=np.int32)),
+        vid=jnp.asarray(rng.integers(0, 30, (p, b), dtype=np.int32)),
+        ctr=jnp.asarray(rng.integers(1, 9, (p, b), dtype=np.int32)),
+    )
+    dense, _ = apply_ops(init_table(p, n), ops, jnp.int32(1), mode="reference")
+    packed, _ = apply_ops_packed(init_packed(p, n), ops, jnp.int32(1))
+    for x, y in zip(value_state(dense), value_state(unpack_table(packed))):
+        np.testing.assert_array_equal(x, y)
+
+
+# ------------------------------------------------------------- sim e2e
+
+
+@pytest.mark.parametrize("topology", ["ring", "chain", "mesh", "star", "bridge"])
+def test_sim_packed_matches_dense(topology):
+    def run(layout):
+        sim = PeerNetworkSim(11, capacity=64, topology=topology, layout=layout)
+        rng = np.random.default_rng(8)
+        for _ in range(60):
+            sim.put(int(rng.integers(11)), f"g/k{int(rng.integers(8))}",
+                    float(rng.integers(100)))
+        sim.put(0, "g/name", "zeta")
+        sim.put(5, "g/name", "alpha")
+        sim.run_until_converged()
+        assert sim.tables_equal()
+        return sim.get(3, "g")
+
+    assert run("packed") == run("dense")
+
+
+def test_sim_packed_strings_rekey_and_queries():
+    """String interning triggers rank rebalances; packed re-keying must track
+    them, and queries must work off the packed rows."""
+    sim = PeerNetworkSim(4, capacity=64, topology="ring", layout="packed")
+    names = [f"u{i:02d}" for i in range(20)]
+    for i, nm in enumerate(names):
+        sim.put(i % 4, f"users/m{i}/name", nm)
+        sim.put(i % 4, f"users/m{i}/age", float(20 + i))
+    sim.run_until_converged()
+    assert sim.tables_equal()
+    assert sim.equals(0, "users", "name", "u07") == ["users/m7"]
+    assert sim.range(2, "users", "age", 25, 27) == [
+        "users/m5", "users/m6", "users/m7"
+    ]
+    assert sim.count(1, "users", "name", "u03") == 1
+
+
+def test_sim_packed_capacity_growth():
+    sim = PeerNetworkSim(4, capacity=8, topology="ring", layout="packed")
+    for i in range(40):
+        sim.put(i % 4, f"deep/k{i}", i)
+    sim.run_until_converged()
+    assert sim.capacity >= 40
+    assert sim.get(3, "deep/k39") == 39
+
+
+def test_sim_packed_checkpoint_roundtrip(tmp_path):
+    sim = PeerNetworkSim(4, capacity=64, topology="ring", layout="packed")
+    sim.put(0, "a/b", 5)
+    sim.put(2, "a/s", "str")
+    sim.run_until_converged()
+    sim.save_checkpoint(str(tmp_path / "ck"))
+    loaded = PeerNetworkSim.load_checkpoint(str(tmp_path / "ck"))
+    assert loaded.layout == "packed"
+    assert loaded.get(1, "a") == sim.get(1, "a")
+    loaded.put(3, "a/b", 50)
+    loaded.run_until_converged()
+    assert loaded.get(0, "a/b") == 50
+
+
+def test_sim_packed_validation_ingress():
+    """Device validation veto composes with the packed layout (masks run on
+    the OpBatch before packing)."""
+    sim = PeerNetworkSim(4, capacity=64, topology="ring", layout="packed")
+    sim.define_schema("m", {"properties": {"v": {"type": "number", "min": 0}}})
+    sim.apply_schema("items", "m")
+    sim.put_bulk(np.array([0, 1], dtype=np.int32),
+                 ["items/a/v", "items/b/v"], np.array([5.0, -5.0]))
+    sim.run_until_converged()
+    assert sim.stats["ops_rejected"] == 1
+    assert sim.get(2, "items/a/v") == 5.0
+    assert sim.get(2, "items/b/v") is None
+
+
+def test_packed_rejects_lww_and_mesh():
+    with pytest.raises(ValueError):
+        PeerNetworkSim(4, layout="packed", mode="lww")
+    with pytest.raises(ValueError):
+        PeerNetworkSim(8, layout="packed", mesh_devices=8)
