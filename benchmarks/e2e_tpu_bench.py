@@ -59,9 +59,9 @@ def main() -> None:
     out["lean"] = lean
 
     t0 = time.time()
-    slots = np.asarray([sim.intern_path(f"g/k{i}") for i in range(keys)],
-                       dtype=np.int32)
+    slots = sim.host.intern_batch([f"g/k{i}" for i in range(keys)])
     out["intern_s"] = round(time.time() - t0, 3)
+    out["intern_paths_per_s"] = round(keys / max(time.time() - t0, 1e-9))
     print("# interned", flush=True)
 
     rng = np.random.default_rng(0)

@@ -257,13 +257,8 @@ class PeerNetworkSim:
         if isinstance(paths, np.ndarray) and paths.dtype.kind == "i":
             slots = paths.astype(np.int32)
         else:
-            memo: Dict[str, int] = {}
-            slots = np.empty(k, dtype=np.int32)
-            for i, p in enumerate(paths):
-                s = memo.get(p)
-                if s is None:
-                    s = memo[p] = self.host.intern_path(p)
-                slots[i] = s
+            # bulk path interning: one native C call when available
+            slots = self.host.intern_batch(paths)
 
         try:
             values_arr = np.asarray(values)

@@ -31,13 +31,23 @@ def flatten_value(path: str, value: Any) -> Iterator[Tuple[str, Any]]:
 
 
 class GraphHost:
-    """Shared host-side structure for a simulation."""
+    """Shared host-side structure for a simulation.
+
+    The path interner is the native C++ one when the toolchain is available
+    (bulk ingestion of novel paths runs in one C call; see
+    native/pathintern.cpp) with the pure-Python PathInterner as fallback —
+    ids, segment ids, and tree structure are bit-identical either way.
+    """
 
     def __init__(self, capacity: int = 1024) -> None:
-        self.paths = PathInterner()
+        from ..native import make_path_interner
+
+        self.paths = make_path_interner()
+        self._native_paths = not isinstance(self.paths, PathInterner)
         self.values = ValueInterner()
         self.capacity = capacity
-        # per-slot structure (numpy, device-mirrored on demand)
+        # per-slot structure (numpy, device-mirrored on demand); in native
+        # mode these export in bulk from C++ instead of growing in place
         self._parent = np.full(capacity, -1, dtype=np.int32)
         self._parent2 = np.full(capacity, -1, dtype=np.int32)
         self._seg = np.full(capacity, -1, dtype=np.int32)
@@ -50,6 +60,8 @@ class GraphHost:
     # ------------------------------------------------------------- interning
 
     def _seg_id(self, seg: str) -> int:
+        if self._native_paths:
+            return self.paths.seg_id(seg)
         sid = self._seg_ids.get(seg)
         if sid is None:
             sid = len(self._seg_ids)
@@ -61,15 +73,36 @@ class GraphHost:
         pid = self.paths.intern(path)
         if len(self.paths) != before:
             self._grow_to(len(self.paths))
-            for new_pid in range(before, len(self.paths)):
-                parent = self.paths.parent(new_pid)
-                self._parent[new_pid] = parent
-                self._parent2[new_pid] = (
-                    self.paths.parent(parent) if parent >= 0 else -1
-                )
-                self._seg[new_pid] = self._seg_id(self.paths.segment(new_pid))
+            if not self._native_paths:
+                for new_pid in range(before, len(self.paths)):
+                    parent = self.paths.parent(new_pid)
+                    self._parent[new_pid] = parent
+                    self._parent2[new_pid] = (
+                        self.paths.parent(parent) if parent >= 0 else -1
+                    )
+                    self._seg[new_pid] = self._seg_id(self.paths.segment(new_pid))
             self._struct_dirty = True
         return pid
+
+    def intern_batch(self, paths) -> np.ndarray:
+        """Vectorized path interning: int32 slot ids for a list of paths.
+        Native mode does the whole batch in one C call (~10M paths/s);
+        the fallback loops with a memo."""
+        if self._native_paths:
+            before = len(self.paths)
+            slots = self.paths.intern_batch(paths)
+            if len(self.paths) != before:
+                self._grow_to(len(self.paths))
+                self._struct_dirty = True
+            return slots
+        memo: Dict[str, int] = {}
+        slots = np.empty(len(paths), dtype=np.int32)
+        for i, p in enumerate(paths):
+            s = memo.get(p)
+            if s is None:
+                s = memo[p] = self.intern_path(p)
+            slots[i] = s
+        return slots
 
     def _grow_to(self, needed: int) -> None:
         if needed <= self.capacity:
@@ -77,11 +110,12 @@ class GraphHost:
         new_cap = self.capacity
         while new_cap < needed:
             new_cap *= 2
-        for name in ("_parent", "_parent2", "_seg"):
-            old = getattr(self, name)
-            grown = np.full(new_cap, -1, dtype=np.int32)
-            grown[: old.shape[0]] = old
-            setattr(self, name, grown)
+        if not self._native_paths:
+            for name in ("_parent", "_parent2", "_seg"):
+                old = getattr(self, name)
+                grown = np.full(new_cap, -1, dtype=np.int32)
+                grown[: old.shape[0]] = old
+                setattr(self, name, grown)
         self.capacity = new_cap
         self._struct_dirty = True
 
@@ -98,6 +132,12 @@ class GraphHost:
         import jax.numpy as jnp
 
         if self._struct_dirty or self._struct_cache is None:
+            if self._native_paths:
+                parent, seg = self.paths.export_struct(self.capacity)
+                parent2 = np.full(self.capacity, -1, dtype=np.int32)
+                has_parent = parent >= 0
+                parent2[has_parent] = parent[parent[has_parent]]
+                self._parent, self._parent2, self._seg = parent, parent2, seg
             self._struct_cache = PathStruct(
                 jnp.asarray(self._parent),
                 jnp.asarray(self._parent2),
@@ -107,6 +147,8 @@ class GraphHost:
         return self._struct_cache
 
     def seg_lookup(self, seg: str) -> int:
+        if self._native_paths:
+            return self.paths.seg_lookup(seg)
         return self._seg_ids.get(seg, -1)
 
     def key_tables(self):

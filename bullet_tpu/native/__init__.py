@@ -15,7 +15,10 @@ import threading
 from typing import Optional
 
 _HERE = os.path.dirname(__file__)
-_SRC = os.path.join(_HERE, "strindex.cpp")
+_SRCS = [
+    os.path.join(_HERE, "strindex.cpp"),
+    os.path.join(_HERE, "pathintern.cpp"),
+]
 _LIB = os.path.join(_HERE, "libbulletnative.so")
 
 _lock = threading.Lock()
@@ -26,7 +29,7 @@ _load_failed = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++20", *_SRCS, "-o", _LIB],
             check=True,
             capture_output=True,
             timeout=120,
@@ -47,9 +50,9 @@ def load() -> Optional[ctypes.CDLL]:
         if os.environ.get("BULLET_NO_NATIVE"):
             _load_failed = True
             return None
-        needs_build = not os.path.exists(_LIB) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+        needs_build = not os.path.exists(_LIB) or any(
+            os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB)
+            for src in _SRCS
         )
         if needs_build and not _build():
             _load_failed = True
@@ -95,6 +98,35 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
         ]
         lib.nvi_intern_batch.restype = ctypes.c_int64
+        c_vp, c_cp = ctypes.c_void_p, ctypes.c_char_p
+        c_i32, c_i64, c_u64 = ctypes.c_int32, ctypes.c_int64, ctypes.c_uint64
+        lib.pin_new.restype = c_vp
+        lib.pin_free.argtypes = [c_vp]
+        lib.pin_size.argtypes = [c_vp]
+        lib.pin_size.restype = c_u64
+        lib.pin_seg_count.argtypes = [c_vp]
+        lib.pin_seg_count.restype = c_u64
+        lib.pin_intern_one.argtypes = [c_vp, c_cp, c_i64]
+        lib.pin_intern_one.restype = c_i32
+        lib.pin_intern_batch.argtypes = [c_vp, c_cp, c_vp, c_vp, c_i64, c_vp]
+        lib.pin_lookup.argtypes = [c_vp, c_cp, c_i64]
+        lib.pin_lookup.restype = c_i32
+        lib.pin_parent.argtypes = [c_vp, c_i32]
+        lib.pin_parent.restype = c_i32
+        lib.pin_export.argtypes = [c_vp, c_i64, c_i64, c_vp, c_vp]
+        lib.pin_paths_blob_len.argtypes = [c_vp, c_i64, c_i64]
+        lib.pin_paths_blob_len.restype = c_i64
+        lib.pin_paths_blob.argtypes = [c_vp, c_i64, c_i64, c_vp, c_vp]
+        lib.pin_segs_blob_len.argtypes = [c_vp, c_i64, c_i64]
+        lib.pin_segs_blob_len.restype = c_i64
+        lib.pin_segs_blob.argtypes = [c_vp, c_i64, c_i64, c_vp, c_vp]
+        lib.pin_children_count.argtypes = [c_vp, c_i32]
+        lib.pin_children_count.restype = c_i64
+        lib.pin_children_get.argtypes = [c_vp, c_i32, c_vp]
+        lib.pin_seg_id.argtypes = [c_vp, c_cp, c_i64]
+        lib.pin_seg_id.restype = c_i32
+        lib.pin_seg_lookup.argtypes = [c_vp, c_cp, c_i64]
+        lib.pin_seg_lookup.restype = c_i32
         _lib = lib
         return _lib
 
@@ -215,6 +247,185 @@ class PyNumberInterner:
                 new_idx.append(i)
             vids[i] = vid
         return vids, np.asarray(new_idx, dtype=np.int64)
+
+
+class NativePathInterner:
+    """C++-backed path interner with the ``utils.paths.PathInterner`` API
+    plus ``intern_batch`` — id/segment-id assignment, normalization, and
+    children order are bit-identical to the Python implementation (fuzz-
+    tested). Path/segment strings memoize lazily on the Python side; the
+    string store stays in C++."""
+
+    def __init__(self, lib: ctypes.CDLL) -> None:
+        self._lib = lib
+        self._handle = ctypes.c_void_p(lib.pin_new())
+        self._paths: list = []  # lazy string caches, densified on demand
+        self._segs: list = []
+
+    def __del__(self):  # pragma: no cover - interpreter shutdown ordering
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.pin_free(self._handle)
+                self._handle = None
+        except Exception:  # noqa: BLE001
+            pass
+
+    def __len__(self) -> int:
+        return int(self._lib.pin_size(self._handle))
+
+    def __contains__(self, path: str) -> bool:
+        return self.lookup(path) is not None
+
+    def intern(self, path: str) -> int:
+        raw = path.encode("utf-8")
+        return int(self._lib.pin_intern_one(self._handle, raw, len(raw)))
+
+    def intern_batch(self, paths):
+        """Bulk intern: one C call for K paths; returns int32 slot ids [K].
+
+        Fast prep path: one NUL-joined encode + numpy offset scan (a NUL
+        byte never occurs inside multi-byte UTF-8, so separator counting
+        detects the rare path that embeds one and falls back to per-path
+        encoding)."""
+        import numpy as np
+
+        k = len(paths)
+        if k == 0:
+            return np.empty(0, dtype=np.int32)
+        buf = "\x00".join(paths).encode("utf-8")
+        seps = np.flatnonzero(np.frombuffer(buf, dtype=np.uint8) == 0)
+        if len(seps) != k - 1:  # some path embeds NUL: slow, exact prep
+            encoded = [p.encode("utf-8") for p in paths]
+            lens = np.asarray([len(e) for e in encoded], dtype=np.int64)
+            starts = np.zeros(k, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            buf = b"".join(encoded)
+        else:
+            starts = np.empty(k, dtype=np.int64)
+            starts[0] = 0
+            starts[1:] = seps + 1
+            ends = np.empty(k, dtype=np.int64)
+            ends[:-1] = seps
+            ends[-1] = len(buf)
+            lens = ends - starts
+        slots = np.empty(k, dtype=np.int32)
+        self._lib.pin_intern_batch(
+            self._handle,
+            buf,
+            starts.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            k,
+            slots.ctypes.data_as(ctypes.c_void_p),
+        )
+        return slots
+
+    def lookup(self, path: str) -> Optional[int]:
+        raw = path.encode("utf-8")
+        pid = self._lib.pin_lookup(self._handle, raw, len(raw))
+        return None if pid < 0 else int(pid)
+
+    def _fill_strings(self, upto: int) -> None:
+        import numpy as np
+
+        for cache, blob_len, blob in (
+            (self._paths, self._lib.pin_paths_blob_len, self._lib.pin_paths_blob),
+            (self._segs, self._lib.pin_segs_blob_len, self._lib.pin_segs_blob),
+        ):
+            start = len(cache)
+            if upto <= start:
+                continue
+            total = blob_len(self._handle, start, upto)
+            buf = ctypes.create_string_buffer(max(int(total), 1))
+            lens = np.empty(upto - start, dtype=np.int64)
+            blob(self._handle, start, upto, buf,
+                 lens.ctypes.data_as(ctypes.c_void_p))
+            pos = 0
+            raw = buf.raw
+            for ln in lens.tolist():
+                cache.append(raw[pos : pos + ln].decode("utf-8"))
+                pos += ln
+
+    def path(self, pid: int) -> str:
+        if pid >= len(self._paths):
+            self._fill_strings(len(self))
+        return self._paths[pid]
+
+    def segment(self, pid: int) -> str:
+        if pid >= len(self._segs):
+            self._fill_strings(len(self))
+        return self._segs[pid]
+
+    def parent(self, pid: int) -> int:
+        return int(self._lib.pin_parent(self._handle, pid))
+
+    def children(self, pid: int):
+        import numpy as np
+
+        n = int(self._lib.pin_children_count(self._handle, pid))
+        if n == 0:
+            return []
+        out = np.empty(n, dtype=np.int32)
+        self._lib.pin_children_get(
+            self._handle, pid, out.ctypes.data_as(ctypes.c_void_p)
+        )
+        return out.tolist()
+
+    def child(self, pid: int, seg: str) -> Optional[int]:
+        base = self.path(pid) if pid >= 0 else ""
+        return self.lookup(f"{base}/{seg}" if base else seg)
+
+    def descendants(self, pid: int):
+        stack = self.children(pid)
+        while stack:
+            cur = stack.pop()
+            yield cur
+            stack.extend(self.children(cur))
+
+    def top_level(self):
+        parent, _seg = self.export_struct(len(self))
+        import numpy as np
+
+        return [int(i) for i in np.nonzero(parent == -1)[0]]
+
+    def items(self):
+        n = len(self)
+        self._fill_strings(n)
+        return iter((p, i) for i, p in enumerate(self._paths[:n]))
+
+    def export_struct(self, size: Optional[int] = None):
+        """(parent, seg_id) int32 arrays for ids [0, n), padded with -1 up to
+        ``size`` — feeds the device PathStruct without a Python loop."""
+        import numpy as np
+
+        n = len(self)
+        size = max(size or n, n)
+        parent = np.full(size, -1, dtype=np.int32)
+        seg = np.full(size, -1, dtype=np.int32)
+        if n:
+            self._lib.pin_export(
+                self._handle, 0, n,
+                parent.ctypes.data_as(ctypes.c_void_p),
+                seg.ctypes.data_as(ctypes.c_void_p),
+            )
+        return parent, seg
+
+    def seg_id(self, seg: str) -> int:
+        raw = seg.encode("utf-8")
+        return int(self._lib.pin_seg_id(self._handle, raw, len(raw)))
+
+    def seg_lookup(self, seg: str) -> int:
+        raw = seg.encode("utf-8")
+        return int(self._lib.pin_seg_lookup(self._handle, raw, len(raw)))
+
+
+def make_path_interner():
+    """Native path interner when available, else the Python PathInterner."""
+    lib = load()
+    if lib is not None:
+        return NativePathInterner(lib)
+    from ..utils.paths import PathInterner
+
+    return PathInterner()
 
 
 def make_string_order_index():

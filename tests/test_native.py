@@ -84,3 +84,130 @@ def test_interner_uses_factory():
     k1 = interner.encode("hello")[:3]
     k2 = interner.encode("world")[:3]
     assert k1 < k2
+
+
+# ------------------------------------------------------ native path interner
+
+
+def _fuzz_paths(seed, n):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        parts = [f"s{rng.integers(12)}" for _ in range(rng.integers(1, 5))]
+        p = "/".join(parts)
+        r = rng.random()
+        if r < 0.1:
+            p = "/" + p
+        elif r < 0.2:
+            p = p + "//"
+        elif r < 0.25:
+            p = p.replace("/", "//", 1)
+        out.append(p)
+    return out
+
+
+def test_native_path_interner_matches_python():
+    """Ids, segment ids, tree structure, and strings must be bit-identical
+    between the native interner and the Python PathInterner for interleaved
+    scalar/bulk interning (ranks feed device slot ids)."""
+    import numpy as np
+
+    from bullet_tpu.native import NativePathInterner, load
+    from bullet_tpu.utils.paths import PathInterner
+
+    lib = load()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    npi, ppi = NativePathInterner(lib), PathInterner()
+    paths = _fuzz_paths(42, 8000)
+    for p in paths[:3000]:
+        assert npi.intern(p) == ppi.intern(p), p
+    got = npi.intern_batch(paths[3000:])
+    want = np.asarray([ppi.intern(p) for p in paths[3000:]], dtype=np.int32)
+    np.testing.assert_array_equal(got, want)
+    assert len(npi) == len(ppi)
+    for pid in range(len(ppi)):
+        assert npi.path(pid) == ppi.path(pid)
+        assert npi.parent(pid) == ppi.parent(pid)
+        assert npi.segment(pid) == ppi.segment(pid)
+        assert npi.children(pid) == ppi.children(pid)
+        assert list(npi.descendants(pid)) == list(ppi.descendants(pid))
+    assert npi.top_level() == ppi.top_level()
+    assert sorted(dict(npi.items())) == sorted(dict(ppi.items()))
+    for probe in ("s1/s2", "s0", "nope", "", "s1//s3/"):
+        assert npi.lookup(probe) == ppi.lookup(probe), probe
+    assert ("s1/s2" in npi) == ("s1/s2" in ppi)
+
+
+def test_native_path_interner_nul_fallback():
+    """A path embedding NUL breaks the joined-buffer fast prep; the fallback
+    must produce identical results."""
+    import numpy as np
+
+    from bullet_tpu.native import NativePathInterner, load
+    from bullet_tpu.utils.paths import PathInterner
+
+    lib = load()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    weird = ["a\x00b/c", "a/b", "a\x00b", "plain"]
+    npi, ppi = NativePathInterner(lib), PathInterner()
+    np.testing.assert_array_equal(
+        npi.intern_batch(weird),
+        np.asarray([ppi.intern(w) for w in weird], dtype=np.int32),
+    )
+    assert npi.path(npi.lookup("a\x00b/c")) == "a\x00b/c"
+
+
+def test_native_graphhost_struct_matches_python():
+    """GraphHost struct export (parent/parent2/seg) must be identical with
+    either interner backend — the arrays drive every device query scan."""
+    import numpy as np
+
+    from bullet_tpu.models.table import GraphHost
+    from bullet_tpu.native import load
+    from bullet_tpu.utils.paths import PathInterner
+
+    if load() is None:
+        pytest.skip("native toolchain unavailable")
+
+    def build(force_py):
+        host = GraphHost(capacity=32)
+        if force_py:
+            host.paths = PathInterner()
+            host._native_paths = False
+        for p in _fuzz_paths(7, 500):
+            host.intern_path(p)
+        host.intern_batch(_fuzz_paths(8, 500))
+        host._seg_id("manual_field")
+        s = host.struct()
+        return (
+            np.asarray(s.parent), np.asarray(s.parent2), np.asarray(s.seg),
+            host.seg_lookup("manual_field"), host.capacity,
+        )
+
+    native = build(False)
+    python = build(True)
+    for a, b in zip(native, python):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_path_interner_bulk_speed():
+    """The whole point: 1M novel paths in one call, well under a second."""
+    import time
+
+    from bullet_tpu.native import NativePathInterner, load
+
+    lib = load()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    paths = [f"g/k{i}" for i in range(1_000_000)]
+    npi = NativePathInterner(lib)
+    t0 = time.perf_counter()
+    slots = npi.intern_batch(paths)
+    dt = time.perf_counter() - t0
+    assert len(npi) == 1_000_001
+    assert slots[0] != slots[1]
+    assert dt < 2.0, f"bulk intern took {dt:.2f}s"  # typ. ~0.35s; CI slack
