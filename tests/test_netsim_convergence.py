@@ -201,3 +201,81 @@ def test_engine_queries():
     assert sim.find(0, "users", lambda v, k: v.get("name") == "Bob") == "users/u2"
     names = sim.map(0, "users", lambda v, k: v.get("name"))
     assert sorted(names) == ["Alice", "Bob", "Carol"]
+
+
+# ------------------------------------------ changed-slot subscription dispatch
+
+
+def test_subscriptions_dispatch_only_changed():
+    """1k subscriptions, one write: exactly one subtree re-read (O(changed)
+    dispatch, VERDICT r1 #7) and only the right callback fires."""
+    sim = PeerNetworkSim(4, capacity=4096, topology="ring")
+    fired = []
+    for i in range(1000):
+        sim.put(0, f"watch/w{i}/v", i)
+    sim.run_until_converged()
+    for i in range(1000):
+        sim.on(1, f"watch/w{i}/v", lambda v, i=i: fired.append((i, v)))
+    assert len(fired) == 1000  # immediate fire on subscribe
+    fired.clear()
+    sim.step()  # first step after subscribing establishes the slot baseline
+    assert fired == []  # values unchanged -> no callbacks
+
+    reads = []
+    orig_get = sim.get
+    sim.get = lambda peer, path="": (reads.append(path), orig_get(peer, path))[1]
+
+    sim.put(2, "watch/w42/v", 10_042)
+    sim.run_until_converged()
+    assert fired == [(42, 10_042)]
+    watch_reads = [p for p in reads if p.startswith("watch/")]
+    assert watch_reads == ["watch/w42/v"], watch_reads[:5]
+
+    # a no-op step re-reads nothing and fires nothing
+    reads.clear()
+    sim.step()
+    assert fired == [(42, 10_042)]
+    assert [p for p in reads if p.startswith("watch/")] == []
+
+
+def test_subscription_subtree_and_new_descendants():
+    """A parent-path watch fires when any descendant changes — including
+    descendants created AFTER the subscription (watch index rebuilds when
+    the path tree grows)."""
+    sim = PeerNetworkSim(2, capacity=256, topology="ring")
+    sim.put(0, "team/a/name", "alpha")
+    sim.run_until_converged()
+    seen = []
+    sim.on(1, "team", seen.append)
+    assert seen == [{"a": {"name": "alpha"}}]
+    sim.put(0, "team/b/name", "beta")  # new descendant path
+    sim.run_until_converged()
+    assert seen[-1] == {"a": {"name": "alpha"}, "b": {"name": "beta"}}
+    sim.put(0, "team/a/name", "gamma")
+    sim.run_until_converged()
+    assert seen[-1]["a"]["name"] == "gamma"
+
+
+def test_subscriptions_on_packed_layout():
+    sim = PeerNetworkSim(2, capacity=128, topology="ring", layout="packed")
+    sim.put(0, "k/x", 1)
+    sim.run_until_converged()
+    seen = []
+    sim.on(1, "k/x", seen.append)
+    sim.put(0, "k/x", 5)
+    sim.run_until_converged()
+    assert seen == [1, 5]
+
+
+def test_subscription_off_stops_dispatch():
+    sim = PeerNetworkSim(2, capacity=128, topology="ring")
+    seen = []
+    cb = seen.append
+    sim.on(0, "q/x", cb)
+    sim.put(0, "q/x", 1)
+    sim.run_until_converged()
+    assert seen == [None, 1]
+    sim.off(0, "q/x", cb)
+    sim.put(0, "q/x", 2)
+    sim.run_until_converged()
+    assert seen == [None, 1]
