@@ -14,7 +14,12 @@ dependency was the ``ws`` package; the protocol semantics are what matter):
 * ``broadcast`` (:404-418), ``send_to_peer`` (:355-370), reconnect every 5 s
   (:204-217, :253-258), and the sync manager hook (:26-28)
 
-Peer URLs accept ``tcp://host:port``, ``ws://host:port`` or ``host:port``.
+Peer URLs accept ``tcp://host:port`` or plain ``host:port`` (NDJSON framing,
+the default between bullet_tpu nodes) and ``ws://host:port`` (real RFC 6455
+WebSocket framing for wire interop with actual bullet-js peers: JSON text
+frames, peer id in the ``x-peer-id`` upgrade header — see db/ws.py). The
+server auto-detects the framing per inbound connection, so one port serves
+both kinds of peers.
 """
 
 from __future__ import annotations
@@ -61,12 +66,16 @@ def strip_array_clock(data):
 
 
 def parse_peer_url(url: str):
+    """(host, port, framing): ws:// and wss:// URLs use WebSocket framing."""
+    framing = "ndjson"
     for prefix in ("tcp://", "ws://", "wss://", "http://"):
         if url.startswith(prefix):
+            if prefix in ("ws://", "wss://"):
+                framing = "ws"
             url = url[len(prefix) :]
             break
     host, _, port = url.partition(":")
-    return host or "127.0.0.1", int(port or 8765)
+    return host or "127.0.0.1", int(port or 8765), framing
 
 
 class _PeerConnection:
@@ -79,11 +88,13 @@ class _PeerConnection:
     (the async Node reference cannot hit this). Per-connection FIFO order is
     preserved by the single writer."""
 
-    def __init__(self, sock: socket.socket, peer_id: str, outbound: bool, url=None):
+    def __init__(self, sock: socket.socket, peer_id: str, outbound: bool, url=None,
+                 framing: str = "ndjson"):
         self.socket = sock
         self.peer_id = peer_id
         self.outbound = outbound
         self.url = url
+        self.framing = framing  # "ndjson" | "ws-server" | "ws-client"
         self.connected_at = time.time()
         self.open = True
         self._outbox: "queue.Queue[Optional[bytes]]" = queue.Queue()
@@ -93,7 +104,16 @@ class _PeerConnection:
     def send(self, message: dict) -> bool:
         if not self.open:
             return False
-        self._outbox.put((json.dumps(message, default=str) + "\n").encode("utf-8"))
+        text = json.dumps(message, default=str)
+        if self.framing == "ndjson":
+            data = (text + "\n").encode("utf-8")
+        else:
+            from .ws import OP_TEXT, encode_frame
+
+            data = encode_frame(
+                text.encode("utf-8"), OP_TEXT, mask=self.framing == "ws-client"
+            )
+        self._outbox.put(data)
         return True
 
     def _write_loop(self) -> None:
@@ -206,20 +226,43 @@ class BulletNetwork(EventEmitter):
 
     def _handle_incoming_connection(self, sock: socket.socket) -> None:
         """Wait for the handshake, apply auth/duplicate policies
-        (bullet-network.js:71-118)."""
+        (bullet-network.js:71-118). Framing auto-detects: an HTTP ``GET``
+        first line is a WebSocket upgrade from a real bullet-js peer (peer id
+        in the x-peer-id header, bullet-network.js:72); anything else is the
+        NDJSON handshake message."""
         sock.settimeout(10.0)
         reader = sock.makefile("rb")
         try:
             line = reader.readline()
-            message = json.loads(line)
-        except (OSError, ValueError):
+        except OSError:
             sock.close()
             return
-        if message.get("type") != "handshake":
-            sock.close()
-            return
-        remote_peer_id = message.get("peerId")
-        headers = message.get("headers") or {}
+        framing = "ndjson"
+        if line.startswith(b"GET "):
+            from . import ws
+
+            try:
+                http_headers = ws.server_handshake(reader, sock, line)
+            except OSError:
+                sock.close()
+                return
+            if http_headers is None:
+                sock.close()
+                return
+            remote_peer_id = http_headers.get("x-peer-id")
+            headers = http_headers
+            framing = "ws-server"
+        else:
+            try:
+                message = json.loads(line)
+            except ValueError:
+                sock.close()
+                return
+            if message.get("type") != "handshake":
+                sock.close()
+                return
+            remote_peer_id = message.get("peerId")
+            headers = message.get("headers") or {}
         if not remote_peer_id or remote_peer_id == self.local_peer_id:
             sock.close()
             return
@@ -235,7 +278,9 @@ class BulletNetwork(EventEmitter):
                     return
                 existing.close()
         sock.settimeout(None)
-        self._setup_peer_connection(sock, reader, remote_peer_id, outbound=False)
+        self._setup_peer_connection(
+            sock, reader, remote_peer_id, outbound=False, framing=framing
+        )
 
     def _connect_to_peers(self) -> None:
         # dial in the background: a down peer must not block Bullet() startup
@@ -251,7 +296,7 @@ class BulletNetwork(EventEmitter):
         if self._closed:
             return
         try:
-            host, port = parse_peer_url(peer_url)
+            host, port, framing = parse_peer_url(peer_url)
             sock = socket.create_connection((host, port), timeout=10.0)
             headers = {"x-peer-id": self.local_peer_id}
             prepare = self.options["prepare_connection_headers"]
@@ -259,17 +304,54 @@ class BulletNetwork(EventEmitter):
                 custom = prepare(peer_url)
                 if isinstance(custom, dict):
                     headers.update(custom)
-            handshake = {
-                "type": "handshake",
-                "id": self._generate_id(),
-                "peerId": self.local_peer_id,
-                "headers": headers,
-            }
-            sock.sendall((json.dumps(handshake) + "\n").encode("utf-8"))
             reader = sock.makefile("rb")
-            line = reader.readline()
-            message = json.loads(line)
-            if message.get("type") not in ("handshake", "handshake-response"):
+            if framing == "ws":
+                # real WebSocket dial, exactly like a bullet-js client:
+                # upgrade with x-peer-id header, send a handshake message,
+                # learn the remote id from handshake(-response)
+                # (bullet-network.js:139-218)
+                from . import ws
+
+                if not ws.client_handshake(sock, reader, host, port, headers):
+                    sock.close()
+                    raise ConnectionError("websocket upgrade failed")
+                conn_framing = "ws-client"
+
+                def send_raw(msg: dict) -> None:
+                    sock.sendall(
+                        ws.encode_frame(
+                            json.dumps(msg).encode("utf-8"), ws.OP_TEXT, mask=True
+                        )
+                    )
+
+                def recv_msg():
+                    text = ws.read_message(reader, sock, client_side=True)
+                    return None if text is None else json.loads(text)
+
+            else:
+                conn_framing = "ndjson"
+
+                def send_raw(msg: dict) -> None:
+                    sock.sendall((json.dumps(msg) + "\n").encode("utf-8"))
+
+                def recv_msg():
+                    line = reader.readline()
+                    return json.loads(line) if line else None
+
+            send_raw(
+                {
+                    "type": "handshake",
+                    "id": self._generate_id(),
+                    "peerId": self.local_peer_id,
+                    "headers": headers,
+                }
+            )
+            message = recv_msg()
+            while message is not None and message.get("type") not in (
+                "handshake", "handshake-response",
+            ):
+                message = recv_msg()
+            if message is None:
                 sock.close()
                 raise ConnectionError("no handshake response")
             remote_peer_id = message.get("peerId")
@@ -277,7 +359,9 @@ class BulletNetwork(EventEmitter):
                 sock.close()
                 return
             sock.settimeout(None)
-            self._setup_peer_connection(sock, reader, remote_peer_id, True, peer_url)
+            self._setup_peer_connection(
+                sock, reader, remote_peer_id, True, peer_url, framing=conn_framing
+            )
         except (OSError, ValueError, ConnectionError) as err:
             self.emit("error", err)
             self._schedule_reconnect(peer_url)
@@ -293,11 +377,12 @@ class BulletNetwork(EventEmitter):
         self._reconnect_timers.append(timer)
 
     def _setup_peer_connection(
-        self, sock, reader, peer_id: str, outbound: bool, peer_url=None
+        self, sock, reader, peer_id: str, outbound: bool, peer_url=None,
+        framing: str = "ndjson",
     ) -> None:
         """Register the link, start its reader, emit peer:connect
         (bullet-network.js:228-278)."""
-        conn = _PeerConnection(sock, peer_id, outbound, peer_url)
+        conn = _PeerConnection(sock, peer_id, outbound, peer_url, framing=framing)
         with self._lock:
             self.peers[peer_id] = conn
         if not outbound:
@@ -314,15 +399,23 @@ class BulletNetwork(EventEmitter):
         self.emit("peer:connect", peer_id)
 
     def _read_loop(self, conn: _PeerConnection, reader) -> None:
+        from . import ws
+
         while conn.open and not self._closed:
             try:
-                line = reader.readline()
+                if conn.framing == "ndjson":
+                    raw = reader.readline()
+                else:
+                    raw = ws.read_message(
+                        reader, conn.socket,
+                        client_side=conn.framing == "ws-client",
+                    )
             except OSError:
                 break
-            if not line:
+            if not raw:
                 break
             try:
-                message = json.loads(line)
+                message = json.loads(raw)
             except ValueError:
                 continue
             try:
