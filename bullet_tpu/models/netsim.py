@@ -150,7 +150,8 @@ class PeerNetworkSim:
     mesh_devices : int | None — shard the peer axis over this many devices
     layout : "dense" (7-array, full metadata) | "packed" (3-array,
         12 B/entry — reference mode only; fits the 1,024×1M north-star
-        shape on one chip, see ops/packed.py)
+        shape on one chip and shards over a mesh like dense, see
+        ops/packed.py)
     """
 
     def __init__(
@@ -170,9 +171,6 @@ class PeerNetworkSim:
         if layout == "packed" and mode != "reference":
             raise ValueError("packed layout supports reference mode only "
                              "(no writer/ctr metadata for lww priority)")
-        if layout == "packed" and mesh_devices:
-            raise ValueError("packed layout is single-device for now "
-                             "(the north-star shape fits one chip)")
         self.layout = layout
         self.mode = mode
         self.use_pallas = use_pallas
@@ -496,7 +494,8 @@ class PeerNetworkSim:
             from ..ops.packed import gossip_round_packed
 
             return gossip_round_packed(
-                self.table, self.topology, use_pallas=self.use_pallas
+                self.table, self.topology, use_pallas=self.use_pallas,
+                mesh=self._gossip_mesh(),
             )
         return gossip_round(
             self.table, self.topology, self.mode,
@@ -540,11 +539,13 @@ class PeerNetworkSim:
                 packed_ring_supported,
             )
 
+            spmd_mesh = self._gossip_mesh()
             use_pallas = (
                 self.use_pallas
                 if self.use_pallas is not None
                 else (
                     jax.default_backend() == "tpu"
+                    and self.mesh is None
                     and self.topology.kind in ("ring", "chain")
                     and packed_ring_supported(*self.table.khi.shape)
                 )
@@ -554,7 +555,8 @@ class PeerNetworkSim:
                 jnp.asarray(self.topology.neighbors),
                 self.topology.kind,
                 max_rounds,
-                use_pallas=bool(use_pallas),
+                use_pallas=bool(use_pallas) and spmd_mesh is None,
+                spmd_mesh=spmd_mesh,
             )
             rounds = int(rounds)
             self.stats["gossip_rounds"] += rounds

@@ -427,11 +427,22 @@ def gossip_round_packed(
     table: PackedTable,
     topology,
     use_pallas: bool | None = None,
+    mesh=None,
 ) -> Tuple[PackedTable, jax.Array]:
-    """One packed round for any topology (Pallas fused ring/chain on TPU)."""
+    """One packed round for any topology (Pallas fused ring/chain on a
+    single TPU; explicit shard_map ppermute for ring/chain on a mesh; XLA
+    with inferred collectives otherwise)."""
+    if mesh is not None and topology.kind in ("ring", "chain"):
+        from ..parallel.shardmap_gossip import ring_round_shardmap_packed
+
+        return ring_round_shardmap_packed(
+            table, mesh, wrap=topology.kind == "ring"
+        )
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"
+            and mesh is None
+            and len(table.cv.devices()) == 1
             and topology.kind in ("ring", "chain")
             and packed_ring_supported(*table.khi.shape)
         )
@@ -444,7 +455,7 @@ def gossip_round_packed(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "max_rounds", "use_pallas"),
+    static_argnames=("kind", "max_rounds", "use_pallas", "spmd_mesh"),
     donate_argnums=(0,),
 )
 def gossip_until_converged_packed(
@@ -453,11 +464,19 @@ def gossip_until_converged_packed(
     kind: str,
     max_rounds: int,
     use_pallas: bool = False,
+    spmd_mesh=None,
 ) -> Tuple[PackedTable, jax.Array]:
     """Packed convergence loop: compiled while_loop, donated carry — the
-    north-star shape runs with a single table-sized HBM allocation."""
+    north-star shape runs with a single table-sized HBM allocation. With
+    ``spmd_mesh`` the body is the explicit shard_map ring/chain round."""
 
     def round_fn(tbl):
+        if spmd_mesh is not None and kind in ("ring", "chain"):
+            from ..parallel.shardmap_gossip import ring_round_shardmap_packed
+
+            return ring_round_shardmap_packed(
+                tbl, spmd_mesh, wrap=kind == "ring"
+            )
         if use_pallas and kind in ("ring", "chain"):
             p, n = tbl.khi.shape
             if packed_ring_supported(p, n):

@@ -318,6 +318,81 @@ def generic_round_shardmap(
     return TableState(*fields), changed
 
 
+# ------------------------------------------------------------------ packed
+
+
+def _ring_block_packed(wrap: bool, *fields):
+    """Packed-layout ring/chain block: same boundary-row ppermute pattern as
+    _ring_block over the 3-array (khi, klo, cv) layout."""
+    from ..ops.packed import PackedTable, merge_packed_xla
+
+    block = PackedTable(*fields)
+    axis_size = jax.lax.axis_size(PEER_AXIS)
+    idx = jax.lax.axis_index(PEER_AXIS)
+    fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+
+    def boundary(rows, perm):
+        return PackedTable(
+            *(jax.lax.ppermute(f, PEER_AXIS, perm) for f in rows)
+        )
+
+    last = PackedTable(*(f[-1:, :] for f in block))
+    first = PackedTable(*(f[:1, :] for f in block))
+    from_prev = boundary(last, fwd)
+    from_next = boundary(first, bwd)
+
+    if not wrap:
+        is_first = idx == 0
+        is_last = idx == axis_size - 1
+        from_prev = PackedTable(
+            *(jnp.where(is_first, jnp.zeros_like(f), f) for f in from_prev)
+        )
+        from_next = PackedTable(
+            *(jnp.where(is_last, jnp.zeros_like(f), f) for f in from_next)
+        )
+
+    up = PackedTable(
+        *(
+            jnp.concatenate([fp, f[:-1, :]], axis=0)
+            for f, fp in zip(block, from_prev)
+        )
+    )
+    down = PackedTable(
+        *(
+            jnp.concatenate([f[1:, :], fn], axis=0)
+            for f, fn in zip(block, from_next)
+        )
+    )
+    if not wrap:
+        rows = jnp.arange(block.cv.shape[0])[:, None]
+        first_global = (idx == 0) & (rows == 0)
+        last_global = (idx == axis_size - 1) & (rows == block.cv.shape[0] - 1)
+        up = PackedTable(*(jnp.where(first_global, 0, f) for f in up))
+        down = PackedTable(*(jnp.where(last_global, 0, f) for f in down))
+
+    m1, c1 = merge_packed_xla(block, up)
+    m2, c2 = merge_packed_xla(m1, down)
+    changed = jax.lax.psum(c1 + c2, PEER_AXIS)
+    return (*m2, changed)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "wrap"))
+def ring_round_shardmap_packed(table, mesh, wrap: bool = True):
+    """One explicit-SPMD ring/chain round on the packed 12 B/entry layout —
+    boundary traffic is 12 B/entry/row over ICI (vs 28 for dense)."""
+    from ..ops.packed import PackedTable
+
+    fn = jax.shard_map(
+        functools.partial(_ring_block_packed, wrap),
+        mesh=mesh,
+        in_specs=tuple(P(PEER_AXIS, None) for _ in range(3)),
+        out_specs=(*[P(PEER_AXIS, None)] * 3, P()),
+    )
+    *fields, changed = fn(*table)
+    return PackedTable(*fields), changed
+
+
 def shardmap_round(
     table: TableState, topology, mesh, mode: str = "reference"
 ) -> Tuple[TableState, jax.Array]:

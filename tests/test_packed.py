@@ -195,8 +195,53 @@ def test_sim_packed_validation_ingress():
     assert sim.get(2, "items/b/v") is None
 
 
-def test_packed_rejects_lww_and_mesh():
+def test_packed_rejects_lww():
     with pytest.raises(ValueError):
         PeerNetworkSim(4, layout="packed", mode="lww")
-    with pytest.raises(ValueError):
-        PeerNetworkSim(8, layout="packed", mesh_devices=8)
+
+
+def test_packed_sharded_matches_unsharded():
+    """Packed layout over the virtual 8-device mesh: jit-inferred and
+    explicit shard_map paths both converge to the unsharded fixed point."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    def run(**kw):
+        sim = PeerNetworkSim(16, capacity=64, topology="ring",
+                             layout="packed", **kw)
+        rng = np.random.default_rng(21)
+        for _ in range(50):
+            sim.put(int(rng.integers(16)), f"k/v{int(rng.integers(6))}",
+                    int(rng.integers(1000)))
+        sim.run_until_converged()
+        assert sim.tables_equal()
+        return [np.asarray(f) for f in sim.table]
+
+    plain = run()
+    inferred = run(mesh_devices=8)
+    spmd = run(mesh_devices=8, use_shard_map=True)
+    for a, b, c in zip(plain, inferred, spmd):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
+
+
+def test_packed_shardmap_round_bitidentical():
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bullet_tpu.parallel.mesh import make_mesh, shard_table
+    from bullet_tpu.parallel.shardmap_gossip import ring_round_shardmap_packed
+
+    t = pack_table(random_dense(16, 128, seed=9))
+    mesh = make_mesh()
+    for wrap, ref_fn in ((True, gossip_round_ring_packed),
+                         (False, gossip_round_chain_packed)):
+        expected, c_ref = ref_fn(t)
+        got, c_got = ring_round_shardmap_packed(
+            shard_table(t, mesh), mesh, wrap=wrap)
+        for a, b in zip(expected, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(c_ref) == int(c_got)
