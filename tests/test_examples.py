@@ -19,6 +19,8 @@ EXAMPLES = [
     "netsim_scale_example.py",
     "observability_example.py",
     ("sync_example.py", ["--items", "300"]),
+    "engine_pipeline_example.py",
+    "ws_interop_example.py",
 ]
 
 EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
