@@ -815,6 +815,75 @@ class PeerNetworkSim:
         self.hooks.on_event(event, listener)
         return self
 
+    # -------------------------------------------------- facade: serialization
+
+    def _scratch_bullet(self, peer: Optional[int] = None):
+        """Throwaway storage-less Bullet; seeded with ``peer``'s replica when
+        given (the serializer operates on a Bullet store)."""
+        import bullet_tpu as bt
+
+        b = bt.create({"storage": False, "disable_network": True})
+        if peer is not None:
+            from .bridge import dump_sim_into_bullet
+
+            dump_sim_into_bullet(self, b, peer=peer)
+        return b
+
+    def export_to_json(self, peer: int, path: str = "", options=None) -> str:
+        """Serialize a peer's replica (reference formats, bullet-serializer.js
+        envelope) by materializing it through the db layer."""
+        b = self._scratch_bullet(peer)
+        try:
+            return b.export_to_json(path, options)
+        finally:
+            b.close()
+
+    def export_to_csv(self, peer: int, path: str, options=None) -> str:
+        b = self._scratch_bullet(peer)
+        try:
+            return b.export_to_csv(path, options)
+        finally:
+            b.close()
+
+    def export_to_xml(self, peer: int, path: str, options=None) -> str:
+        b = self._scratch_bullet(peer)
+        try:
+            return b.export_to_xml(path, options)
+        finally:
+            b.close()
+
+    def _import_via_bullet(self, peer: int, importer) -> dict:
+        b = self._scratch_bullet()
+        try:
+            result = importer(b)
+            if result.get("success"):
+                from .bridge import load_bullet_into_sim
+
+                load_bullet_into_sim(b, self, peer=peer)
+            return result
+        finally:
+            b.close()
+
+    def import_from_json(self, peer: int, json_str: str, target_path=None,
+                         options=None) -> dict:
+        """Parse reference-format JSON and enqueue its leaves as puts at
+        ``peer`` (step/run_until_converged applies them)."""
+        return self._import_via_bullet(
+            peer, lambda b: b.import_from_json(json_str, target_path, options)
+        )
+
+    def import_from_csv(self, peer: int, csv_str: str, target_path: str,
+                        options=None) -> dict:
+        return self._import_via_bullet(
+            peer, lambda b: b.import_from_csv(csv_str, target_path, options)
+        )
+
+    def import_from_xml(self, peer: int, xml_str: str, target_path: str,
+                        options=None) -> dict:
+        return self._import_via_bullet(
+            peer, lambda b: b.import_from_xml(xml_str, target_path, options)
+        )
+
     # ---------------------------------------------------------- subscriptions
 
     def peer(self, index: int):
