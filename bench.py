@@ -80,13 +80,7 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
         merge_tables_pallas,
         merge_tables_xla,
     )
-    from bullet_tpu.ops.packed import (
-        _fullp_round_kernel_packed,
-        _stripe_tile_n,
-        pack_table,
-        packed_ring_supported,
-        ring_round_packed_pallas,
-    )
+    from bullet_tpu.ops.packed import packed_ring_supported
     from bullet_tpu.ops.ring_kernel import ring_round_pallas, ring_round_pallas_lean
 
     if impl == "packed":

@@ -101,6 +101,11 @@ class _PeerConnection:
         self._writer = threading.Thread(target=self._write_loop, daemon=True)
         self._writer.start()
 
+    def send_raw(self, data: bytes) -> None:
+        """Enqueue pre-framed bytes (ws control replies from the reader)."""
+        if self.open:
+            self._outbox.put(data)
+
     def send(self, message: dict) -> bool:
         if not self.open:
             return False
@@ -409,6 +414,7 @@ class BulletNetwork(EventEmitter):
                     raw = ws.read_message(
                         reader, conn.socket,
                         client_side=conn.framing == "ws-client",
+                        send_raw=conn.send_raw,
                     )
             except OSError:
                 break

@@ -28,6 +28,11 @@ OP_CLOSE = 0x8
 OP_PING = 0x9
 OP_PONG = 0xA
 
+# Refuse absurd frames instead of allocating/blocking for them (the ws
+# package enforces maxPayload=100MB by default); applies per frame and to
+# the reassembled fragmented message.
+MAX_MESSAGE_BYTES = 64 * 1024 * 1024
+
 
 def accept_key(sec_websocket_key: str) -> str:
     """Sec-WebSocket-Accept for a client key (RFC 6455 §4.2.2)."""
@@ -56,7 +61,8 @@ def encode_frame(payload: bytes, opcode: int = OP_TEXT, mask: bool = False) -> b
 
 
 def read_frame(reader) -> Optional[Tuple[int, bool, bytes]]:
-    """(opcode, fin, payload) from a buffered byte reader; None on EOF."""
+    """(opcode, fin, payload) from a buffered byte reader; None on EOF or a
+    frame larger than MAX_MESSAGE_BYTES (caller drops the connection)."""
     header = reader.read(2)
     if len(header) < 2:
         return None
@@ -75,6 +81,8 @@ def read_frame(reader) -> Optional[Tuple[int, bool, bytes]]:
         if len(ext) < 8:
             return None
         n = struct.unpack(">Q", ext)[0]
+    if n > MAX_MESSAGE_BYTES:
+        return None
     key = b""
     if masked:
         key = reader.read(4)
@@ -88,10 +96,22 @@ def read_frame(reader) -> Optional[Tuple[int, bool, bytes]]:
     return opcode, fin, payload
 
 
-def read_message(reader, sock, client_side: bool) -> Optional[str]:
+def read_message(reader, sock, client_side: bool, send_raw=None) -> Optional[str]:
     """Next complete text message; transparently answers pings and handles
-    continuation frames. None on close/EOF."""
+    continuation frames. None on close/EOF/oversize.
+
+    ``send_raw(frame_bytes)`` routes control replies (pong, close echo).
+    When the connection has a dedicated writer thread, pass its enqueue
+    here — writing straight to the socket from the reader thread would race
+    the writer mid-``sendall`` and interleave bytes inside a data frame.
+    Defaults to a direct socket write for standalone users (handshakes,
+    tests)."""
+    if send_raw is None:
+        def send_raw(frame: bytes) -> None:
+            sock.sendall(frame)
+
     parts: list = []
+    total = 0
     while True:
         frame = read_frame(reader)
         if frame is None:
@@ -99,7 +119,7 @@ def read_message(reader, sock, client_side: bool) -> Optional[str]:
         opcode, fin, payload = frame
         if opcode == OP_PING:
             try:
-                sock.sendall(encode_frame(payload, OP_PONG, mask=client_side))
+                send_raw(encode_frame(payload, OP_PONG, mask=client_side))
             except OSError:
                 return None
             continue
@@ -107,11 +127,14 @@ def read_message(reader, sock, client_side: bool) -> Optional[str]:
             continue
         if opcode == OP_CLOSE:
             try:
-                sock.sendall(encode_frame(payload[:2], OP_CLOSE, mask=client_side))
+                send_raw(encode_frame(payload[:2], OP_CLOSE, mask=client_side))
             except OSError:
                 pass
             return None
         if opcode in (OP_TEXT, OP_BINARY, OP_CONT):
+            total += len(payload)
+            if total > MAX_MESSAGE_BYTES:
+                return None
             parts.append(payload)
             if fin:
                 return b"".join(parts).decode("utf-8", "replace")

@@ -227,6 +227,79 @@ class EngineValidation:
         self._rules_dirty = False
         return self._rules
 
+    def _strict_rules(self) -> List[Tuple[int, int, bool, float, float]]:
+        """Constraints the encoded-key device mask CANNOT express — integer
+        integralness and string/array length bounds — as
+        (base_pid, seg_sid, need_int, len_min, len_max) rows. These are
+        enforced by a vectorized host mask at put_bulk ingress (the raw
+        values are still in hand there); without it, bulk writes would
+        silently under-enforce schemas that scalar puts reject."""
+        rows = []
+        for base_path, schema_name in self.host.path_schemas.items():
+            schema = self.host.schemas.get(schema_name)
+            if not schema:
+                continue
+            base_pid = self.sim.host.intern_path(base_path)
+            for prop, ps in schema["properties"].items():
+                if "properties" in ps:
+                    continue
+                ptype = ps.get("type", "any")
+                need_int = ptype == "integer"
+                lmin = lmax = None
+                if ptype in ("string", "array"):
+                    if isinstance(ps.get("min"), (int, float)):
+                        lmin = float(ps["min"])
+                    if isinstance(ps.get("max"), (int, float)):
+                        lmax = float(ps["max"])
+                if need_int or lmin is not None or lmax is not None:
+                    rows.append(
+                        (base_pid, self.sim.host._seg_id(prop), need_int,
+                         -1.0 if lmin is None else lmin,
+                         float("inf") if lmax is None else lmax)
+                    )
+        return rows
+
+    def strict_bulk_mask(self, slots: np.ndarray, values) -> Optional[np.ndarray]:
+        """[K] bool drop-mask for bulk ops violating strict constraints.
+        ``values`` is the raw numeric array (fast path) or the raw value
+        list (object path). Returns None when no strict rules are bound."""
+        rules = self._strict_rules()
+        if not rules:
+            return None
+        parent2, seg = self.sim.host.struct_np()
+        p2 = parent2[slots]
+        sg = seg[slots]
+        k = len(slots)
+        values_arr = values if isinstance(values, np.ndarray) else None
+        if values_arr is not None and values_arr.dtype.kind in "ifu":
+            v = values_arr.astype(np.float64, copy=False)
+            bad_int = ~np.isfinite(v) | (v != np.floor(v))
+            lengths = np.full(k, -1.0)  # numbers have no length constraint
+        else:
+            bad_int = np.empty(k, dtype=bool)
+            lengths = np.full(k, -1.0)
+            seq = values_arr if values_arr is not None else values
+            for i, val in enumerate(seq):
+                if isinstance(val, bool):
+                    bad_int[i] = True
+                elif isinstance(val, (int, float)):
+                    bad_int[i] = not float(val).is_integer()
+                else:
+                    bad_int[i] = True  # type mask handles non-numbers anyway
+                if isinstance(val, (str, list)):
+                    lengths[i] = len(val)
+        drop = np.zeros(k, dtype=bool)
+        for base, sid, need_int, lmin, lmax in rules:
+            m = (p2 == base) & (sg == sid)
+            if not m.any():
+                continue
+            if need_int:
+                drop |= m & bad_int
+            if lmin >= 0 or lmax != float("inf"):
+                has_len = lengths >= 0
+                drop |= m & has_len & ((lengths < lmin) | (lengths > lmax))
+        return drop
+
     def report_rejections(self, ops: OpBatch, invalid) -> int:
         """Host-side typed errors for device-vetoed ops: re-validate each
         rejected (path, value) through the host checker so handlers get the
@@ -414,14 +487,7 @@ class EngineHooks:
                 )
         self.emit("delete", {"peer": peer, "path": path})
 
-    def apply_traced(self, ops: OpBatch, struct: PathStruct) -> OpBatch:
-        """Compose the traced transforms (called inside jit by the step)."""
-        for fn in self._traced_put:
-            ops = fn(ops, struct)
-        return ops
-
-
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def traced_pipeline(transforms: Tuple[Callable, ...]):
     """One jitted function composing the traced put transforms — compiled
     once per distinct transform tuple, so the whole chain fuses with zero
@@ -436,7 +502,7 @@ def traced_pipeline(transforms: Tuple[Callable, ...]):
     return run
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=512)
 def _hook_arity(fn) -> int:
     """Positional params a hook accepts (capped at 3), decided by signature
     inspection — NOT by catching TypeError, which would misattribute errors

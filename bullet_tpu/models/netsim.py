@@ -284,6 +284,31 @@ class PeerNetworkSim:
             for i, v in enumerate(values):
                 cls[i], khi[i], klo[i], vid[i] = self.host.encode_value(v)
 
+        # strict schema constraints the device mask can't express (integer
+        # integralness, string/array length) drop here, while the raw
+        # values are still in hand; type/range/enum veto stays on device
+        if self.validation.active:
+            raw = values_arr if values_arr.dtype.kind in "ifu" else values
+            drop = self.validation.strict_bulk_mask(slots, raw)
+            if drop is not None and drop.any():
+                for i in np.nonzero(drop)[0]:
+                    path = self.host.paths.path(int(slots[i]))
+                    val = (
+                        float(values_arr[i])
+                        if values_arr.dtype.kind in "ifu"
+                        else values[i]
+                    )
+                    # re-run the host checker for the exact typed error
+                    self.validation.host.check_write(path, val)
+                keep = ~drop
+                peers, slots, cls, khi, klo, vid = (
+                    a[keep] for a in (peers, slots, cls, khi, klo, vid)
+                )
+                self.stats["ops_rejected"] += int(drop.sum())
+                k = len(peers)
+                if k == 0:
+                    return
+
         # per-op Lamport stamps: clock[peer] + within-batch sequence
         seq, counts = _group_positions(peers, self.num_peers)
         ctr = (self._clock[peers] + seq + 1).astype(np.int32)

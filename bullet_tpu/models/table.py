@@ -146,6 +146,12 @@ class GraphHost:
             self._struct_dirty = False
         return self._struct_cache
 
+    def struct_np(self):
+        """(parent2, seg) as host numpy arrays, refreshed like struct() —
+        for vectorized host-side masks over op slots."""
+        self.struct()  # refreshes self._parent2/_seg in native mode
+        return self._parent2, self._seg
+
     def seg_lookup(self, seg: str) -> int:
         if self._native_paths:
             return self.paths.seg_lookup(seg)

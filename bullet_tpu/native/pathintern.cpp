@@ -174,17 +174,18 @@ struct PathInterner {
   std::vector<int32_t> seg_id;
   std::vector<int32_t> first_child, last_child, next_sibling;
 
-  // full path reconstruction on demand (paths are NOT stored per id)
+  // full path reconstruction on demand (paths are NOT stored per id);
+  // depth is unbounded — a fixed chain would silently truncate deep paths,
+  // breaking the bit-identity contract with the Python PathInterner
   void build_path(int32_t pid, std::string& out) const {
     out.clear();
     if (pid < 0) return;
-    int32_t chain[512];
-    int depth = 0;
-    for (int32_t cur = pid; cur >= 0 && depth < 512; cur = parent[cur])
-      chain[depth++] = cur;
-    for (int d = depth - 1; d >= 0; --d) {
+    thread_local std::vector<int32_t> chain;
+    chain.clear();
+    for (int32_t cur = pid; cur >= 0; cur = parent[cur]) chain.push_back(cur);
+    for (auto it = chain.rbegin(); it != chain.rend(); ++it) {
       if (!out.empty()) out.push_back('/');
-      std::string_view seg = segs.name(seg_id[chain[d]]);
+      std::string_view seg = segs.name(seg_id[*it]);
       out.append(seg.data(), seg.size());
     }
   }

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .apply import OpBatch
-from .merge import TableState
+from .merge import TableState, lex_gt
 
 CV_SHIFT = 28
 VID_MASK = (1 << CV_SHIFT) - 1
@@ -83,12 +83,11 @@ def packed_keys(khi, klo, cv):
 
 
 def _lex_gt_packed(b_keys, a_keys):
-    gt = jnp.zeros_like(a_keys[0], dtype=jnp.bool_)
-    eq = jnp.ones_like(a_keys[0], dtype=jnp.bool_)
-    for ka, kb in zip(a_keys, b_keys):
-        gt = gt | (eq & (kb > ka))
-        eq = eq & (ka == kb)
-    return gt
+    """b strictly beats a under the packed key chain. Thin delegation to
+    ops.merge.lex_gt — NOTE the argument order: the first argument is the
+    CHALLENGER (kept this way because every packed call site asks "does b
+    beat a?")."""
+    return lex_gt(b_keys, a_keys)
 
 
 def merge_packed_xla(
@@ -184,7 +183,13 @@ def _scatter_one(arr, peer, slot, values):
 
     def body(b, a):
         block = jax.lax.dynamic_slice(a, (b * pb, 0), (pb, n))
-        rel = peer - b * pb  # rows outside [0, pb) are dropped
+        # rows outside this block must DROP — but JAX wraps negative traced
+        # indices (adds the axis size) BEFORE mode="drop" applies, so a
+        # previous-block op's rel in [-pb, -1] would land in-bounds and
+        # corrupt another peer's row. Map out-of-block ops to the positive
+        # out-of-bounds sentinel pb instead, which genuinely drops.
+        in_block = (peer >= b * pb) & (peer < (b + 1) * pb)
+        rel = jnp.where(in_block, peer - b * pb, pb)
         block = block.at[rel, slot].set(
             values, mode="drop", unique_indices=True, indices_are_sorted=True
         )
@@ -359,15 +364,25 @@ _STRIPE_MAX_ELEMS = 1 << 17
 
 
 def _stripe_tile_n(p: int, n: int) -> int:
-    t = min(max(128, _STRIPE_MAX_ELEMS // p), n)
-    while t > 128 and n % t:
+    """Largest 128-aligned divisor of n with p*tile ≤ the VMEM budget; 0 if
+    none exists. The decrement-by-128 search must START 128-aligned or it
+    can land on an unaligned divisor (e.g. p=96, n=174720 → 1365), which
+    Mosaic rejects at lowering."""
+    start = (_STRIPE_MAX_ELEMS // max(p, 1)) // 128 * 128
+    t = min(max(128, start), n)
+    while t >= 128 and n % t:
         t -= 128
-    return t if n % t == 0 else n
+    return t if t >= 128 and n % t == 0 else 0
 
 
 def packed_ring_supported(p: int, n: int) -> bool:
+    """Shapes the full-P stripe kernel can tile: 8-aligned peer axis,
+    a 128-aligned slot tile dividing n, all within the VMEM budget.
+    Unsupported shapes fall back to XLA (never crash)."""
+    if p % 8 or n % 128:
+        return False
     tile_n = _stripe_tile_n(p, n)
-    return p * tile_n <= _STRIPE_MAX_ELEMS * 2 and n % tile_n == 0 and n % 128 == 0
+    return tile_n > 0 and p * tile_n <= _STRIPE_MAX_ELEMS * 2
 
 
 def ring_round_packed_traced(

@@ -40,61 +40,59 @@ from .mesh import PEER_AXIS
 _lexmax = merge_tables_xla  # per-shard local merge is exactly the XLA merge
 
 
-def _ring_block(mode: str, wrap: bool, *fields):
-    """Per-shard body: local shifts + ppermute'd boundary rows."""
-    block = TableState(*fields)
+def _ring_exchange(ctor, merge, wrap: bool, block):
+    """Shared ring/chain block body for any table tuple type: local shifts
+    plus ppermute'd boundary rows, two lattice merges, psum'd change count.
+
+    Chain masking note: zeroing from_prev on the globally-first device (and
+    from_next on the last) is sufficient — those rows ARE the up/down
+    neighbors of the global edge rows, so no second intra-block mask is
+    needed (up[0] is from_prev by construction)."""
     axis_size = jax.lax.axis_size(PEER_AXIS)
     idx = jax.lax.axis_index(PEER_AXIS)
     fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
     bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
 
-    def boundary(rows: TableState, perm):
-        return TableState(
-            *(jax.lax.ppermute(f, PEER_AXIS, perm) for f in rows)
-        )
+    def boundary(rows, perm):
+        return ctor(*(jax.lax.ppermute(f, PEER_AXIS, perm) for f in rows))
 
-    last = TableState(*(f[-1:, :] for f in block))
-    first = TableState(*(f[:1, :] for f in block))
-    from_prev = boundary(last, fwd)  # previous device's last row
-    from_next = boundary(first, bwd)  # next device's first row
+    from_prev = boundary(ctor(*(f[-1:, :] for f in block)), fwd)
+    from_next = boundary(ctor(*(f[:1, :] for f in block)), bwd)
 
     if not wrap:
         # chain: the global edge devices must not receive wrapped rows
-        zero_prev = TableState(*(jnp.zeros_like(f) for f in from_prev))
-        zero_next = TableState(*(jnp.zeros_like(f) for f in from_next))
         is_first = idx == 0
         is_last = idx == axis_size - 1
-        from_prev = TableState(
-            *(jnp.where(is_first, z, f) for f, z in zip(from_prev, zero_prev))
+        from_prev = ctor(
+            *(jnp.where(is_first, jnp.zeros_like(f), f) for f in from_prev)
         )
-        from_next = TableState(
-            *(jnp.where(is_last, z, f) for f, z in zip(from_next, zero_next))
+        from_next = ctor(
+            *(jnp.where(is_last, jnp.zeros_like(f), f) for f in from_next)
         )
 
-    up = TableState(
+    up = ctor(
         *(
             jnp.concatenate([fp, f[:-1, :]], axis=0)
             for f, fp in zip(block, from_prev)
         )
     )
-    down = TableState(
+    down = ctor(
         *(
             jnp.concatenate([f[1:, :], fn], axis=0)
             for f, fn in zip(block, from_next)
         )
     )
-    if not wrap:
-        # also mask the intra-block edge rows on the global edge devices
-        rows = jnp.arange(block.cls.shape[0])[:, None]
-        first_global = (idx == 0) & (rows == 0)
-        last_global = (idx == axis_size - 1) & (rows == block.cls.shape[0] - 1)
-        up = TableState(*(jnp.where(first_global, 0, f) for f in up))
-        down = TableState(*(jnp.where(last_global, 0, f) for f in down))
-
-    m1, c1 = _lexmax(block, up, mode)
-    m2, c2 = _lexmax(m1, down, mode)
+    m1, c1 = merge(block, up)
+    m2, c2 = merge(m1, down)
     changed = jax.lax.psum(c1 + c2, PEER_AXIS)
     return (*m2, changed)
+
+
+def _ring_block(mode: str, wrap: bool, *fields):
+    """Per-shard body: local shifts + ppermute'd boundary rows."""
+    return _ring_exchange(
+        TableState, lambda a, b: _lexmax(a, b, mode), wrap, TableState(*fields)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "mode", "wrap"))
@@ -322,59 +320,13 @@ def generic_round_shardmap(
 
 
 def _ring_block_packed(wrap: bool, *fields):
-    """Packed-layout ring/chain block: same boundary-row ppermute pattern as
-    _ring_block over the 3-array (khi, klo, cv) layout."""
+    """Packed-layout ring/chain block: the shared exchange body over the
+    3-array (khi, klo, cv) layout."""
     from ..ops.packed import PackedTable, merge_packed_xla
 
-    block = PackedTable(*fields)
-    axis_size = jax.lax.axis_size(PEER_AXIS)
-    idx = jax.lax.axis_index(PEER_AXIS)
-    fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
-    bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
-
-    def boundary(rows, perm):
-        return PackedTable(
-            *(jax.lax.ppermute(f, PEER_AXIS, perm) for f in rows)
-        )
-
-    last = PackedTable(*(f[-1:, :] for f in block))
-    first = PackedTable(*(f[:1, :] for f in block))
-    from_prev = boundary(last, fwd)
-    from_next = boundary(first, bwd)
-
-    if not wrap:
-        is_first = idx == 0
-        is_last = idx == axis_size - 1
-        from_prev = PackedTable(
-            *(jnp.where(is_first, jnp.zeros_like(f), f) for f in from_prev)
-        )
-        from_next = PackedTable(
-            *(jnp.where(is_last, jnp.zeros_like(f), f) for f in from_next)
-        )
-
-    up = PackedTable(
-        *(
-            jnp.concatenate([fp, f[:-1, :]], axis=0)
-            for f, fp in zip(block, from_prev)
-        )
+    return _ring_exchange(
+        PackedTable, merge_packed_xla, wrap, PackedTable(*fields)
     )
-    down = PackedTable(
-        *(
-            jnp.concatenate([f[1:, :], fn], axis=0)
-            for f, fn in zip(block, from_next)
-        )
-    )
-    if not wrap:
-        rows = jnp.arange(block.cv.shape[0])[:, None]
-        first_global = (idx == 0) & (rows == 0)
-        last_global = (idx == axis_size - 1) & (rows == block.cv.shape[0] - 1)
-        up = PackedTable(*(jnp.where(first_global, 0, f) for f in up))
-        down = PackedTable(*(jnp.where(last_global, 0, f) for f in down))
-
-    m1, c1 = merge_packed_xla(block, up)
-    m2, c2 = merge_packed_xla(m1, down)
-    changed = jax.lax.psum(c1 + c2, PEER_AXIS)
-    return (*m2, changed)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "wrap"))

@@ -358,3 +358,53 @@ def test_validation_on_sharded_mesh():
     assert s.tables_equal()
     assert s.get(0, "users/u0/age") == 30
     assert s.get(0, "users/u1/age") is None
+
+
+def test_bulk_integer_integralness_enforced(sim):
+    """Code-review r2: 'integer' fields must reject fractional bulk values
+    (the encoded-key device mask can't see integralness; a host pre-mask
+    at put_bulk ingress enforces it)."""
+    errors = []
+    sim.on_validation_error("all", errors.append)
+    sim.define_schema("counted", {"properties": {"n": {"type": "integer"}}})
+    sim.apply_schema("counts", "counted")
+    sim.put_bulk(
+        np.array([0, 1, 2], dtype=np.int32),
+        ["counts/a/n", "counts/b/n", "counts/c/n"],
+        np.array([3.0, 2.5, float("nan")]),
+    )
+    sim.run_until_converged()
+    assert sim.stats["ops_rejected"] == 2
+    assert sim.get(3, "counts/a/n") == 3.0
+    assert sim.get(3, "counts/b/n") is None
+    assert sim.get(3, "counts/c/n") is None
+    assert len(errors) == 2
+
+
+def test_bulk_string_length_enforced(sim):
+    sim.define_schema(
+        "tagged", {"properties": {"tag": {"type": "string", "min": 3, "max": 5}}}
+    )
+    sim.apply_schema("tags", "tagged")
+    sim.put_bulk(
+        np.array([0, 0, 0], dtype=np.int32),
+        ["tags/a/tag", "tags/b/tag", "tags/c/tag"],
+        np.array(["ok!", "x", "waytoolong"], dtype=object),
+    )
+    sim.run_until_converged()
+    assert sim.stats["ops_rejected"] == 2
+    assert sim.get(1, "tags/a/tag") == "ok!"
+    assert sim.get(1, "tags/b/tag") is None
+    assert sim.get(1, "tags/c/tag") is None
+
+
+def test_bulk_scalar_parity_for_integer(sim):
+    """Scalar and bulk writes must agree on the same schema (the review's
+    divergence scenario)."""
+    sim.define_schema("counted", {"properties": {"n": {"type": "integer"}}})
+    sim.apply_schema("counts", "counted")
+    assert not sim.put(0, "counts/z/n", 1.5)  # scalar: host check rejects
+    sim.put_bulk(np.array([0], dtype=np.int32), ["counts/z/n"],
+                 np.array([1.5]))  # bulk: ingress mask rejects
+    sim.run_until_converged()
+    assert sim.get(0, "counts/z/n") is None

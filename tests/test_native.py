@@ -211,3 +211,20 @@ def test_native_path_interner_bulk_speed():
     assert len(npi) == 1_000_001
     assert slots[0] != slots[1]
     assert dt < 2.0, f"bulk intern took {dt:.2f}s"  # typ. ~0.35s; CI slack
+
+
+def test_native_path_interner_deep_paths():
+    """Code-review r2: build_path must not truncate — a 600-segment path
+    round-trips exactly (the old fixed 512-entry chain dropped root-most
+    segments and disagreed with pin_paths_blob_len)."""
+    from bullet_tpu.native import NativePathInterner, load
+    from bullet_tpu.utils.paths import PathInterner
+
+    lib = load()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    deep = "/".join(f"d{i}" for i in range(600))
+    npi, ppi = NativePathInterner(lib), PathInterner()
+    pid_n, pid_p = npi.intern(deep), ppi.intern(deep)
+    assert pid_n == pid_p
+    assert npi.path(pid_n) == deep == ppi.path(pid_p)

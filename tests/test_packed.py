@@ -245,3 +245,33 @@ def test_packed_shardmap_round_bitidentical():
         for a, b in zip(expected, got):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert int(c_ref) == int(c_got)
+
+
+def test_flat_scatter_blocked_path_no_cross_block_corruption():
+    """Code-review r2 (critical): with block size pb < P, an op's negative
+    relative row index wrapped in-bounds (JAX normalizes negatives BEFORE
+    mode='drop'), scattering into the NEXT block and corrupting an unrelated
+    peer's row. Force the blocked path and check every row."""
+    from bullet_tpu.ops.packed import _scatter_one, apply_flat_packed, init_packed
+
+    p, n = 32, 1 << 21  # pb = max(8, 2^25/2^21) = 16 < 32 -> blocked path
+    import bullet_tpu.ops.packed as pk
+
+    pb = max(8, min(p, (1 << 25) // n))
+    assert pb < p, "test must exercise the blocked path"
+
+    tbl = init_packed(p, n)
+    # one op per peer, each to a distinct slot, value = peer+1
+    peer = jnp.arange(p, dtype=jnp.int32)
+    slot = jnp.arange(p, dtype=jnp.int32) * 7
+    khi = peer + 1
+    klo = jnp.zeros(p, dtype=jnp.int32)
+    cv = (jnp.full(p, 2, dtype=jnp.int32) << 28) | (peer + 2)
+    out, applied = apply_flat_packed(tbl, peer, slot, khi, klo, cv)
+    assert int(applied) == p
+    got_khi = np.asarray(out.khi)
+    got_cv = np.asarray(out.cv)
+    for q in range(p):
+        row_hits = np.nonzero(got_cv[q])[0]
+        assert row_hits.tolist() == [q * 7], (q, row_hits)  # no foreign rows
+        assert got_khi[q, q * 7] == q + 1
