@@ -109,7 +109,7 @@ def main() -> None:
         from bullet_tpu.parallel.gossip import gossip_until_converged_device
 
         t0 = time.time()
-        scratch, r = gossip_until_converged_device(
+        scratch, r, _last = gossip_until_converged_device(
             sim.table, jnp.asarray(sim.topology.neighbors), sim.topology.kind,
             sim.mode, num_peers + 2,
             use_pallas=jax.default_backend() == "tpu",

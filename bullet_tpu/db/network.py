@@ -66,12 +66,15 @@ def strip_array_clock(data):
 
 
 def parse_peer_url(url: str):
-    """(host, port, framing): ws:// and wss:// URLs use WebSocket framing."""
+    """(host, port, framing): ws:// URLs use WebSocket framing, wss:// adds
+    TLS on the dialer side ("wss" framing)."""
     framing = "ndjson"
     for prefix in ("tcp://", "ws://", "wss://", "http://"):
         if url.startswith(prefix):
-            if prefix in ("ws://", "wss://"):
+            if prefix == "ws://":
                 framing = "ws"
+            elif prefix == "wss://":
+                framing = "wss"
             url = url[len(prefix) :]
             break
     host, _, port = url.partition(":")
@@ -167,6 +170,7 @@ class BulletNetwork(EventEmitter):
             ),
             "server": opts.get("server", True),
             "reconnect_interval": opts.get("reconnect_interval", 5.0),
+            "ssl_context": opts.get("ssl_context"),
             "sync_options": {
                 k: v
                 for k, v in opts.items()
@@ -303,6 +307,16 @@ class BulletNetwork(EventEmitter):
         try:
             host, port, framing = parse_peer_url(peer_url)
             sock = socket.create_connection((host, port), timeout=10.0)
+            if framing == "wss":
+                # TLS-wrapped WebSocket (a plain socket to a TLS listener
+                # would otherwise fail silently into the reconnect loop).
+                # ``ssl_context`` option overrides cert handling (tests /
+                # self-signed deployments).
+                import ssl
+
+                ctx = self.options.get("ssl_context") or ssl.create_default_context()
+                sock = ctx.wrap_socket(sock, server_hostname=host)
+                framing = "ws"
             headers = {"x-peer-id": self.local_peer_id}
             prepare = self.options["prepare_connection_headers"]
             if callable(prepare):
@@ -380,6 +394,12 @@ class BulletNetwork(EventEmitter):
         timer.daemon = True
         timer.start()
         self._reconnect_timers.append(timer)
+        # opportunistic GC: a permanently-down peer schedules one timer per
+        # interval forever; without pruning the list grows unboundedly
+        if len(self._reconnect_timers) > 64:
+            self._reconnect_timers = [
+                t for t in self._reconnect_timers if t.is_alive()
+            ]
 
     def _setup_peer_connection(
         self, sock, reader, peer_id: str, outbound: bool, peer_url=None,
@@ -453,11 +473,7 @@ class BulletNetwork(EventEmitter):
             with self._lock:
                 if msg_id in self.processed_messages:
                     return
-                self.processed_messages[msg_id] = None
-                cache_size = self.options["message_cache_size"]
-                if len(self.processed_messages) > cache_size:
-                    for key in list(self.processed_messages)[: cache_size // 10]:
-                        del self.processed_messages[key]
+                self._remember_message(msg_id)
 
         self.emit("message", peer_id, message)
 
@@ -483,6 +499,17 @@ class BulletNetwork(EventEmitter):
         self.bullet.set_data(path, network_data, broadcast=False)
         self._relay_message(message, peer_id)
 
+    def _remember_message(self, msg_id: str) -> None:
+        """Record a message id in the dedup set, pruning the oldest 10% past
+        the cap. Called under self._lock; used by BOTH the receive and the
+        broadcast/relay paths — a write-heavy node with little inbound
+        traffic would otherwise grow the set unboundedly."""
+        self.processed_messages[msg_id] = None
+        cache_size = self.options["message_cache_size"]
+        if len(self.processed_messages) > cache_size:
+            for key in list(self.processed_messages)[: cache_size // 10]:
+                del self.processed_messages[key]
+
     def send_to_peer(self, peer_id: str, message: dict) -> bool:
         conn = self.peers.get(peer_id)
         if conn is None or not conn.open:
@@ -503,7 +530,7 @@ class BulletNetwork(EventEmitter):
             "ttl": (ttl if ttl is not None else self.options["max_ttl"]) - 1,
         }
         with self._lock:
-            self.processed_messages[relay["id"]] = None
+            self._remember_message(relay["id"])
             peer_ids = list(self.peers)
         for peer_id in peer_ids:
             if peer_id != source_peer_id:
@@ -519,7 +546,7 @@ class BulletNetwork(EventEmitter):
             "ttl": self.options["max_ttl"],
         }
         with self._lock:
-            self.processed_messages[message["id"]] = None
+            self._remember_message(message["id"])
             peer_ids = list(self.peers)
         for peer_id in peer_ids:
             self.send_to_peer(peer_id, message)

@@ -114,6 +114,7 @@ class BulletNetworkSync:
                 request_id=request["id"],
                 start_time=time.time(),
                 attempts=state["attempts"] + 1,
+                resume_tried=False,
             )
             self._cancel(state, "timeout_timer")
             state["timeout_timer"] = self._after(
@@ -251,7 +252,10 @@ class BulletNetworkSync:
             state.setdefault("received_chunks", set()).add(message.get("chunkIndex"))
         self._process_sync_entries(message.get("entries", ()), peer_id)
         total = message.get("totalChunks", 0)
-        if len(state["received_chunks"]) == total or message.get("isLastChunk"):
+        # finish ONLY when every chunk arrived (bullet-network-sync.js:
+        # 283-289) — an isLastChunk shortcut would falsely complete a
+        # transfer with a dropped middle chunk
+        if len(state["received_chunks"]) == total:
             self._finish_sync(peer_id, message.get("requestId"))
         self.network.emit(
             "sync:chunk",
@@ -325,6 +329,7 @@ class BulletNetworkSync:
                 state.get("start_time") or state["last_sync_time"]
             )
             state["attempts"] = 0
+            state["resume_tried"] = False
             resync = state.pop("resync_pending", False)
         if resync and not self._closed:
             self._after(0.05, self.request_sync, peer_id)
@@ -347,7 +352,24 @@ class BulletNetworkSync:
         if state["status"] == "complete":
             return
         if state["attempts"] < self.options["max_sync_attempts"]:
-            if state["status"] == "in-progress" and state.get("received_chunks"):
+            with self._lock:
+                try_resume = (
+                    state["status"] == "in-progress"
+                    and bool(state.get("received_chunks"))
+                    and not state.get("resume_tried")
+                )
+                if try_resume:
+                    # a resume attempt must count toward max_sync_attempts,
+                    # and only one is tried per request — the responder's
+                    # resume handling restarts a sync in the REVERSE
+                    # direction (reference simplification,
+                    # bullet-network-sync.js:357-383), so it never re-sends
+                    # the missing chunks; without this cap the requester
+                    # would loop resume requests forever, wedged
+                    # 'in-progress' and deaf to new sync requests
+                    state["attempts"] += 1
+                    state["resume_tried"] = True
+            if try_resume:
                 self._request_missing_chunks(
                     peer_id, request_id, self._missing_chunks(state)
                 )
@@ -377,7 +399,8 @@ class BulletNetworkSync:
             state["last_activity"] = time.time()
             self._cancel(state, "sync_timeout_timer")
             state["sync_timeout_timer"] = self._after(
-                max(10.0, len(missing) * 1.0),
+                max(self.options["initial_sync_timeout"] / 3.0,
+                    len(missing) * 1.0),
                 self._handle_sync_timeout,
                 peer_id,
                 request_id,
@@ -462,7 +485,7 @@ class BulletNetworkSync:
             meta_items = list(self.bullet.meta.items())
 
         for path, meta in meta_items:
-            if meta.get("deleted") and (not since or meta.get("lastModified", 0) > since):
+            if meta.get("deleted") and (not since or meta.get("lastModified", 0) >= since):
                 entries.append(
                     {
                         "path": path,

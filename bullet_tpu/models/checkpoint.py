@@ -19,7 +19,16 @@ import numpy as np
 def save_checkpoint(sim, directory: str, backend: str = "npz") -> None:
     """``backend="npz"`` (default, dependency-free) or ``"orbax"`` (async-
     capable, sharding-aware saves for long-running simulations). The field
-    set follows the sim's table layout (dense 7-array or packed 3-array)."""
+    set follows the sim's table layout (dense 7-array or packed 3-array).
+
+    Queued-but-unapplied ops are applied first (a save must not silently
+    drop acknowledged puts), and any pending string-rank re-key runs before
+    the arrays are captured — load replays the interner to its CURRENT
+    ranks, so saving stale khi/klo would permanently corrupt string order
+    keys after restore."""
+    if any(sim._pending) or sim._pending_bulk:
+        sim.step(rounds=0)
+    sim._sync_device_state()
     os.makedirs(directory, exist_ok=True)
     fields = sim.table._fields
     if backend == "orbax":

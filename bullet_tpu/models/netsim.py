@@ -262,6 +262,30 @@ class PeerNetworkSim:
         k = len(peers)
         if k == 0:
             return
+        if self.hooks._put and not (
+            isinstance(paths, np.ndarray) and paths.dtype.kind == "i"
+        ):
+            # host put hooks must see bulk rows too (veto/mutate parity with
+            # scalar puts); this per-row pass only runs when hooks are
+            # registered — the vectorized fast path is otherwise untouched.
+            # Pre-interned slot-id batches skip hooks by design (documented:
+            # they are the raw device-feed API).
+            kept_p, kept_paths, kept_vals = [], [], []
+            vals_seq = (
+                values.tolist() if isinstance(values, np.ndarray) else values
+            )
+            for p, path, value in zip(peers, paths, vals_seq):
+                cont, path, value = self.hooks.run_put(int(p), path, value)
+                if cont:
+                    kept_p.append(int(p))
+                    kept_paths.append(path)
+                    kept_vals.append(value)
+                    self.hooks.queue_after_put(int(p), path, value)
+            if not kept_p:
+                return
+            peers = np.asarray(kept_p, dtype=np.int32)
+            paths, values = kept_paths, kept_vals
+            k = len(peers)
         if isinstance(paths, np.ndarray) and paths.dtype.kind == "i":
             slots = paths.astype(np.int32)
         else:
@@ -480,28 +504,17 @@ class PeerNetworkSim:
                 f"holds {len(self.host.values)} — use layout='dense'"
             )
         peer, slot, cls, khi, klo, vid = flat
-        transforms = tuple(self.hooks._traced_put)
-        rules = self.validation.rules() if self.validation.active else None
-        if transforms or rules is not None:
-            struct = self.host.struct()
-            ops = OpBatch(
+        if self.hooks._traced_put or (
+            self.validation.active and self.validation.rules() is not None
+        ):
+            # same ingress pipeline as the dense path — OpBatch fields are
+            # rank-agnostic, so flat [K] arrays go straight through
+            ops = self._ingress(OpBatch(
                 slot=jnp.asarray(slot), cls=jnp.asarray(cls),
                 khi=jnp.asarray(khi), klo=jnp.asarray(klo),
                 vid=jnp.asarray(vid),
                 ctr=jnp.zeros(slot.shape, dtype=jnp.int32),
-            )
-            if transforms:
-                from .ingress import traced_pipeline
-
-                ops = traced_pipeline(transforms)(ops, struct)
-            if rules is not None:
-                from .ingress import invalid_op_mask, veto_ops
-
-                invalid = invalid_op_mask(ops, struct, rules)
-                rejected = self.validation.report_rejections(ops, invalid)
-                if rejected:
-                    ops = veto_ops(ops, invalid)
-                    self.stats["ops_rejected"] += rejected
+            ))
             slot, cls, khi, klo, vid = (
                 np.asarray(ops.slot), np.asarray(ops.cls),
                 np.asarray(ops.khi), np.asarray(ops.klo), np.asarray(ops.vid),
@@ -575,7 +588,7 @@ class PeerNetworkSim:
                     and packed_ring_supported(*self.table.khi.shape)
                 )
             )
-            self.table, rounds = gossip_until_converged_packed(
+            self.table, rounds, final_changed = gossip_until_converged_packed(
                 self.table,
                 jnp.asarray(self.topology.neighbors),
                 self.topology.kind,
@@ -586,7 +599,7 @@ class PeerNetworkSim:
             rounds = int(rounds)
             self.stats["gossip_rounds"] += rounds
             self.stats["steps"] += 1
-            self.last_residual = 0
+            self.last_residual = int(final_changed)
             self._fire_subscriptions()
             return rounds
         from ..ops.ring_kernel import ring_round_supported
@@ -607,7 +620,7 @@ class PeerNetworkSim:
             if self.topology.name == "star"
             else 0
         )
-        self.table, rounds = gossip_until_converged_device(
+        self.table, rounds, final_changed = gossip_until_converged_device(
             self.table,
             jnp.asarray(self.topology.neighbors),
             self.topology.kind,
@@ -622,7 +635,9 @@ class PeerNetworkSim:
         rounds = int(rounds)
         self.stats["gossip_rounds"] += rounds
         self.stats["steps"] += 1
-        self.last_residual = 0
+        # honest residual: 0 only if the loop actually reached the fixed
+        # point; nonzero when max_rounds cut it off mid-convergence
+        self.last_residual = int(final_changed)
         self._sync_clocks()
         self._fire_subscriptions()
         return rounds

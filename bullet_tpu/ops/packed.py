@@ -509,7 +509,7 @@ def gossip_until_converged_packed(
         tbl, changed = round_fn(tbl)
         return tbl, rounds + 1, changed
 
-    table, rounds, _ = jax.lax.while_loop(
+    table, rounds, last_changed = jax.lax.while_loop(
         cond, body, (table, jnp.int32(0), jnp.int32(1))
     )
-    return table, rounds
+    return table, rounds, last_changed

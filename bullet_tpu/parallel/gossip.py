@@ -224,7 +224,9 @@ def gossip_until_converged_device(
         tbl, changed = round_fn(tbl)
         return tbl, rounds + 1, changed
 
-    table, rounds, _ = jax.lax.while_loop(
+    table, rounds, last_changed = jax.lax.while_loop(
         cond, body, (table, jnp.int32(0), jnp.int32(1))
     )
-    return table, rounds
+    # last_changed == 0 iff the fixed point was reached (vs the round cap);
+    # the initial sentinel 1 only survives when max_rounds == 0
+    return table, rounds, last_changed

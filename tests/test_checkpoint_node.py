@@ -80,3 +80,38 @@ def test_checkpoint_orbax_backend(tmp_path):
     assert restored.get(3, "o/y") == "hello"
     for a, b in zip(sim.table, restored.table):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_flushes_pending_ops(tmp_path):
+    """Code-review r2: acknowledged puts queued but not yet stepped must
+    survive a checkpoint (save used to drop _pending silently)."""
+    from bullet_tpu.models.netsim import PeerNetworkSim
+
+    sim = PeerNetworkSim(2, capacity=64, topology="ring")
+    sim.put(0, "queued/x", 7)  # no step before saving
+    sim.save_checkpoint(str(tmp_path / "ck"))
+    loaded = PeerNetworkSim.load_checkpoint(str(tmp_path / "ck"))
+    assert loaded.get(0, "queued/x") == 7
+
+
+def test_checkpoint_pending_rekey_preserved(tmp_path):
+    """A string-rank rebalance pending at save time must not leave stale
+    khi/klo keys in the checkpoint (load replays the interner to the NEW
+    ranks and then disables re-keying)."""
+    from bullet_tpu.models.netsim import PeerNetworkSim
+
+    sim = PeerNetworkSim(2, capacity=512, topology="ring")
+    # dense adjacent strings force midpoint-gap exhaustion -> rebalance(s)
+    for i in range(60):
+        sim.put(0, f"s/k{i:03d}", f"v{i:05d}")
+    sim.run_until_converged()
+    for i in range(60):  # interleave new strings between existing ranks
+        sim.put(1, f"s/m{i:03d}", f"v{i:05d}a")
+    # do NOT step: needs_rekey may be pending right now
+    sim.save_checkpoint(str(tmp_path / "ck"))
+    loaded = PeerNetworkSim.load_checkpoint(str(tmp_path / "ck"))
+    loaded.run_until_converged()
+    assert loaded.tables_equal()
+    # string order keys must still sort correctly after restore
+    hits = loaded.equals(0, "s", "v00003")
+    assert hits == ["s/k003"], hits

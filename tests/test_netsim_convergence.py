@@ -279,3 +279,32 @@ def test_subscription_off_stops_dispatch():
     sim.put(0, "q/x", 2)
     sim.run_until_converged()
     assert seen == [None, 1]
+
+
+def test_bulk_writes_respect_put_hooks():
+    """Code-review r2: put hooks must veto/mutate bulk rows too (scalar and
+    bulk paths previously enforced different policies)."""
+    sim = PeerNetworkSim(2, capacity=128, topology="ring")
+    audited = []
+    sim.use("put", lambda path, data, peer: (
+        False if path.startswith("blocked") else None))
+    sim.use("afterPut", lambda path, data, peer: audited.append(path))
+    import numpy as np
+    sim.put_bulk(np.array([0, 1], dtype=np.int32),
+                 ["blocked/a", "open/b"], np.array([1.0, 2.0]))
+    sim.run_until_converged()
+    assert sim.get(0, "blocked/a") is None
+    assert sim.get(0, "open/b") == 2.0
+    assert audited == ["open/b"]
+
+
+def test_last_residual_honest_at_round_cap():
+    """Code-review r2: last_residual must not claim 0 when max_rounds cut
+    convergence short."""
+    sim = PeerNetworkSim(16, capacity=64, topology="ring")
+    sim.put(0, "far/x", 99)
+    sim.run_until_converged(max_rounds=1)  # diameter 8: one round can't finish
+    assert sim.last_residual > 0
+    sim.run_until_converged()
+    assert sim.last_residual == 0
+    assert sim.tables_equal()

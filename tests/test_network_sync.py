@@ -201,3 +201,66 @@ def test_sync_watermark_covers_writes_during_collection():
     finally:
         p1.close()
         p2.close()
+
+
+def test_lost_chunk_recovers_instead_of_wedging():
+    """Code-review r2 (liveness): a dropped mid-transfer chunk used to loop
+    resume requests forever (attempts never incremented, the responder's
+    resume ack restarts a sync in the REVERSE direction). Now one resume
+    attempt is tried, then a full re-request recovers the sync."""
+    p1 = make_peer(connect_sync_delay=1000)
+    p2 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"],
+                   connect_sync_delay=1000,
+                   initial_sync_timeout=0.6, retry_interval=0.2,
+                   max_sync_attempts=4)
+    try:
+        assert wait_for(lambda: p1.network.peers and p2.network.peers, 10)
+        for i in range(120):  # 3 chunks at chunk_size 50
+            p1.set_data(f"items/item{i}", {"n": i}, broadcast=False)
+
+        sync2 = p2.network.sync
+        orig = sync2._handle_sync_chunk
+        dropped = []
+
+        def dropping(peer_id, message):
+            if message.get("chunkIndex") == 1 and not dropped:
+                dropped.append(message["id"])
+                return  # lose the middle chunk of the first transfer
+            return orig(peer_id, message)
+
+        sync2._handle_sync_chunk = dropping
+        p2.network.request_sync()
+        assert wait_for(
+            lambda: len(p2.store.get("items", {})) == 120, timeout=20
+        ), (f"sync wedged: {len(p2.store.get('items', {}))} items, "
+            f"state={sync2._peer_state(p1.id)['status']}")
+        assert sync2._peer_state(p1.id)["status"] == "complete"
+    finally:
+        p1.close()
+        p2.close()
+
+
+def test_tombstone_at_watermark_propagates():
+    """Deletes stamped exactly at the since watermark must still sync
+    (the live-entry filter re-sends at == since; tombstones now match)."""
+    p1 = make_peer(connect_sync_delay=1000)
+    p2 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"],
+                   connect_sync_delay=1000)
+    try:
+        assert wait_for(lambda: p1.network.peers and p2.network.peers, 10)
+        p1.set_data("doomed/x", 5, broadcast=False)
+        p2.network.request_sync()
+        assert wait_for(lambda: p2.store.get("doomed", {}).get("x") == 5)
+        # tombstone the entry with lastModified EXACTLY at p2's watermark
+        state = p2.network.sync._peer_state(p1.id)
+        p1.set_data("doomed/x", None, broadcast=False)
+        p1.meta["doomed/x"]["deleted"] = True
+        p1.meta["doomed/x"]["lastModified"] = state["last_sync_time_ms"]
+        p2.store["doomed"]["x"] = 5  # simulate divergence to repair
+        p2.network.request_sync()
+        assert wait_for(
+            lambda: p2.store.get("doomed", {}).get("x") is None, timeout=10
+        ), p2.store.get("doomed")
+    finally:
+        p1.close()
+        p2.close()

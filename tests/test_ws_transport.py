@@ -163,3 +163,61 @@ def test_raw_ws_client_like_bullet_js():
         if sock is not None:
             sock.close()
         srv.close()
+
+
+def test_wss_tls_dial(tmp_path):
+    """wss:// peers dial over TLS (code-review r2: a plain socket to a TLS
+    listener looped reconnects forever). A minimal TLS WebSocket responder
+    stands in for a TLS-terminated bullet-js peer."""
+    import ssl
+    import subprocess
+    import threading
+
+    key, crt = str(tmp_path / "k.pem"), str(tmp_path / "c.pem")
+    gen = subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-keyout", key,
+         "-out", crt, "-days", "1", "-nodes", "-subj", "/CN=127.0.0.1"],
+        capture_output=True,
+    )
+    if gen.returncode != 0:
+        pytest.skip(f"openssl unavailable: {gen.stderr[:80]}")
+
+    server_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    server_ctx.load_cert_chain(crt, key)
+    listener = socket.socket()
+    listener.bind(("127.0.0.1", 0))
+    listener.listen(1)
+    port = listener.getsockname()[1]
+    got = {}
+
+    def serve():
+        raw, _ = listener.accept()
+        tls = server_ctx.wrap_socket(raw, server_side=True)
+        reader = tls.makefile("rb")
+        line = reader.readline()
+        headers = ws.server_handshake(reader, tls, line)
+        got["peer_header"] = headers.get("x-peer-id")
+        tls.sendall(ws.encode_frame(json.dumps(
+            {"type": "handshake-response", "id": "s1",
+             "peerId": "tls-peer"}).encode(), ws.OP_TEXT))
+        # read the client's handshake message
+        got["client_msg"] = json.loads(
+            ws.read_message(reader, tls, client_side=False))
+        time.sleep(0.3)
+        tls.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    client_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    client_ctx.check_hostname = False
+    client_ctx.verify_mode = ssl.CERT_NONE
+    p = make_peer(peers=[f"wss://127.0.0.1:{port}"], ssl_context=client_ctx)
+    try:
+        assert wait_for(lambda: "tls-peer" in p.network.peers, 10)
+        t.join(timeout=5)
+        assert got["peer_header"] == p.id
+        assert got["client_msg"]["type"] == "handshake"
+    finally:
+        p.close()
+        listener.close()
