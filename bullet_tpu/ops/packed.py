@@ -232,7 +232,13 @@ def reduce_flat_ops(peer, slot, cls, khi, klo, vid):
     """Host-side lattice pre-reduction: keep the (cls, khi, klo, vid)-max op
     per (peer, slot). numpy lexsort (last key is primary) groups by peer,
     slot and orders ascending by the value keys — the last row of each group
-    is the winner."""
+    is the winner.
+
+    Sort keys are packed to 4 lexsort passes instead of 6: (peer, slot)
+    fuses into one int64, and (khi, klo) fuses back into the original
+    unsigned 64-bit order key they were split from (utils.encode.number_key
+    bias-maps uint32 halves to int32, so re-biasing and recombining is
+    order-exact)."""
     import numpy as np
 
     keep = cls > 0
@@ -241,10 +247,16 @@ def reduce_flat_ops(peer, slot, cls, khi, klo, vid):
     )
     if peer.size == 0:
         return None
-    order = np.lexsort((vid, klo, khi, cls, slot, peer))
-    p_s, s_s = peer[order], slot[order]
+    bias = np.int64(1) << 31
+    pslot = (peer.astype(np.int64) << 32) | slot.astype(np.int64)
+    key64 = (
+        ((khi.astype(np.int64) + bias).astype(np.uint64) << np.uint64(32))
+        | (klo.astype(np.int64) + bias).astype(np.uint64)
+    )
+    order = np.lexsort((vid, key64, cls, pslot))
+    ps = pslot[order]
     last = np.ones(order.size, dtype=bool)
-    last[:-1] = (p_s[1:] != p_s[:-1]) | (s_s[1:] != s_s[:-1])
+    last[:-1] = ps[1:] != ps[:-1]
     idx = order[last]
     cv = ((cls[idx].astype(np.int64) << CV_SHIFT) | vid[idx]).astype(np.int32)
     return peer[idx], slot[idx], khi[idx], klo[idx], cv

@@ -302,9 +302,18 @@ def bulk_encode_numbers(
         flat = f.ravel()
         new_vals = flat[new_idx]
         nk_hi, nk_lo = khi.ravel()[new_idx], klo.ravel()[new_idx]
-        interner._value_of.extend(
-            int(v) if v.is_integer() else float(v) for v in new_vals.tolist()
+        # int/float split done vectorized: a per-value `.is_integer()` loop
+        # costs ~1.5 s per 1M novel values (the ingest hot path)
+        stored = new_vals.tolist()
+        int_mask = (
+            np.isfinite(new_vals)
+            & (np.floor(new_vals) == new_vals)
+            & (np.abs(new_vals) < float(1 << 63))
         )
+        int_vals = new_vals[int_mask].astype(np.int64).tolist()
+        for i, v in zip(np.nonzero(int_mask)[0].tolist(), int_vals):
+            stored[i] = v
+        interner._value_of.extend(stored)
         interner._cls.extend([CLS_NUMBER] * len(new_idx))
         interner._khi.extend(nk_hi.tolist())
         interner._klo.extend(nk_lo.tolist())
