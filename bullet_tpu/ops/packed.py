@@ -427,6 +427,159 @@ def ring_round_packed_traced(
     return PackedTable(*outs[:3]), outs[3][0, 0]
 
 
+# ------------------------------------------------------------ halo (big P)
+
+
+def _halo_round_kernel_packed(wrap: bool, tile_p: int, num_peers: int, *refs):
+    """In-place halo variant for P beyond the full-P stripe limit.
+
+    The center blocks alias their outputs (in-place in HBM), which makes
+    reading neighbor rows from adjacent center tiles UNSAFE — the TPU grid
+    is sequential and tile i-1's rows are already overwritten when tile i
+    runs. Instead, the pre-round boundary rows (rows k*tile_p - 1 and
+    k*tile_p for every tile k) are snapshotted into a small scratch before
+    the kernel; halos read the scratch, never other tiles."""
+    import jax.experimental.pallas as pl
+
+    c_refs = refs[:3]
+    t_refs = refs[3:6]  # [8, tile_n] pre-round rows above this tile (row 7 = adjacent)
+    b_refs = refs[6:9]  # [8, tile_n] pre-round rows below this tile (row 0 = adjacent)
+    out_refs, count_ref = refs[9:12], refs[12]
+
+    i = pl.program_id(0)
+    center = [r[...] for r in c_refs]
+    row_in_block = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
+    global_row = i * tile_p + row_in_block
+
+    def shifted(direction: int):
+        out = []
+        for f in range(3):
+            c = center[f]
+            if direction == +1:
+                rolled = jnp.roll(c, 1, axis=0)
+                fixed = jnp.where(row_in_block == 0, t_refs[f][7:8, :], rolled)
+                if not wrap:
+                    fixed = jnp.where(global_row == 0, 0, fixed)
+            else:
+                rolled = jnp.roll(c, -1, axis=0)
+                fixed = jnp.where(
+                    row_in_block == tile_p - 1, b_refs[f][0:1, :], rolled
+                )
+                if not wrap:
+                    fixed = jnp.where(global_row == num_peers - 1, 0, fixed)
+            out.append(fixed)
+        return out
+
+    def lexmax(a_vals, b_vals):
+        gt = _lex_gt_packed(packed_keys(*b_vals), packed_keys(*a_vals))
+        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+
+    m1, gt1 = lexmax(center, shifted(+1))
+    m2, gt2 = lexmax(m1, shifted(-1))
+    for out, v in zip(out_refs, m2):
+        out[...] = v
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        count_ref[0, 0] = 0
+
+    count_ref[0, 0] += jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(
+        gt2.astype(jnp.int32)
+    )
+
+
+def _halo_tiles_packed(p: int, n: int) -> Tuple[int, int]:
+    """(tile_p, tile_n): 8-aligned tile_p dividing p, 128-aligned tile_n
+    dividing n, tile_p*tile_n within the VMEM budget; (0, 0) if impossible.
+
+    tile_p is maximized (tile_n kept small): the boundary snapshot costs
+    16 * (p / tile_p) rows of [n] PER ROUND, so fewer, taller tiles keep
+    the scratch gather small (tile_p=1024 → 3% of the table; tile_p=64
+    would be 50%)."""
+    tile_n = 0
+    t = min(256, n)
+    t = t // 128 * 128
+    while t >= 128 and n % t:
+        t -= 128
+    if t >= 128 and n % t == 0:
+        tile_n = t
+    if not tile_n:
+        return 0, 0
+    target_p = max(8, (_STRIPE_MAX_ELEMS) // tile_n // 8 * 8)
+    tile_p = 0
+    cand = 8
+    while cand <= min(p, target_p):
+        if p % cand == 0:
+            tile_p = cand
+        cand += 8
+    return (tile_p, tile_n) if tile_p else (0, 0)
+
+
+def packed_halo_supported(p: int, n: int) -> bool:
+    if p % 8 or n % 128:
+        return False
+    tile_p, tile_n = _halo_tiles_packed(p, n)
+    return tile_p > 0 and p // tile_p >= 2
+
+
+@functools.partial(jax.jit, static_argnames=("wrap", "interpret"))
+def _halo_round_packed_jit(table, wrap: bool, interpret: bool):
+    return halo_round_packed_traced(table, wrap, interpret)
+
+
+def halo_round_packed_traced(
+    table: PackedTable, wrap: bool, interpret: bool
+) -> Tuple[PackedTable, jax.Array]:
+    """In-place ring/chain round for any 8-aligned P: boundary-row snapshot
+    (2 rows per tile) + halo kernel whose center blocks alias their outputs.
+    Extra traffic ≈ 2/tile_p of the table per round."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, n = table.khi.shape
+    tile_p, tile_n = _halo_tiles_packed(p, n)
+    tiles = p // tile_p
+
+    # pre-round boundary snapshot: the 8 rows above and below each tile
+    # (Mosaic needs 8-row sublane blocks; only rows 7 / 0 are consumed) —
+    # [8*tiles, n] each. Built from static slices + a roll over the tiny
+    # tile axis: a row GATHER here lowers to a table/8-sized XLA temp,
+    # which blows the north-star HBM budget.
+    def edges(f):
+        v = f.reshape(tiles, tile_p, n)
+        last8 = v[:, tile_p - 8 :, :]  # each tile's last 8 rows
+        first8 = v[:, :8, :]  # each tile's first 8 rows
+        top = jnp.roll(last8, 1, axis=0).reshape(tiles * 8, n)
+        bottom = jnp.roll(first8, -1, axis=0).reshape(tiles * 8, n)
+        return top, bottom
+
+    tops, bottoms = zip(*(edges(f) for f in table))
+
+    grid = (tiles, n // tile_n)
+    center_spec = pl.BlockSpec(
+        (tile_p, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec(
+        (8, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    count_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)
+    ) + (jax.ShapeDtypeStruct((1, 1), jnp.int32),)
+    outs = pl.pallas_call(
+        functools.partial(_halo_round_kernel_packed, wrap, tile_p, p),
+        grid=grid,
+        in_specs=[center_spec] * 3 + [halo_spec] * 6,
+        out_specs=tuple([center_spec] * 3) + (count_spec,),
+        out_shape=out_shapes,
+        input_output_aliases={0: 0, 1: 1, 2: 2},
+        interpret=interpret,
+    )(*table, *tops, *bottoms)
+    return PackedTable(*outs[:3]), outs[3][0, 0]
+
+
 def ring_round_packed_pallas(
     table: PackedTable, wrap: bool = True, interpret: bool | None = None
 ) -> Tuple[PackedTable, jax.Array]:
@@ -465,16 +618,23 @@ def gossip_round_packed(
         return ring_round_shardmap_packed(
             table, mesh, wrap=topology.kind == "ring"
         )
+    p, n = table.khi.shape
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"
             and mesh is None
             and len(table.cv.devices()) == 1
             and topology.kind in ("ring", "chain")
-            and packed_ring_supported(*table.khi.shape)
+            and (packed_ring_supported(p, n) or packed_halo_supported(p, n))
         )
     if use_pallas and topology.kind in ("ring", "chain"):
-        return ring_round_packed_pallas(table, wrap=topology.kind == "ring")
+        if packed_ring_supported(p, n):
+            return ring_round_packed_pallas(table, wrap=topology.kind == "ring")
+        if packed_halo_supported(p, n):
+            return _halo_round_packed_jit(
+                table, topology.kind == "ring",
+                jax.default_backend() != "tpu",
+            )
     return _gossip_round_packed_jit(
         table, jnp.asarray(topology.neighbors), topology.kind
     )
@@ -506,10 +666,11 @@ def gossip_until_converged_packed(
             )
         if use_pallas and kind in ("ring", "chain"):
             p, n = tbl.khi.shape
+            interp = jax.default_backend() != "tpu"
             if packed_ring_supported(p, n):
-                return ring_round_packed_traced(
-                    tbl, kind == "ring", jax.default_backend() != "tpu"
-                )
+                return ring_round_packed_traced(tbl, kind == "ring", interp)
+            if packed_halo_supported(p, n):
+                return halo_round_packed_traced(tbl, kind == "ring", interp)
         return _gossip_round_packed_jit(tbl, neighbors, kind)
 
     def cond(state):

@@ -275,3 +275,57 @@ def test_flat_scatter_blocked_path_no_cross_block_corruption():
         row_hits = np.nonzero(got_cv[q])[0]
         assert row_hits.tolist() == [q * 7], (q, row_hits)  # no foreign rows
         assert got_khi[q, q * 7] == q + 1
+
+
+@pytest.mark.parametrize("wrap", [True, False])
+def test_packed_halo_round_matches_xla(wrap):
+    """In-place halo variant (for P beyond the full-P stripe limit):
+    interpret-mode bit-identity with the XLA round, multiple tiles."""
+    from bullet_tpu.ops.packed import (
+        _halo_tiles_packed,
+        halo_round_packed_traced,
+        packed_halo_supported,
+    )
+
+    p, n = 4096, 256  # beyond the full-P stripe budget -> halo territory
+    from bullet_tpu.ops.packed import packed_ring_supported as _prs
+    assert not _prs(p, n)
+    assert packed_halo_supported(p, n)
+    tile_p, _ = _halo_tiles_packed(p, n)
+    assert p // tile_p >= 2, "test must span multiple tiles"
+    t = pack_table(random_dense(p, n, seed=11))
+    ref_fn = gossip_round_ring_packed if wrap else gossip_round_chain_packed
+    expected, c_ref = ref_fn(t)
+    got, c_got = jax.jit(
+        halo_round_packed_traced, static_argnums=(1, 2)
+    )(t, wrap, True)
+    for a, b in zip(expected, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(c_ref) == int(c_got)
+
+
+def test_packed_halo_convergence_loop():
+    """The convergence while_loop dispatches to the halo kernel for big-P
+    shapes and reaches the same fixed point as XLA."""
+    from bullet_tpu.ops.packed import (
+        gossip_until_converged_packed,
+        packed_halo_supported,
+        packed_ring_supported,
+    )
+    from bullet_tpu.parallel import topology as topo2
+
+    p, n = 4096, 256  # halo territory (full-P stripe unsupported)
+    t = pack_table(random_dense(p, n, seed=12))
+    nb = jnp.asarray(topo2.ring(p).neighbors)
+    # capped rounds: per-round bit-identity implies loop identity, and an
+    # interpret-mode run to a 4096-peer fixed point is minutes of CPU
+    want, r_want, c_want = gossip_until_converged_packed(
+        PackedTable(*(jnp.array(f) for f in t)), nb, "ring", 3,
+        use_pallas=False)
+    got, r_got, c_got = gossip_until_converged_packed(
+        PackedTable(*(jnp.array(f) for f in t)), nb, "ring", 3,
+        use_pallas=True)
+    assert packed_halo_supported(p, n) or packed_ring_supported(p, n)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(r_want) == int(r_got)
