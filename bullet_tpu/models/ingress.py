@@ -266,7 +266,7 @@ class EngineValidation:
         rules = self._strict_rules()
         if not rules:
             return None
-        parent2, seg = self.sim.host.struct_np()
+        _parent, parent2, seg = self.sim.host.struct_np()
         p2 = parent2[slots]
         sg = seg[slots]
         k = len(slots)

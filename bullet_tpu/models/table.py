@@ -147,10 +147,10 @@ class GraphHost:
         return self._struct_cache
 
     def struct_np(self):
-        """(parent2, seg) as host numpy arrays, refreshed like struct() —
-        for vectorized host-side masks over op slots."""
-        self.struct()  # refreshes self._parent2/_seg in native mode
-        return self._parent2, self._seg
+        """(parent, parent2, seg) as host numpy arrays, refreshed like
+        struct() — for vectorized host-side masks and tree assembly."""
+        self.struct()  # refreshes the numpy arrays in native mode
+        return self._parent, self._parent2, self._seg
 
     def seg_lookup(self, seg: str) -> int:
         if self._native_paths:
@@ -163,6 +163,8 @@ class GraphHost:
     # ---------------------------------------------------------------- reads
 
     def leaf_slots_under(self, pid: int) -> List[int]:
+        if self._native_paths:
+            return self.paths.subtree(pid).tolist()
         return [d for d in self.paths.descendants(pid)]
 
     def build_tree(
@@ -173,17 +175,34 @@ class GraphHost:
         ``slot_values`` maps slot id -> decoded value for present leaves.
         Returns the leaf value when ``pid`` itself is a populated leaf with no
         populated descendants; otherwise a nested dict.
+
+        Flat bottom-up assembly (ids ascend parent-before-child, so a single
+        descending pass sees every child before its parent) — no recursion
+        and, in native mode, no per-node children() round-trips: the subtree
+        arrives as one bulk call and parents come from the cached numpy
+        array. A node with populated children is a dict (leaf value
+        shadowed); childless populated nodes are their value.
         """
-        children = self.paths.children(pid)
-        subtree: Dict[str, Any] = {}
-        for child in children:
-            sub = self.build_tree(child, slot_values)
-            if sub is not _MISSING:
-                subtree[self.paths.segment(child)] = sub
-        if subtree:
-            return subtree
-        if pid in slot_values:
-            return slot_values[pid]
+        ids = [pid, *self.leaf_slots_under(pid)]
+        ids.sort()
+        parent_arr, _, _ = self.struct_np()
+        seg = self.paths.segment
+        pending: Dict[int, list] = {}
+        for i in reversed(ids):
+            kids = pending.pop(i, None)
+            if kids is not None:
+                node: Any = {s: sub for s, sub in reversed(kids)}
+            elif i in slot_values:
+                node = slot_values[i]
+            else:
+                continue
+            if i == pid:
+                return node
+            par = int(parent_arr[i])
+            bucket = pending.get(par)
+            if bucket is None:
+                bucket = pending[par] = []
+            bucket.append((seg(i), node))
         return _MISSING
 
 

@@ -123,6 +123,8 @@ def load() -> Optional[ctypes.CDLL]:
         lib.pin_children_count.argtypes = [c_vp, c_i32]
         lib.pin_children_count.restype = c_i64
         lib.pin_children_get.argtypes = [c_vp, c_i32, c_vp]
+        lib.pin_subtree.argtypes = [c_vp, c_i32, c_vp, c_i64]
+        lib.pin_subtree.restype = c_i64
         lib.pin_seg_id.argtypes = [c_vp, c_cp, c_i64]
         lib.pin_seg_id.restype = c_i32
         lib.pin_seg_lookup.argtypes = [c_vp, c_cp, c_i64]
@@ -374,12 +376,23 @@ class NativePathInterner:
         base = self.path(pid) if pid >= 0 else ""
         return self.lookup(f"{base}/{seg}" if base else seg)
 
+    def subtree(self, pid: int):
+        """All strict descendants (descendants() order) as one int32 array —
+        a single C call instead of per-node children() round-trips."""
+        import numpy as np
+
+        cap = 256
+        while True:
+            out = np.empty(cap, dtype=np.int32)
+            n = int(self._lib.pin_subtree(
+                self._handle, pid, out.ctypes.data_as(ctypes.c_void_p), cap
+            ))
+            if n <= cap:
+                return out[:n]
+            cap = n
+
     def descendants(self, pid: int):
-        stack = self.children(pid)
-        while stack:
-            cur = stack.pop()
-            yield cur
-            stack.extend(self.children(cur))
+        return iter(self.subtree(pid).tolist())
 
     def top_level(self):
         parent, _seg = self.export_struct(len(self))

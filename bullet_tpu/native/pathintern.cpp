@@ -371,6 +371,27 @@ void pin_children_get(void* h, int32_t pid, int32_t* out) {
     *out++ = c;
 }
 
+// Bulk subtree export: all strict descendants of pid in the exact order
+// Python's PathInterner.descendants yields (LIFO stack: pop last, extend
+// with children in creation order) — one call instead of one children()
+// call per node.
+int64_t pin_subtree(void* h, int32_t pid, int32_t* out, int64_t cap) {
+  auto* pi = static_cast<PathInterner*>(h);
+  std::vector<int32_t> stack;
+  for (int32_t c = pi->first_child[pid]; c >= 0; c = pi->next_sibling[c])
+    stack.push_back(c);
+  int64_t n = 0;
+  while (!stack.empty()) {
+    int32_t cur = stack.back();
+    stack.pop_back();
+    if (n < cap) out[n] = cur;
+    ++n;
+    for (int32_t c = pi->first_child[cur]; c >= 0; c = pi->next_sibling[c])
+      stack.push_back(c);
+  }
+  return n;  // > cap signals the caller to retry with a bigger buffer
+}
+
 // Segment-id registry: create-or-get (matches GraphHost._seg_id) and
 // lookup-only (seg_lookup returns -1 when absent).
 int32_t pin_seg_id(void* h, const char* s, int64_t len) {
