@@ -578,6 +578,7 @@ class PeerNetworkSim:
             )
 
             spmd_mesh = self._gossip_mesh()
+            stripe_ok = packed_ring_supported(*self.table.khi.shape)
             use_pallas = (
                 self.use_pallas
                 if self.use_pallas is not None
@@ -585,17 +586,33 @@ class PeerNetworkSim:
                     jax.default_backend() == "tpu"
                     and self.mesh is None
                     and self.topology.kind in ("ring", "chain")
-                    and packed_ring_supported(*self.table.khi.shape)
+                    and stripe_ok
                 )
             )
-            self.table, rounds, final_changed = gossip_until_converged_packed(
-                self.table,
-                jnp.asarray(self.topology.neighbors),
-                self.topology.kind,
-                max_rounds,
-                use_pallas=bool(use_pallas) and spmd_mesh is None,
-                spmd_mesh=spmd_mesh,
-            )
+            if (
+                use_pallas and spmd_mesh is None and stripe_ok
+                and self.topology.kind in ("ring", "chain")
+                and self.mesh is None
+            ):
+                # frontier loop: settled slot stripes are skipped per round
+                from ..ops.packed import _stripe_tile_n, gossip_frontier_packed
+
+                p, n = self.table.khi.shape
+                t_total = n // _stripe_tile_n(p, n)
+                dirty = jnp.ones(t_total, dtype=jnp.bool_)
+                self.table, rounds, final_changed = gossip_frontier_packed(
+                    self.table, dirty, self.topology.kind == "ring",
+                    max_rounds, interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                self.table, rounds, final_changed = gossip_until_converged_packed(
+                    self.table,
+                    jnp.asarray(self.topology.neighbors),
+                    self.topology.kind,
+                    max_rounds,
+                    use_pallas=bool(use_pallas) and spmd_mesh is None,
+                    spmd_mesh=spmd_mesh,
+                )
             rounds = int(rounds)
             self.stats["gossip_rounds"] += rounds
             self.stats["steps"] += 1

@@ -329,3 +329,82 @@ def test_packed_halo_convergence_loop():
     for a, b in zip(want, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(r_want) == int(r_got)
+
+
+def test_frontier_loop_bitidentical_to_classic():
+    """Frontier convergence (settled stripes skipped per round) must reach
+    the exact same fixed point in the exact same round count as the classic
+    all-stripes loop."""
+    from bullet_tpu.ops.packed import (
+        gossip_frontier_packed,
+        gossip_until_converged_packed,
+        _stripe_tile_n,
+    )
+    from bullet_tpu.parallel import topology as topo2
+
+    for wrap, kind in ((True, "ring"), (False, "chain")):
+        p, n = 64, 8192  # 4 stripes at this shape
+        t = pack_table(random_dense(p, n, seed=31))
+        nb = jnp.asarray(getattr(topo2, kind)(p).neighbors)
+        want, r_want, _ = gossip_until_converged_packed(
+            PackedTable(*(jnp.array(f) for f in t)), nb, kind, p + 2,
+            use_pallas=True)
+        t_total = n // _stripe_tile_n(p, n)
+        assert t_total >= 2
+        got, r_got, c_got = gossip_frontier_packed(
+            PackedTable(*(jnp.array(f) for f in t)),
+            jnp.ones(t_total, dtype=jnp.bool_), wrap, p + 2, interpret=True)
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), kind)
+        assert int(r_want) == int(r_got)
+        assert int(c_got) == 0
+
+
+def test_frontier_sparse_start():
+    """Starting with only the truly-dirty stripes marked converges to the
+    same state (writes confined to marked stripes)."""
+    from bullet_tpu.ops.packed import (
+        _stripe_tile_n,
+        gossip_frontier_packed,
+        gossip_until_converged_packed,
+    )
+    from bullet_tpu.parallel import topology as topo2
+
+    p, n = 64, 8192
+    tile_n = _stripe_tile_n(p, n)
+    t_total = n // tile_n
+    base = pack_table(random_dense(p, n, seed=32))
+    # make all stripes ALREADY converged, then dirty exactly one stripe
+    nb = jnp.asarray(topo2.ring(p).neighbors)
+    base, _, _ = gossip_until_converged_packed(base, nb, "ring", p + 2)
+    upd = base._replace(
+        cv=base.cv.at[3, 2 * tile_n + 7].set((2 << 28) | 12345),
+        khi=base.khi.at[3, 2 * tile_n + 7].set(99999),
+    )
+    dirty = jnp.zeros(t_total, dtype=jnp.bool_).at[2].set(True)
+    got, rounds, _ = gossip_frontier_packed(
+        PackedTable(*(jnp.array(f) for f in upd)), dirty, True, p + 2,
+        interpret=True)
+    want, _, _ = gossip_until_converged_packed(
+        PackedTable(*(jnp.array(f) for f in upd)), nb, "ring", p + 2)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sim_packed_uses_frontier_and_matches_xla():
+    def run(**kw):
+        sim = PeerNetworkSim(16, capacity=512, topology="ring",
+                             layout="packed", **kw)
+        rng = np.random.default_rng(33)
+        for _ in range(50):
+            sim.put(int(rng.integers(16)), f"w/k{int(rng.integers(6))}",
+                    int(rng.integers(1000)))
+        r = sim.run_until_converged()
+        assert sim.tables_equal()
+        return r, [np.asarray(f) for f in sim.table]
+
+    r1, plain = run(use_pallas=False)
+    r2, frontier = run(use_pallas=True)  # frontier path on CPU interpret
+    assert r1 == r2
+    for a, b in zip(plain, frontier):
+        np.testing.assert_array_equal(a, b)
