@@ -210,6 +210,10 @@ class PeerNetworkSim:
         # schema validation, both zero-cost until something registers
         self.validation = EngineValidation(self)
         self.hooks = EngineHooks(self)
+        # frontier bookkeeping (packed ring/chain): per-stripe dirty flags
+        # known only between a completed frontier convergence and the next
+        # non-frontier mutation; None = unknown -> start all-dirty
+        self._frontier_dirty: Optional[np.ndarray] = None
         self.stats = {
             "ops_enqueued": 0,
             "ops_applied": 0,
@@ -409,6 +413,7 @@ class PeerNetworkSim:
         while new_cap < needed:
             new_cap *= 2
         pad = new_cap - self.capacity
+        self._frontier_dirty = None  # stripe count changes with capacity
         self.table = type(self.table)(
             *(jnp.pad(f, ((0, 0), (0, pad))) for f in self.table)
         )
@@ -522,6 +527,16 @@ class PeerNetworkSim:
         reduced = reduce_flat_ops(peer, slot, cls, khi, klo, vid)
         if reduced is None:
             return 0
+        if self._frontier_dirty is not None:
+            from ..ops.packed import _stripe_tile_n
+
+            tile_n = _stripe_tile_n(*self.table.khi.shape)
+            if tile_n and len(self._frontier_dirty) == (
+                self.table.khi.shape[1] // tile_n
+            ):
+                self._frontier_dirty[np.unique(reduced[1] // tile_n)] = True
+            else:
+                self._frontier_dirty = None
         self.table, applied = apply_flat_packed(
             self.table, *(jnp.asarray(a) for a in reduced)
         )
@@ -550,6 +565,8 @@ class PeerNetworkSim:
         self.stats["ops_applied"] += self._apply_pending()
         self.hooks.fire_after_puts()
         residual = 0
+        if rounds:
+            self._frontier_dirty = None  # untracked gossip advances stripes
         for _ in range(rounds):
             self.table, changed = self._one_round()
             residual = int(changed)
@@ -599,11 +616,24 @@ class PeerNetworkSim:
 
                 p, n = self.table.khi.shape
                 t_total = n // _stripe_tile_n(p, n)
-                dirty = jnp.ones(t_total, dtype=jnp.bool_)
+                if (
+                    self._frontier_dirty is not None
+                    and len(self._frontier_dirty) == t_total
+                ):
+                    # incremental: only stripes touched since the last
+                    # completed convergence need work
+                    dirty = jnp.asarray(self._frontier_dirty)
+                else:
+                    dirty = jnp.ones(t_total, dtype=jnp.bool_)
                 self.table, rounds, final_changed = gossip_frontier_packed(
                     self.table, dirty, self.topology.kind == "ring",
                     max_rounds, interpret=jax.default_backend() != "tpu",
                 )
+                rounds_int = int(rounds)
+                if rounds_int < max_rounds or int(final_changed) == 0:
+                    self._frontier_dirty = np.zeros(t_total, dtype=bool)
+                else:
+                    self._frontier_dirty = None
             else:
                 self.table, rounds, final_changed = gossip_until_converged_packed(
                     self.table,
@@ -1066,6 +1096,7 @@ class PeerNetworkSim:
         }
 
     def restore(self, snap: dict) -> None:
+        self._frontier_dirty = None
         self.table = type(self.table)(*(jnp.asarray(f) for f in snap["table"]))
         if self.mesh is not None:
             self.table = shard_table(self.table, self.mesh)

@@ -408,3 +408,57 @@ def test_sim_packed_uses_frontier_and_matches_xla():
     assert r1 == r2
     for a, b in zip(plain, frontier):
         np.testing.assert_array_equal(a, b)
+
+
+def test_frontier_incremental_seed():
+    """After a completed convergence, the next run_until_converged seeds the
+    frontier from the stripes the new ops touched — and still reaches the
+    exact state a from-scratch sim produces."""
+    def final_state(ops):
+        sim = PeerNetworkSim(16, capacity=2048, topology="ring",
+                             layout="packed", use_pallas=True)
+        for peer, path, value in ops:
+            sim.put(peer, path, value)
+        sim.run_until_converged()
+        assert sim.tables_equal()
+        return [np.asarray(f) for f in sim.table]
+
+    first = [(i % 16, f"a/k{i % 40}", i) for i in range(100)]
+    second = [(3, "a/k7", 10_000), (9, "b/new", 42)]
+
+    sim = PeerNetworkSim(16, capacity=2048, topology="ring",
+                         layout="packed", use_pallas=True)
+    for peer, path, value in first:
+        sim.put(peer, path, value)
+    sim.run_until_converged()
+    assert sim._frontier_dirty is not None and not sim._frontier_dirty.any()
+    for peer, path, value in second:
+        sim.put(peer, path, value)
+    sim.run_until_converged()
+    assert sim.tables_equal()
+    want = final_state(first + second)
+    for a, b in zip(want, sim.table):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # reads still correct
+    assert sim.get(0, "a/k7") == 10_000
+    assert sim.get(15, "b/new") == 42
+
+
+def test_frontier_seed_invalidation_paths():
+    """Manual step rounds, capacity growth, and restore must forget the
+    clean-stripe knowledge (conservatively re-running the full frontier)."""
+    sim = PeerNetworkSim(16, capacity=256, topology="ring",
+                         layout="packed", use_pallas=True)
+    sim.put(0, "x/a", 1)
+    sim.run_until_converged()
+    assert sim._frontier_dirty is not None
+    sim.put(1, "x/a", 2)
+    sim.step()  # untracked gossip
+    assert sim._frontier_dirty is None
+    sim.run_until_converged()
+    assert sim.tables_equal()
+    snap = sim.snapshot()
+    sim.restore(snap)
+    assert sim._frontier_dirty is None
+    sim.run_until_converged()
+    assert sim.tables_equal() and sim.get(5, "x/a") == 2
