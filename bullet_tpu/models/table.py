@@ -53,6 +53,7 @@ class GraphHost:
         self._seg = np.full(capacity, -1, dtype=np.int32)
         self._seg_ids: Dict[str, int] = {}
         self._struct_dirty = True
+        self._np_dirty = True
         self._struct_cache: Optional[PathStruct] = None
         self.values.on_rebalance(self._mark_rekey)
         self.needs_rekey = False
@@ -82,6 +83,7 @@ class GraphHost:
                     )
                     self._seg[new_pid] = self._seg_id(self.paths.segment(new_pid))
             self._struct_dirty = True
+            self._np_dirty = True
         return pid
 
     def intern_batch(self, paths) -> np.ndarray:
@@ -94,6 +96,7 @@ class GraphHost:
             if len(self.paths) != before:
                 self._grow_to(len(self.paths))
                 self._struct_dirty = True
+                self._np_dirty = True
             return slots
         memo: Dict[str, int] = {}
         slots = np.empty(len(paths), dtype=np.int32)
@@ -118,6 +121,7 @@ class GraphHost:
                 setattr(self, name, grown)
         self.capacity = new_cap
         self._struct_dirty = True
+        self._np_dirty = True
 
     def encode_value(self, value: Any) -> Tuple[int, int, int, int]:
         return self.values.encode(value)
@@ -127,17 +131,21 @@ class GraphHost:
 
     # -------------------------------------------------------------- exports
 
+    def _refresh_struct_host(self) -> None:
+        if self._native_paths and (self._struct_dirty or self._np_dirty):
+            parent, seg = self.paths.export_struct(self.capacity)
+            parent2 = np.full(self.capacity, -1, dtype=np.int32)
+            has_parent = parent >= 0
+            parent2[has_parent] = parent[parent[has_parent]]
+            self._parent, self._parent2, self._seg = parent, parent2, seg
+        self._np_dirty = False
+
     def struct(self) -> PathStruct:
         """Device view of the path structure (cached until paths change)."""
         import jax.numpy as jnp
 
         if self._struct_dirty or self._struct_cache is None:
-            if self._native_paths:
-                parent, seg = self.paths.export_struct(self.capacity)
-                parent2 = np.full(self.capacity, -1, dtype=np.int32)
-                has_parent = parent >= 0
-                parent2[has_parent] = parent[parent[has_parent]]
-                self._parent, self._parent2, self._seg = parent, parent2, seg
+            self._refresh_struct_host()
             self._struct_cache = PathStruct(
                 jnp.asarray(self._parent),
                 jnp.asarray(self._parent2),
@@ -147,9 +155,10 @@ class GraphHost:
         return self._struct_cache
 
     def struct_np(self):
-        """(parent, parent2, seg) as host numpy arrays, refreshed like
-        struct() — for vectorized host-side masks and tree assembly."""
-        self.struct()  # refreshes the numpy arrays in native mode
+        """(parent, parent2, seg) as host numpy arrays — the host-only
+        refresh (tree assembly, bulk masks): no device transfers, unlike
+        struct()."""
+        self._refresh_struct_host()
         return self._parent, self._parent2, self._seg
 
     def seg_lookup(self, seg: str) -> int:

@@ -312,16 +312,16 @@ void pin_export(void* h, int64_t start, int64_t end, int32_t* parent_out,
 // fill call writing concatenated bytes + per-id int64 lengths.
 int64_t pin_paths_blob_len(void* h, int64_t start, int64_t end) {
   auto* pi = static_cast<PathInterner*>(h);
-  // path length = seg length + parent's length + 1; one pass in id order
-  // works because parents always precede children
-  std::vector<int64_t> plen(pi->parent.size());
+  // climb ancestors per id in the requested range — O(range x depth), not
+  // O(total) per call (incremental string-cache fills would otherwise be
+  // quadratic in interleaved intern/read workloads)
   int64_t total = 0;
-  for (size_t i = 0; i < pi->parent.size(); ++i) {
-    int32_t par = pi->parent[i];
-    plen[i] = static_cast<int64_t>(pi->segs.len[pi->seg_id[i]]) +
-              (par >= 0 ? plen[par] + 1 : 0);
-    if (static_cast<int64_t>(i) >= start && static_cast<int64_t>(i) < end)
-      total += plen[i];
+  for (int64_t i = start; i < end; ++i) {
+    for (int32_t cur = static_cast<int32_t>(i); cur >= 0;
+         cur = pi->parent[cur]) {
+      total += static_cast<int64_t>(pi->segs.len[pi->seg_id[cur]]) + 1;
+    }
+    total -= 1;  // no leading slash
   }
   return total;
 }

@@ -190,9 +190,11 @@ def _scatter_one(arr, peer, slot, values):
         # out-of-bounds sentinel pb instead, which genuinely drops.
         in_block = (peer >= b * pb) & (peer < (b + 1) * pb)
         rel = jnp.where(in_block, peer - b * pb, pb)
-        block = block.at[rel, slot].set(
-            values, mode="drop", unique_indices=True, indices_are_sorted=True
-        )
+        # NO sorted/unique hints here: the sentinel remap interleaves rel=pb
+        # entries around the in-block run (unsorted) and two out-of-block
+        # ops can share a slot (duplicate index tuples) — asserting the
+        # hints anyway is undefined behavior in XLA's TPU scatter lowering
+        block = block.at[rel, slot].set(values, mode="drop")
         return jax.lax.dynamic_update_slice(a, block, (b * pb, 0))
 
     return jax.lax.fori_loop(0, p // pb, body, arr)
@@ -215,9 +217,11 @@ def apply_flat_packed(
     klo: jax.Array,
     cv: jax.Array,
 ) -> Tuple[PackedTable, jax.Array]:
-    """One-shot flat apply: K ops with UNIQUE (peer, slot) pairs (the caller
-    pre-reduces duplicates to their lattice winner — order-free, so the
-    outcome matches sequential application). Gather+compare and scatter run
+    """One-shot flat apply: K ops with UNIQUE (peer, slot) pairs SORTED by
+    (peer, slot) — exactly what ``reduce_flat_ops`` emits; the full-table
+    scatter path asserts both properties to XLA. The pre-reduction keeps
+    each pair's lattice winner (order-free, so the outcome matches
+    sequential application). Gather+compare and scatter run
     as two programs: fusing them forces XLA to copy the table (the scatter
     output aliases a buffer the gather still reads), and at the north-star
     shape that copy alone exceeds HBM. The table buffer is DONATED."""
@@ -527,7 +531,13 @@ def frontier_round_packed_traced(table, dirty, wrap: bool, interpret: bool):
         input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
         interpret=interpret,
     )(ids_full, *table, counts_in)
-    counts = outs[3][0, :]
+    # only processed stripes' counts are defined (the kernel writes
+    # cnt[stripe] for j < count; whether unwritten SMEM entries keep the
+    # aliased input's zeros is a Pallas implementation detail) — mask to
+    # the processed set, which the ids array gives exactly (trailing
+    # duplicates re-mark the last processed stripe, harmlessly)
+    processed = jnp.zeros(t_total, dtype=jnp.bool_).at[ids].set(True)
+    counts = jnp.where(processed, outs[3][0, :], 0)
     return PackedTable(*outs[:3]), counts > 0, jnp.sum(counts)
 
 

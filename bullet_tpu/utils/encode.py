@@ -199,7 +199,17 @@ class ValueInterner:
             if vid is None:
                 khi, klo = number_key(f)
                 vid = len(self._value_of)
-                self._value_of.append(value)
+                # store the CANONICAL number (integral floats as int,
+                # -0.0 as 0) so decode() does not depend on whether the
+                # scalar or the bulk path interned the value first —
+                # matches JSON.stringify(5.0) === "5" on the wire too
+                if f == 0.0:
+                    stored: Any = 0
+                elif math.isfinite(f) and f.is_integer() and abs(f) < 2**63:
+                    stored = int(f)
+                else:
+                    stored = f
+                self._value_of.append(stored)
                 self._cls.append(CLS_NUMBER)
                 self._khi.append(khi)
                 self._klo.append(klo)
@@ -209,9 +219,7 @@ class ValueInterner:
         vid = self._vid_of.get(token)
         if vid is not None:
             return self._cls[vid], self._khi[vid], self._klo[vid], vid
-        if token[0] == "null":
-            vid = VID_NULL
-        elif token[0] == "bool":
+        if token[0] == "bool":
             khi, klo = number_key(to_float(value))
             vid = self._push(token, value, CLS_NUMBER, khi, klo)
         elif token[0] == "str":

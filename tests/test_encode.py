@@ -137,3 +137,28 @@ def test_key_table_gather():
     cls, khi, klo = interner.key_table()
     vid = interner.encode("x")[3]
     assert (cls[vid], khi[vid], klo[vid]) == tuple(interner.encode("x")[:3])
+
+
+def test_scalar_and_bulk_number_storage_agree():
+    """Code-review r2: the decoded value for a vid must not depend on which
+    ingest path interned it first (scalar stored raw 5.0 / -0.0 where bulk
+    canonicalized to 5 / 0)."""
+    import numpy as np
+
+    from bullet_tpu.utils.encode import ValueInterner, bulk_encode_numbers
+
+    a = ValueInterner()
+    _, _, _, vid_scalar = a.encode(5.0)
+    assert a.decode(vid_scalar) == 5 and type(a.decode(vid_scalar)) is int
+    _, _, _, vz = a.encode(-0.0)
+    assert a.decode(vz) == 0 and type(a.decode(vz)) is int
+
+    b = ValueInterner()
+    _, _, _, vids = bulk_encode_numbers(b, np.array([5.0, -0.0]))
+    assert a.decode(vid_scalar) == b.decode(int(vids[0]))
+    assert a.decode(vz) == b.decode(int(vids[1]))
+    # non-integral and huge floats stay floats
+    _, _, _, vf = a.encode(2.5)
+    assert type(a.decode(vf)) is float
+    _, _, _, vbig = a.encode(1e300)
+    assert type(a.decode(vbig)) is float
