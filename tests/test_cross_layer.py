@@ -131,3 +131,57 @@ def test_q2b_dealiasing_demo(bullet_factory):
     assert b.get("q").value() == 10
     b.get("q").put(7)   # re-aliased -> back to value-max: dropped
     assert b.get("q").value() == 10
+
+
+# ---------------------------------------------------- mixed-type layout fuzz
+
+
+@pytest.mark.parametrize("seed", [3, 7, 11, 19])
+@pytest.mark.parametrize("topology", ["ring", "mesh", "bridge"])
+def test_mixed_type_fuzz_dense_vs_packed_vs_oracle(seed, topology):
+    """Heavy fuzz: random mixed-type concurrent writes (numbers incl. -0.0 /
+    NaN-free floats, unicode strings incl. astral plane, bools, nulls,
+    arrays) across peers — the dense and packed engines must converge to
+    the identical state, and that state must equal a pure-Python fold under
+    the engine's documented total order for every key."""
+    rng = np.random.default_rng(seed)
+    pool = [
+        0, 1, -1, 7, 3.5, -2.25, 1e9, -0.0, 2**40,
+        "", "a", "zz", "Ω", "\U0001F600", "�",  # astral vs BMP order
+        True, False, None, [1, 2], ["x"],
+    ]
+    keys = [f"g/k{i}" for i in range(10)]
+    ops = []
+    for _ in range(120):
+        ops.append((
+            int(rng.integers(9)),
+            keys[int(rng.integers(len(keys)))],
+            pool[int(rng.integers(len(pool)))],
+        ))
+
+    def run(layout):
+        sim = PeerNetworkSim(9, capacity=256, topology=topology, layout=layout)
+        for peer, key, value in ops:
+            sim.put(peer, key, value)
+        sim.run_until_converged()
+        assert sim.tables_equal(), (layout, topology)
+        return sim, {k: sim.get(0, k) for k in keys}
+
+    dense_sim, dense = run("dense")
+    _, packed = run("packed")
+    assert dense == packed
+
+    # oracle: fold under the engine's encode order (cls, khi, klo, vid)
+    host = dense_sim.host
+    expected = {}
+    for peer, key, value in ops:
+        k = host.encode_value(value)
+        prev = expected.get(key)
+        if prev is None or k > prev[0]:
+            expected[key] = (k, value)
+    for key, (_, value) in expected.items():
+        got = dense[key]
+        if isinstance(value, float) and value == int(value):
+            assert got == value  # int/float canonicalization is equality-safe
+        else:
+            assert got == value, (key, got, value)
