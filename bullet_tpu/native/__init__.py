@@ -59,9 +59,19 @@ def load() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(_LIB)
-        except OSError:
-            _load_failed = True
-            return None
+            # a stale library (e.g. preserved timestamps hiding a source
+            # change) lacks newer symbols: probe one and rebuild once
+            getattr(lib, "pin_subtree")
+        except (OSError, AttributeError):
+            if not _build():
+                _load_failed = True
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+                getattr(lib, "pin_subtree")
+            except (OSError, AttributeError):
+                _load_failed = True
+                return None
         lib.six_new.restype = ctypes.c_void_p
         lib.six_free.argtypes = [ctypes.c_void_p]
         lib.six_size.argtypes = [ctypes.c_void_p]
