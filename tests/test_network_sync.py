@@ -264,3 +264,51 @@ def test_tombstone_at_watermark_propagates():
     finally:
         p1.close()
         p2.close()
+
+
+def test_network_churn_stress():
+    """Lifecycle stress: peers joining, writing, dying mid-sync, and
+    rejoining must leave the survivors consistent and the sync state
+    machines unwedged (reconnect + retry + anti-entropy together)."""
+    hub = make_peer(connect_sync_delay=0.05)
+    hub_url = f"tcp://127.0.0.1:{hub.network.port}"
+    survivors = [hub]
+    try:
+        # wave 1: three peers join, write, and confirm convergence
+        wave1 = [make_peer(peers=[hub_url], connect_sync_delay=0.05)
+                 for _ in range(3)]
+        survivors += wave1
+        assert wait_for(lambda: len(hub.network.peers) == 3, 10)
+        for i, p in enumerate(wave1):
+            p.get(f"w1/p{i}").put(i + 1)
+        assert wait_for(lambda: all(
+            len(p.store.get("w1", {})) == 3 for p in survivors
+        ), 15), {id(p): p.store.get("w1") for p in survivors}
+
+        # one peer dies abruptly mid-activity
+        victim = wave1.pop()
+        survivors.remove(victim)
+        victim.get("w1/dying").put("gone")
+        victim.network.server_socket.close()
+        for conn in list(victim.network.peers.values()):
+            conn.socket.close()  # abrupt: no goodbye
+        victim.close()
+        assert wait_for(lambda: len(hub.network.peers) == 2, 10)
+
+        # survivors keep working
+        hub.get("w2/after").put(42)
+        assert wait_for(lambda: all(
+            p.store.get("w2", {}).get("after") == 42 for p in survivors
+        ))
+
+        # a new peer joins later and anti-entropy catches it up fully
+        late = make_peer(peers=[hub_url], connect_sync_delay=0.05)
+        survivors.append(late)
+        assert wait_for(lambda: len(late.store.get("w1", {})) >= 3
+                        and late.store.get("w2", {}).get("after") == 42, 15), \
+            late.store
+        stats = late.network.get_sync_stats()
+        assert stats["failedSyncs"] == 0
+    finally:
+        for p in survivors:
+            p.close()
