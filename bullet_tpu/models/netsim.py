@@ -528,9 +528,9 @@ class PeerNetworkSim:
         if reduced is None:
             return 0
         if self._frontier_dirty is not None:
-            from ..ops.packed import _stripe_tile_n
+            from ..ops.packed import frontier_tile_n
 
-            tile_n = _stripe_tile_n(*self.table.khi.shape)
+            tile_n = frontier_tile_n(*self.table.khi.shape)
             if tile_n and len(self._frontier_dirty) == (
                 self.table.khi.shape[1] // tile_n
             ):
@@ -595,7 +595,9 @@ class PeerNetworkSim:
             )
 
             spmd_mesh = self._gossip_mesh()
-            stripe_ok = packed_ring_supported(*self.table.khi.shape)
+            from ..ops.packed import frontier_tile_n
+
+            f_tile = frontier_tile_n(*self.table.khi.shape)
             use_pallas = (
                 self.use_pallas
                 if self.use_pallas is not None
@@ -603,19 +605,19 @@ class PeerNetworkSim:
                     jax.default_backend() == "tpu"
                     and self.mesh is None
                     and self.topology.kind in ("ring", "chain")
-                    and stripe_ok
+                    and f_tile > 0
                 )
             )
             if (
-                use_pallas and spmd_mesh is None and stripe_ok
+                use_pallas and spmd_mesh is None and f_tile > 0
                 and self.topology.kind in ("ring", "chain")
                 and self.mesh is None
             ):
                 # frontier loop: settled slot stripes are skipped per round
-                from ..ops.packed import _stripe_tile_n, gossip_frontier_packed
+                from ..ops.packed import gossip_frontier_packed
 
                 p, n = self.table.khi.shape
-                t_total = n // _stripe_tile_n(p, n)
+                t_total = n // f_tile
                 if (
                     self._frontier_dirty is not None
                     and len(self._frontier_dirty) == t_total

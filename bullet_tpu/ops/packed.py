@@ -485,6 +485,152 @@ def _frontier_round_kernel_packed(wrap: bool, num_peers: int, t_total: int,
         )
 
 
+def _frontier_halo_kernel_packed(wrap: bool, tile_p: int, num_peers: int,
+                                 t_total: int, tiles: int, *refs):
+    """Halo-variant frontier round (P beyond the full-P stripe budget):
+    2-D grid (active stripes outer, peer tiles inner); the count for a
+    stripe accumulates across its peer tiles."""
+    import jax.experimental.pallas as pl
+
+    ids_ref = refs[0]
+    c_refs = refs[1:4]
+    t_refs = refs[4:7]
+    b_refs = refs[7:10]
+    out_refs, cnt_out = refs[11:14], refs[14]
+
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    count = ids_ref[t_total]
+    stripe = ids_ref[j]
+
+    @pl.when(j < count)
+    def _():
+        center = [r[...] for r in c_refs]
+        row_in_block = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
+        global_row = i * tile_p + row_in_block
+
+        def shifted(direction: int):
+            out = []
+            for f in range(3):
+                c = center[f]
+                if direction == +1:
+                    rolled = jnp.roll(c, 1, axis=0)
+                    fixed = jnp.where(
+                        row_in_block == 0, t_refs[f][7:8, :], rolled
+                    )
+                    if not wrap:
+                        fixed = jnp.where(global_row == 0, 0, fixed)
+                else:
+                    rolled = jnp.roll(c, -1, axis=0)
+                    fixed = jnp.where(
+                        row_in_block == tile_p - 1, b_refs[f][0:1, :], rolled
+                    )
+                    if not wrap:
+                        fixed = jnp.where(
+                            global_row == num_peers - 1, 0, fixed
+                        )
+                out.append(fixed)
+            return out
+
+        def lexmax(a_vals, b_vals):
+            gt = _lex_gt_packed(packed_keys(*b_vals), packed_keys(*a_vals))
+            return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+
+        m1, gt1 = lexmax(center, shifted(+1))
+        m2, gt2 = lexmax(m1, shifted(-1))
+        for out, v in zip(out_refs, m2):
+            out[...] = v
+        c = jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(gt2.astype(jnp.int32))
+
+        @pl.when(i == 0)
+        def _():
+            cnt_out[0, stripe] = c
+
+        @pl.when(i > 0)
+        def _():
+            cnt_out[0, stripe] += c
+
+
+def frontier_halo_round_packed_traced(table, dirty, wrap: bool,
+                                      interpret: bool):
+    """Frontier round via the halo kernel (any 8-aligned P): pre-round
+    boundary snapshot (full width — it is ~2/tile_p of the table) + 2-D
+    remapped grid over only the active stripes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, n = table.khi.shape
+    tile_p, tile_n = _halo_tiles_packed(p, n)
+    tiles = p // tile_p
+    t_total = n // tile_n
+
+    def edges(f):
+        v = f.reshape(tiles, tile_p, n)
+        last8 = v[:, tile_p - 8 :, :]
+        first8 = v[:, :8, :]
+        top = jnp.roll(last8, 1, axis=0).reshape(tiles * 8, n)
+        bottom = jnp.roll(first8, -1, axis=0).reshape(tiles * 8, n)
+        return top, bottom
+
+    tops, bottoms = zip(*(edges(f) for f in table))
+
+    count = jnp.sum(dirty.astype(jnp.int32))
+    order = jnp.argsort(~dirty, stable=True).astype(jnp.int32)
+    last_id = order[jnp.maximum(count - 1, 0)]
+    ids = jnp.where(jnp.arange(t_total) < count, order, last_id)
+    ids_full = jnp.concatenate([ids, count[None].astype(jnp.int32)])
+    counts_in = jnp.zeros((1, t_total), jnp.int32)
+
+    # trailing duplicate steps must keep BOTH block indices fixed at the
+    # last real step's, or the varying tile index would re-DMA per step
+    def center_idx(j, i, ids):
+        active = j < ids[t_total]
+        return (jnp.where(active, i, tiles - 1), ids[j])
+
+    def halo_idx(j, i, ids):
+        active = j < ids[t_total]
+        return (jnp.where(active, i, tiles - 1), ids[j])
+
+    center_spec = pl.BlockSpec(
+        (tile_p, tile_n), center_idx, memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec((8, tile_n), halo_idx, memory_space=pltpu.VMEM)
+    cnt_spec = pl.BlockSpec(
+        (1, t_total), lambda j, i, ids: (0, 0), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_total, tiles),
+        in_specs=[center_spec] * 3 + [halo_spec] * 6 + [cnt_spec],
+        out_specs=[center_spec] * 3 + [cnt_spec],
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _frontier_halo_kernel_packed, wrap, tile_p, p, t_total, tiles
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
+            jax.ShapeDtypeStruct((1, t_total), jnp.int32),
+        ),
+        input_output_aliases={1: 0, 2: 1, 3: 2, 10: 3},
+        interpret=interpret,
+    )(ids_full, *table, *tops, *bottoms, counts_in)
+    processed = jnp.zeros(t_total, dtype=jnp.bool_).at[ids].set(True)
+    counts = jnp.where(processed, outs[3][0, :], 0)
+    return PackedTable(*outs[:3]), counts > 0, jnp.sum(counts)
+
+
+def frontier_tile_n(p: int, n: int) -> int:
+    """The stripe width the frontier loop would use at this shape (0 when
+    no frontier-capable kernel fits) — callers seed dirty flags with it."""
+    if packed_ring_supported(p, n):
+        return _stripe_tile_n(p, n)
+    if packed_halo_supported(p, n):
+        return _halo_tiles_packed(p, n)[1]
+    return 0
+
+
 def frontier_round_packed_traced(table, dirty, wrap: bool, interpret: bool):
     """One frontier round: process dirty stripes in place, return the new
     per-stripe dirty flags and the total changed count."""
@@ -492,6 +638,8 @@ def frontier_round_packed_traced(table, dirty, wrap: bool, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     p, n = table.khi.shape
+    if not packed_ring_supported(p, n):
+        return frontier_halo_round_packed_traced(table, dirty, wrap, interpret)
     tile_n = _stripe_tile_n(p, n)
     t_total = n // tile_n
 

@@ -462,3 +462,32 @@ def test_frontier_seed_invalidation_paths():
     assert sim._frontier_dirty is None
     sim.run_until_converged()
     assert sim.tables_equal() and sim.get(5, "x/a") == 2
+
+
+def test_frontier_halo_bitidentical():
+    """Halo-variant frontier (big P): same fixed point and rounds as the
+    classic loop, from all-dirty and from a sparse seed."""
+    from bullet_tpu.ops.packed import (
+        frontier_tile_n,
+        gossip_frontier_packed,
+        gossip_until_converged_packed,
+        packed_halo_supported,
+        packed_ring_supported,
+    )
+    from bullet_tpu.parallel import topology as topo2
+
+    p, n = 4096, 1024  # halo territory, 4 stripes
+    assert not packed_ring_supported(p, n) and packed_halo_supported(p, n)
+    t_total = n // frontier_tile_n(p, n)
+    assert t_total >= 2
+    t = pack_table(random_dense(p, n, seed=41))
+    nb = jnp.asarray(topo2.ring(p).neighbors)
+    want, r_want, _ = gossip_until_converged_packed(
+        PackedTable(*(jnp.array(f) for f in t)), nb, "ring", 3,
+        use_pallas=False)
+    got, r_got, _ = gossip_frontier_packed(
+        PackedTable(*(jnp.array(f) for f in t)),
+        jnp.ones(t_total, dtype=jnp.bool_), True, 3, interpret=True)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(r_want) == int(r_got)
