@@ -21,6 +21,7 @@ EXAMPLES = [
     ("sync_example.py", ["--items", "300"]),
     "engine_pipeline_example.py",
     "ws_interop_example.py",
+    "incremental_example.py",
 ]
 
 EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
