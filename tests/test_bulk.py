@@ -87,3 +87,17 @@ def test_put_bulk_lww_ordering():
     sim.put_bulk(np.asarray([0, 0, 0]), ["x", "x", "x"], np.asarray([9, 5, 2]))
     sim.run_until_converged()
     assert sim.get(1, "x") == 2  # last in batch has the highest Lamport stamp
+
+
+def test_put_bulk_scalar_peer_broadcast(cpu_sim_factory=None):
+    """A single int peer loads every row into that peer (the common
+    one-peer data-loader case)."""
+    import numpy as np
+
+    from bullet_tpu.models.netsim import PeerNetworkSim
+
+    sim = PeerNetworkSim(4, capacity=64, topology="ring", mode="reference")
+    sim.put_bulk(2, ["a/x", "a/y", "a/z"], np.array([1.0, 2.0, 3.0]))
+    sim.run_until_converged()
+    assert sim.tables_equal()
+    assert sim.get(0, "a/x") == 1 and sim.get(3, "a/z") == 3

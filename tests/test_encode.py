@@ -162,3 +162,45 @@ def test_scalar_and_bulk_number_storage_agree():
     assert type(a.decode(vf)) is float
     _, _, _, vbig = a.encode(1e300)
     assert type(a.decode(vbig)) is float
+
+
+def test_lazy_bulk_decode_bit_exact():
+    """Bulk-interned numbers materialize lazily from the order key; the
+    sign-flip transform is bijective, so decode must round-trip every
+    class of float64 exactly (and canonicalize like the scalar path)."""
+    import math
+
+    import numpy as np
+
+    from bullet_tpu.utils.encode import ValueInterner, bulk_encode_numbers
+
+    vals = np.array(
+        [0.0, -0.0, 5.0, -3.5, np.nan, np.inf, -np.inf, 1e308, -1e-308,
+         2.0**62, -(2.0**62), 5e-324, math.pi, -math.pi]
+    )
+    it = ValueInterner()
+    _, _, _, vids = bulk_encode_numbers(it, vals)
+    ref = ValueInterner()
+    for i, f in enumerate(vals.tolist()):
+        expect = ref.decode(ref.encode(f)[3])
+        got = it.decode(int(vids[i]))
+        if isinstance(expect, float) and math.isnan(expect):
+            assert isinstance(got, float) and math.isnan(got)
+        else:
+            assert got == expect and type(got) is type(expect), (f, got, expect)
+    # decode memoizes: second read returns the same object
+    assert it.decode(int(vids[2])) is it.decode(int(vids[2]))
+
+
+def test_key_table_is_a_snapshot():
+    """key_table() must return copies — the interner keeps growing/re-keying
+    its columns after export (device re-keying holds the old snapshot)."""
+    it = ValueInterner()
+    it.encode(1.5)
+    cls, khi, klo = it.key_table()
+    before = (cls.copy(), khi.copy(), klo.copy())
+    for i in range(2000):  # force column growth + string inserts
+        it.encode(float(i))
+        it.encode(f"s{i}")
+    assert (cls == before[0]).all() and (khi == before[1]).all()
+    assert (klo == before[2]).all()
