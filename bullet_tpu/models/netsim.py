@@ -531,9 +531,7 @@ class PeerNetworkSim:
         if reduced is None:
             return 0
         if self._frontier_dirty is not None:
-            from ..ops.packed import frontier_tile_n
-
-            tile_n = frontier_tile_n(*self.table.khi.shape)
+            tile_n = self._frontier_tile()
             if tile_n and len(self._frontier_dirty) == (
                 self.table.khi.shape[1] // tile_n
             ):
@@ -544,6 +542,21 @@ class PeerNetworkSim:
             self.table, *(jnp.asarray(a) for a in reduced)
         )
         return int(applied)
+
+    def _frontier_tile(self) -> int:
+        """Stripe width the frontier convergence path would use at the
+        current shape — the per-DEVICE local shape when the shard_map mesh
+        is active (each device tiles its own peer block); 0 = no frontier
+        kernel fits and dirty-stripe bookkeeping is pointless."""
+        if self.layout != "packed":
+            return 0
+        from ..ops.packed import frontier_tile_n, frontier_tile_n_sharded
+
+        p, n = self.table.khi.shape
+        mesh = self._gossip_mesh()
+        if mesh is not None:
+            return frontier_tile_n_sharded(p, n, mesh.devices.size)
+        return frontier_tile_n(p, n)
 
     def _one_round(self):
         if self.layout == "packed":
@@ -598,9 +611,7 @@ class PeerNetworkSim:
             )
 
             spmd_mesh = self._gossip_mesh()
-            from ..ops.packed import frontier_tile_n
-
-            f_tile = frontier_tile_n(*self.table.khi.shape)
+            f_tile = self._frontier_tile()
             use_pallas = (
                 self.use_pallas
                 if self.use_pallas is not None
@@ -611,11 +622,23 @@ class PeerNetworkSim:
                     and f_tile > 0
                 )
             )
-            if (
+            # the Pallas frontier kernel runs per-shard under shard_map too
+            # (interpret mode on the virtual CPU mesh)
+            frontier_spmd = (
+                spmd_mesh is not None and f_tile > 0
+                and self.topology.kind in ("ring", "chain")
+                and (
+                    self.use_pallas
+                    if self.use_pallas is not None
+                    else jax.default_backend() == "tpu"
+                )
+            )
+            frontier_local = (
                 use_pallas and spmd_mesh is None and f_tile > 0
                 and self.topology.kind in ("ring", "chain")
                 and self.mesh is None
-            ):
+            )
+            if frontier_local or frontier_spmd:
                 # frontier loop: settled slot stripes are skipped per round
                 from ..ops.packed import gossip_frontier_packed
 
@@ -630,10 +653,24 @@ class PeerNetworkSim:
                     dirty = jnp.asarray(self._frontier_dirty)
                 else:
                     dirty = jnp.ones(t_total, dtype=jnp.bool_)
-                self.table, rounds, final_changed = gossip_frontier_packed(
-                    self.table, dirty, self.topology.kind == "ring",
-                    max_rounds, interpret=jax.default_backend() != "tpu",
-                )
+                interp = jax.default_backend() != "tpu"
+                if frontier_spmd:
+                    from ..parallel.shardmap_gossip import (
+                        gossip_frontier_shardmap_packed,
+                    )
+
+                    self.table, rounds, final_changed = (
+                        gossip_frontier_shardmap_packed(
+                            self.table, dirty, spmd_mesh,
+                            self.topology.kind == "ring", max_rounds,
+                            interpret=interp,
+                        )
+                    )
+                else:
+                    self.table, rounds, final_changed = gossip_frontier_packed(
+                        self.table, dirty, self.topology.kind == "ring",
+                        max_rounds, interpret=interp,
+                    )
                 rounds_int = int(rounds)
                 if rounds_int < max_rounds or int(final_changed) == 0:
                     self._frontier_dirty = np.zeros(t_total, dtype=bool)

@@ -724,6 +724,82 @@ def gossip_frontier_packed(
     return table, rounds, last_changed
 
 
+def frontier_tile_n_sharded(p: int, n: int, n_devices: int) -> int:
+    """Per-device stripe width for the shard_map frontier path (0 when the
+    local block can't tile): each device holds p/n_devices rows × all n
+    slots, so the stripe budget is computed on the LOCAL shape."""
+    if n_devices <= 0 or p % n_devices:
+        return 0
+    per_dev = p // n_devices
+    if per_dev % 8 or per_dev < 8 or n % 128:
+        return 0
+    return _stripe_tile_n(per_dev, n)
+
+
+def frontier_shard_round_packed(block, tops, bottoms, dirty, interpret: bool,
+                                vma=None):
+    """Per-device frontier ring/chain round body (called inside shard_map).
+
+    ``block`` is the device-local [b, n] peer block; ``tops``/``bottoms``
+    are [8, n] snapshots whose row 7 / row 0 hold the neighbor devices'
+    ppermuted boundary rows (already zero-masked for the chain's global
+    edges — the same convention as ``_ring_exchange``). Only dirty stripes
+    are processed, via the same prefetched grid remapping as
+    ``frontier_round_packed_traced``; returns (block, per-stripe change
+    counts) — the caller psums counts across devices to agree on the next
+    round's frontier."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n = block.khi.shape
+    tile_n = _stripe_tile_n(b, n)
+    t_total = n // tile_n
+
+    count = jnp.sum(dirty.astype(jnp.int32))
+    order = jnp.argsort(~dirty, stable=True).astype(jnp.int32)
+    last_id = order[jnp.maximum(count - 1, 0)]
+    ids = jnp.where(jnp.arange(t_total) < count, order, last_id)
+    ids_full = jnp.concatenate([ids, count[None].astype(jnp.int32)])
+    counts_in = jnp.zeros((1, t_total), jnp.int32)
+
+    center_spec = pl.BlockSpec(
+        (b, tile_n), lambda j, i, ids: (0, ids[j]), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec(
+        (8, tile_n), lambda j, i, ids: (0, ids[j]), memory_space=pltpu.VMEM
+    )
+    cnt_spec = pl.BlockSpec(
+        (1, t_total), lambda j, i, ids: (0, 0), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_total, 1),
+        in_specs=[center_spec] * 3 + [halo_spec] * 6 + [cnt_spec],
+        out_specs=[center_spec] * 3 + [cnt_spec],
+    )
+    # the halo frontier kernel with tiles=1 and wrap=True is exactly the
+    # local body needed: row 0 reads tops[7], row b-1 reads bottoms[0],
+    # no global-edge masking in-kernel (the ppermuted rows carry it)
+    # under shard_map (check_vma) every pallas output must declare how it
+    # varies over the mesh; callers pass vma={PEER_AXIS}
+    kw = {} if vma is None else {"vma": frozenset(vma)}
+    outs = pl.pallas_call(
+        functools.partial(
+            _frontier_halo_kernel_packed, True, b, b, t_total, 1
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            *(jax.ShapeDtypeStruct((b, n), jnp.int32, **kw) for _ in range(3)),
+            jax.ShapeDtypeStruct((1, t_total), jnp.int32, **kw),
+        ),
+        input_output_aliases={1: 0, 2: 1, 3: 2, 10: 3},
+        interpret=interpret,
+    )(ids_full, *block, *tops, *bottoms, counts_in)
+    processed = jnp.zeros(t_total, dtype=jnp.bool_).at[ids].set(True)
+    counts = jnp.where(processed, outs[3][0, :], 0)
+    return PackedTable(*outs[:3]), counts
+
+
 # ------------------------------------------------------------ halo (big P)
 
 

@@ -345,6 +345,82 @@ def ring_round_shardmap_packed(table, mesh, wrap: bool = True):
     return PackedTable(*fields), changed
 
 
+def _frontier_ring_block_packed(wrap: bool, interpret: bool, dirty, *fields):
+    """Per-device frontier ring/chain body: ppermute the boundary rows,
+    then a local Pallas frontier round over only the dirty stripes; counts
+    psum across devices so every shard agrees on the next frontier."""
+    from ..ops.packed import PackedTable, frontier_shard_round_packed
+
+    block = PackedTable(*fields)
+    axis_size = jax.lax.axis_size(PEER_AXIS)
+    idx = jax.lax.axis_index(PEER_AXIS)
+    fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+    from_prev = [
+        jax.lax.ppermute(f[-1:, :], PEER_AXIS, fwd) for f in block
+    ]
+    from_next = [
+        jax.lax.ppermute(f[:1, :], PEER_AXIS, bwd) for f in block
+    ]
+    if not wrap:
+        is_first = idx == 0
+        is_last = idx == axis_size - 1
+        from_prev = [
+            jnp.where(is_first, jnp.zeros_like(f), f) for f in from_prev
+        ]
+        from_next = [
+            jnp.where(is_last, jnp.zeros_like(f), f) for f in from_next
+        ]
+    n = block.khi.shape[1]
+    pad7 = jnp.zeros((7, n), jnp.int32)
+    tops = tuple(jnp.concatenate([pad7, fp], axis=0) for fp in from_prev)
+    bottoms = tuple(jnp.concatenate([fn, pad7], axis=0) for fn in from_next)
+    new_block, counts = frontier_shard_round_packed(
+        block, tops, bottoms, dirty, interpret, vma={PEER_AXIS}
+    )
+    return (*new_block, jax.lax.psum(counts, PEER_AXIS))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "wrap", "max_rounds", "interpret"),
+    donate_argnums=(0,),
+)
+def gossip_frontier_shardmap_packed(
+    table, dirty: jax.Array, mesh, wrap: bool, max_rounds: int,
+    interpret: bool = False,
+):
+    """Frontier convergence over the device mesh (packed ring/chain): each
+    round ppermutes one boundary row per direction and runs the local
+    frontier kernel over only the stripes still changing anywhere. Dirty
+    flags stay replicated (psum-OR of per-device counts), so settled
+    stripes cost no DMA or compute on ANY device. Bit-identical final
+    state and round count to the unsharded loops (same one-round-per-
+    iteration lattice advance)."""
+    from ..ops.packed import PackedTable
+
+    fn = jax.shard_map(
+        functools.partial(_frontier_ring_block_packed, wrap, interpret),
+        mesh=mesh,
+        in_specs=(P(), *[P(PEER_AXIS, None)] * 3),
+        out_specs=(*[P(PEER_AXIS, None)] * 3, P()),
+    )
+
+    def cond(state):
+        _, dirty_f, rounds, _ = state
+        return jnp.any(dirty_f) & (rounds < max_rounds)
+
+    def body(state):
+        tbl, dirty_f, rounds, _ = state
+        *fields, counts = fn(dirty_f, *tbl)
+        return PackedTable(*fields), counts > 0, rounds + 1, jnp.sum(counts)
+
+    table, _, rounds, last_changed = jax.lax.while_loop(
+        cond, body, (table, dirty, jnp.int32(0), jnp.int32(1))
+    )
+    return table, rounds, last_changed
+
+
 def shardmap_round(
     table: TableState, topology, mesh, mode: str = "reference"
 ) -> Tuple[TableState, jax.Array]:

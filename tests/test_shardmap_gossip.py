@@ -190,3 +190,138 @@ def test_sim_shard_map_all_topologies_converge(topology):
     spmd = run(mesh_devices=8, use_shard_map=True)
     for a, b in zip(plain, spmd):
         np.testing.assert_array_equal(a, b)
+
+
+@needs_devices
+@pytest.mark.parametrize("wrap", [True, False])
+def test_frontier_shardmap_bitidentical(wrap):
+    """Sharded frontier loop (per-device Pallas frontier kernel + boundary
+    ppermute + psum'd dirty flags) reaches the exact fixed point in the
+    exact round count of the unsharded classic loop."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bullet_tpu.ops.packed import (
+        PackedTable,
+        frontier_tile_n_sharded,
+        gossip_until_converged_packed,
+    )
+    from bullet_tpu.parallel.mesh import PEER_AXIS
+    from bullet_tpu.parallel.shardmap_gossip import (
+        gossip_frontier_shardmap_packed,
+    )
+
+    p, n, d = 32, 32768, 4
+    tile = frontier_tile_n_sharded(p, n, d)
+    t_total = n // tile
+    assert t_total >= 2
+
+    rng = np.random.default_rng(77)
+    khi = rng.integers(-1000, 1000, size=(p, n)).astype(np.int32)
+    klo = rng.integers(-1000, 1000, size=(p, n)).astype(np.int32)
+    cls = rng.integers(0, 4, size=(p, n)).astype(np.int32)
+    cv = ((cls << 28) | rng.integers(0, 100, size=(p, n))).astype(np.int32)
+    absent = cls == 0
+    khi[absent] = 0
+    klo[absent] = 0
+    cv[absent] = 0
+
+    kind = "ring" if wrap else "chain"
+    nb = jnp.asarray(getattr(topo, kind)(p).neighbors)
+    want, r_want, _ = gossip_until_converged_packed(
+        PackedTable(*(jnp.array(f) for f in (khi, klo, cv))), nb, kind, p + 2
+    )
+    mesh = make_mesh(d)
+    shard = NamedSharding(mesh, P(PEER_AXIS, None))
+    tbl = PackedTable(
+        *(jax.device_put(jnp.array(f), shard) for f in (khi, klo, cv))
+    )
+    got, r_got, c_got = gossip_frontier_shardmap_packed(
+        tbl, jnp.ones(t_total, dtype=jnp.bool_), mesh, wrap, p + 2,
+        interpret=True,
+    )
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(r_want) == int(r_got)
+    assert int(c_got) == 0
+
+
+@needs_devices
+def test_frontier_shardmap_sparse_seed():
+    """From a converged sharded table, dirtying one stripe converges with
+    only that frontier marked — same state as the classic loop."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bullet_tpu.ops.packed import (
+        PackedTable,
+        frontier_tile_n_sharded,
+        gossip_until_converged_packed,
+    )
+    from bullet_tpu.parallel.mesh import PEER_AXIS
+    from bullet_tpu.parallel.shardmap_gossip import (
+        gossip_frontier_shardmap_packed,
+    )
+
+    p, n, d = 32, 32768, 4
+    tile = frontier_tile_n_sharded(p, n, d)
+    t_total = n // tile
+    nb = jnp.asarray(topo.ring(p).neighbors)
+    rng = np.random.default_rng(78)
+    khi = rng.integers(-1000, 1000, size=(p, n)).astype(np.int32)
+    klo = np.zeros((p, n), dtype=np.int32)
+    cv = np.full((p, n), (2 << 28) | 5, dtype=np.int32)
+    base = PackedTable(*(jnp.array(f) for f in (khi, klo, cv)))
+    base, _, _ = gossip_until_converged_packed(base, nb, "ring", p + 2)
+    upd = base._replace(
+        cv=base.cv.at[3, tile + 9].set((2 << 28) | 77),
+        khi=base.khi.at[3, tile + 9].set(10**9),
+    )
+    want, _, _ = gossip_until_converged_packed(
+        PackedTable(*(jnp.array(f) for f in upd)), nb, "ring", p + 2
+    )
+    mesh = make_mesh(d)
+    shard = NamedSharding(mesh, P(PEER_AXIS, None))
+    tbl = PackedTable(*(jax.device_put(jnp.array(f), shard) for f in upd))
+    dirty = jnp.zeros(t_total, dtype=jnp.bool_).at[1].set(True)
+    got, rounds, _ = gossip_frontier_shardmap_packed(
+        tbl, dirty, mesh, True, p + 2, interpret=True
+    )
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(rounds) >= 1
+
+
+@needs_devices
+def test_sim_packed_shardmap_frontier_with_seeding():
+    """Sim-level: the sharded packed sim picks the frontier loop (use_pallas
+    opt-in on CPU), converges identically to an unsharded sim, and keeps
+    the incremental dirty-stripe seeding across convergences."""
+    def build(**kw):
+        sim = PeerNetworkSim(
+            32, capacity=32768, topology="ring", layout="packed", **kw
+        )
+        rng = np.random.default_rng(79)
+        for _ in range(40):
+            sim.put(int(rng.integers(32)), f"k/v{int(rng.integers(12))}",
+                    int(rng.integers(1000)))
+        return sim
+
+    plain = build(use_pallas=False)
+    plain.run_until_converged()
+    sharded = build(mesh_devices=4, use_shard_map=True, use_pallas=True)
+    assert sharded._frontier_tile() > 0
+    sharded.run_until_converged()
+    assert sharded.tables_equal()
+    assert sharded._frontier_dirty is not None
+    assert not sharded._frontier_dirty.any()
+    for f_a, f_b in zip(plain.table, sharded.table):
+        np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))
+
+    # incremental: new op seeds only its stripe, still converges right
+    sharded.put(7, "k/v3", 10_000)
+    plain.put(7, "k/v3", 10_000)
+    sharded.run_until_converged()
+    plain.run_until_converged()
+    assert sharded.tables_equal()
+    assert sharded.get(0, "k/v3") == 10_000
+    for f_a, f_b in zip(plain.table, sharded.table):
+        np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))
