@@ -308,12 +308,14 @@ class PeerNetworkSim:
 
             cls, khi, klo, vid = bulk_encode_numbers(self.host.values, values_arr)
         else:
-            cls = np.empty(k, dtype=np.int32)
-            khi = np.empty(k, dtype=np.int32)
-            klo = np.empty(k, dtype=np.int32)
-            vid = np.empty(k, dtype=np.int32)
-            for i, v in enumerate(values):
-                cls[i], khi[i], klo[i], vid[i] = self.host.encode_value(v)
+            # mixed / string batches: vectorized per-class paths (numbers
+            # through the bits map, strings through ONE batch index insert)
+            from ..utils.encode import bulk_encode_values
+
+            vals_seq = (
+                values.tolist() if isinstance(values, np.ndarray) else values
+            )
+            cls, khi, klo, vid = bulk_encode_values(self.host.values, vals_seq)
 
         # strict schema constraints the device mask can't express (integer
         # integralness, string/array length) drop here, while the raw

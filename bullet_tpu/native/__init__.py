@@ -92,6 +92,24 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint64),
         ]
         lib.six_insert.restype = ctypes.c_int
+        lib.six_insert_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.six_insert_batch.restype = ctypes.c_int64
+        lib.six_rank_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.six_rank_batch.restype = ctypes.c_int
         lib.nvi_new.restype = ctypes.c_void_p
         lib.nvi_free.argtypes = [ctypes.c_void_p]
         lib.nvi_size.argtypes = [ctypes.c_void_p]
@@ -183,6 +201,62 @@ class NativeStringOrderIndex:
             self._handle, key, len(key), ctypes.byref(out)
         )
         return int(out.value), bool(rebalanced)
+
+    @staticmethod
+    def _blob(strings):
+        """(blob, starts, lens) for a list of strings — keys are UTF-16-BE
+        (they embed NULs, so always length-delimited)."""
+        import numpy as np
+
+        from ..utils.jsvalues import utf16_key
+
+        keys = [utf16_key(s) for s in strings]
+        lens = np.fromiter(
+            (len(k) for k in keys), dtype=np.int64, count=len(keys)
+        )
+        starts = np.zeros(len(keys), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        return b"".join(keys), starts, lens
+
+    def insert_batch(self, strings):
+        """Insert many strings in order (bit-identical ranks/respreads to n
+        scalar inserts); returns (final ranks u64 array, respread count)."""
+        import numpy as np
+
+        n = len(strings)
+        if n == 0:
+            return np.empty(0, dtype=np.uint64), 0
+        blob, starts, lens = self._blob(strings)
+        ranks = np.empty(n, dtype=np.uint64)
+        reb = self._lib.six_insert_batch(
+            self._handle,
+            blob,
+            starts.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            n,
+            ranks.ctypes.data_as(ctypes.c_void_p),
+        )
+        return ranks, int(reb)
+
+    def rank_batch(self, strings):
+        """Ranks of known strings as one u64 array (KeyError if any absent)."""
+        import numpy as np
+
+        n = len(strings)
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        blob, starts, lens = self._blob(strings)
+        ranks = np.empty(n, dtype=np.uint64)
+        if self._lib.six_rank_batch(
+            self._handle,
+            blob,
+            starts.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            n,
+            ranks.ctypes.data_as(ctypes.c_void_p),
+        ):
+            raise KeyError("rank_batch: unknown string in batch")
+        return ranks
 
 
 class NativeNumberInterner:

@@ -94,6 +94,42 @@ int six_insert(void* h, const char* s, int64_t len, uint64_t* rank_out) {
   return 0;
 }
 
+// Batch insert of length-delimited keys, in order (rank/respread sequence
+// is bit-identical to n scalar six_insert calls). ranks_out[i] holds key
+// i's rank AFTER the whole batch — a mid-batch respread re-resolves every
+// rank at the end, so callers never see stale values. Returns the number
+// of respreads triggered.
+int64_t six_insert_batch(void* h, const char* blob, const int64_t* starts,
+                         const int64_t* lens, int64_t n, uint64_t* ranks_out) {
+  Index& idx = *static_cast<Index*>(h);
+  const uint64_t reb0 = idx.rebalances;
+  for (int64_t i = 0; i < n; ++i) {
+    six_insert(h, blob + starts[i], lens[i], &ranks_out[i]);
+  }
+  const uint64_t d = idx.rebalances - reb0;
+  if (d) {
+    for (int64_t i = 0; i < n; ++i) {
+      auto it = idx.ranks.find(
+          std::string(blob + starts[i], static_cast<size_t>(lens[i])));
+      ranks_out[i] = it->second;
+    }
+  }
+  return static_cast<int64_t>(d);
+}
+
+// Batch rank lookup. Returns 0 on success, -1 if any key is absent.
+int six_rank_batch(void* h, const char* blob, const int64_t* starts,
+                   const int64_t* lens, int64_t n, uint64_t* ranks_out) {
+  Index& idx = *static_cast<Index*>(h);
+  for (int64_t i = 0; i < n; ++i) {
+    auto it = idx.ranks.find(
+        std::string(blob + starts[i], static_cast<size_t>(lens[i])));
+    if (it == idx.ranks.end()) return -1;
+    ranks_out[i] = it->second;
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

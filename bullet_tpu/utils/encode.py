@@ -121,6 +121,24 @@ class StringOrderIndex:
         for i, s in enumerate(self._sorted):
             self._rank[s] = (i + 1) * gap
 
+    def insert_batch(self, strings) -> Tuple[np.ndarray, int]:
+        """Insert many strings in order; returns (final ranks u64 array,
+        respread count) — same contract as the native index's batch API."""
+        reb = 0
+        for s in strings:
+            _, r = self.insert(s)
+            reb += int(r)
+        return self.rank_batch(strings), reb
+
+    def rank_batch(self, strings) -> np.ndarray:
+        from .jsvalues import utf16_key
+
+        return np.fromiter(
+            (self._rank[utf16_key(s)] for s in strings),
+            dtype=np.uint64,
+            count=len(strings),
+        )
+
 
 class _I32Col:
     """Growable int32 column (amortized-doubling numpy storage).
@@ -307,10 +325,15 @@ class ValueInterner:
         return self._cls[vid], self._khi[vid], self._klo[vid], vid
 
     def _rekey_strings(self) -> None:
-        for vid in np.nonzero(self._cls.view() == CLS_STRING)[0].tolist():
-            khi, klo = rank_key(self._strings.rank(self._value_of[vid]))
-            self._khi[vid] = khi
-            self._klo[vid] = klo
+        idxs = np.nonzero(self._cls.view() == CLS_STRING)[0]
+        if not len(idxs):
+            return
+        ranks = self._strings.rank_batch(
+            [self._value_of[i] for i in idxs.tolist()]
+        )
+        khi, klo = rank_keys_np(ranks)
+        self._khi.view()[idxs] = khi
+        self._klo.view()[idxs] = klo
 
     def decode(self, vid: int) -> Any:
         v = self._value_of[vid]
@@ -391,4 +414,102 @@ def bulk_encode_numbers(
         interner._klo.extend_np(klo.ravel()[new_idx])
     vid = vids.reshape(values.shape).astype(np.int32)
     cls = np.full(values.shape, CLS_NUMBER, dtype=np.int32)
+    return cls, khi, klo, vid
+
+
+def rank_keys_np(ranks: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized ``rank_key``: u64 rank array -> (khi, klo) int32 arrays."""
+    r = np.asarray(ranks, dtype=np.uint64)
+    khi = ((r >> np.uint64(31)).astype(np.int64) - _INT32_BIAS).astype(np.int32)
+    klo = ((r & np.uint64(0x7FFFFFFF)).astype(np.int64) - _INT32_BIAS).astype(
+        np.int32
+    )
+    return khi, klo
+
+
+def bulk_encode_strings(
+    interner: "ValueInterner", values
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized encode of a list of strings: novel strings go through ONE
+    native batch insert (rank/respread sequence bit-identical to sequential
+    scalar encodes; final ranks are fetched post-respread)."""
+    n = len(values)
+    vid = np.empty(n, dtype=np.int64)
+    vid_of = interner._vid_of
+    base = len(interner._value_of)
+    novel: List[str] = []
+    pending: Dict[str, int] = {}
+    for i, s in enumerate(values):
+        v = vid_of.get(("str", s))
+        if v is None:
+            v = pending.get(s)
+            if v is None:
+                v = base + len(novel)
+                pending[s] = v
+                novel.append(s)
+        vid[i] = v
+    if novel:
+        ranks, reb = interner._strings.insert_batch(novel)
+        if reb:
+            # previously interned strings may have moved: re-key them BEFORE
+            # appending the new vids (the scan walks current CLS_STRING vids)
+            interner._rekey_strings()
+        khi_n, klo_n = rank_keys_np(ranks)
+        for s in novel:
+            vid_of[("str", s)] = pending[s]
+        interner._value_of.extend(novel)
+        interner._cls.extend_np(
+            np.full(len(novel), CLS_STRING, dtype=np.int32)
+        )
+        interner._khi.extend_np(khi_n)
+        interner._klo.extend_np(klo_n)
+        if reb:
+            interner.epoch += reb
+            for fn in interner._on_rebalance:
+                fn()
+    vid = vid.astype(np.int32)
+    cls = np.full(n, CLS_STRING, dtype=np.int32)
+    return cls, interner._khi.view()[vid], interner._klo.view()[vid], vid
+
+
+def bulk_encode_values(
+    interner: "ValueInterner", values
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Encode ANY sequence of leaf values to (cls, khi, klo, vid) int32
+    arrays: numbers and strings take the vectorized batch paths, everything
+    else (null/bool/array) the scalar path. Within one batch, vids are
+    assigned numbers-first, then strings, then the rest in encounter order
+    (the interner's opaque ordering is documented deterministic-arbitrary,
+    and relative order within each class is preserved)."""
+    n = len(values)
+    cls = np.empty(n, dtype=np.int32)
+    khi = np.empty(n, dtype=np.int32)
+    klo = np.empty(n, dtype=np.int32)
+    vid = np.empty(n, dtype=np.int32)
+    num_idx: List[int] = []
+    str_idx: List[int] = []
+    rest_idx: List[int] = []
+    nums: List[float] = []
+    strs: List[str] = []
+    for i, v in enumerate(values):
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            num_idx.append(i)
+            nums.append(v)
+        elif isinstance(v, str):
+            str_idx.append(i)
+            strs.append(v)
+        else:
+            rest_idx.append(i)
+    if nums:
+        c, h, l, d = bulk_encode_numbers(
+            interner, np.asarray(nums, dtype=np.float64)
+        )
+        idx = np.asarray(num_idx)
+        cls[idx], khi[idx], klo[idx], vid[idx] = c, h, l, d
+    if strs:
+        c, h, l, d = bulk_encode_strings(interner, strs)
+        idx = np.asarray(str_idx)
+        cls[idx], khi[idx], klo[idx], vid[idx] = c, h, l, d
+    for i in rest_idx:
+        cls[i], khi[i], klo[i], vid[i] = interner.encode(values[i])
     return cls, khi, klo, vid

@@ -204,3 +204,89 @@ def test_key_table_is_a_snapshot():
         it.encode(f"s{i}")
     assert (cls == before[0]).all() and (khi == before[1]).all()
     assert (klo == before[2]).all()
+
+
+def test_bulk_encode_strings_matches_scalar_with_rebalance():
+    """One batch insert must be bit-identical to sequential scalar encodes —
+    vids, final keys, AND the epoch counter — including through forced
+    midpoint-exhaustion respreads."""
+    from bullet_tpu.utils.encode import ValueInterner, bulk_encode_strings
+
+    strings = ["m"]
+    for i in range(80):  # nested midpoints force respreads
+        strings.append(strings[-1] + ("a" if i % 2 else "z"))
+    strings += ["m", "alpha", "zeta", strings[40]]  # dups + easy keys
+
+    bulk = ValueInterner()
+    c1, h1, l1, v1 = bulk_encode_strings(bulk, strings)
+    scalar = ValueInterner()
+    enc = [scalar.encode(s) for s in strings]
+    assert bulk.epoch == scalar.epoch and bulk.epoch > 0
+    for i, (_, _, _, v) in enumerate(enc):
+        # vids match exactly; keys compare POST-rebalance (a scalar encode's
+        # returned key is a snapshot that later respreads re-key)
+        assert v1[i] == v, strings[i]
+        assert (c1[i], h1[i], l1[i]) == scalar.key_of(v), strings[i]
+        assert bulk.key_of(int(v1[i])) == scalar.key_of(v), strings[i]
+    # pre-existing strings rekeyed identically too
+    pre = ValueInterner()
+    pre.encode("k1")
+    pre.encode("k2")
+    c2, h2, l2, v2 = bulk_encode_strings(pre, strings)
+    assert pre.key_of(pre.encode("k1")[3]) < pre.key_of(pre.encode("k2")[3])
+    order = sorted(set(strings) | {"k1", "k2"})
+    keys = {s: pre.key_of(pre.encode(s)[3]) for s in order}
+    for a, b in zip(order, order[1:]):
+        assert keys[a] < keys[b]
+
+
+def test_bulk_encode_values_mixed():
+    """Numbers, strings, null, bool, arrays in one batch: decoded values and
+    classes match the scalar path; duplicate values share vids."""
+    import numpy as np
+
+    from bullet_tpu.utils.encode import (
+        CLS_NULL, CLS_NUMBER, CLS_OPAQUE, CLS_STRING,
+        ValueInterner, bulk_encode_values,
+    )
+
+    vals = [1.5, "x", None, True, [1, 2], "x", -7, "y", None, 1.5]
+    it = ValueInterner()
+    cls, khi, klo, vid = bulk_encode_values(it, vals)
+    assert list(cls) == [
+        CLS_NUMBER, CLS_STRING, CLS_NULL, CLS_NUMBER, CLS_OPAQUE,
+        CLS_STRING, CLS_NUMBER, CLS_STRING, CLS_NULL, CLS_NUMBER,
+    ]
+    assert vid[1] == vid[5] and vid[0] == vid[9] and vid[2] == vid[8]
+    for i, v in enumerate(vals):
+        got = it.decode(int(vid[i]))
+        assert got == v or (v is None and got is None), (v, got)
+    # keys match a fresh scalar interner's keys for order-comparable classes
+    ref = ValueInterner()
+    for i, v in enumerate(vals):
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            c, h, l, _ = ref.encode(v)
+            assert (cls[i], khi[i], klo[i]) == (c, h, l)
+
+
+def test_string_order_index_batch_matches_python_fallback():
+    """Native and pure-Python index batch APIs agree (ranks + respreads)."""
+    import numpy as np
+
+    from bullet_tpu.native import load, NativeStringOrderIndex
+    from bullet_tpu.utils.encode import StringOrderIndex
+
+    lib = load()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    strings = ["m"]
+    for i in range(60):
+        strings.append(strings[-1] + ("a" if i % 2 else "z"))
+    nat, py = NativeStringOrderIndex(lib), StringOrderIndex()
+    r_nat, reb_nat = nat.insert_batch(strings)
+    r_py, reb_py = py.insert_batch(strings)
+    assert reb_nat == reb_py
+    np.testing.assert_array_equal(r_nat, r_py)
+    np.testing.assert_array_equal(nat.rank_batch(strings), py.rank_batch(strings))
