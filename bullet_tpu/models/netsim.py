@@ -404,6 +404,9 @@ class PeerNetworkSim:
         fields = [np.zeros((self.num_peers, batch), dtype=np.int32) for _ in range(6)]
         for f in range(6):
             fields[f][peers, bpos] = flat[f]
+        # keep the host copy of the slot batch for frontier seeding (padded
+        # entries are slot 0 / cls 0 — they dirty stripe 0 conservatively)
+        self._drained_slots_np = fields[0]
         arrays = [jnp.asarray(f) for f in fields]
         if self.mesh is not None:
             sharding = peer_sharding(self.mesh)
@@ -469,9 +472,23 @@ class PeerNetworkSim:
         """Drain + ingress + apply, layout-dispatched; returns applied count."""
         if self.layout == "packed":
             return self._apply_pending_packed()
-        ops = self._ingress(self._drain_ops())
-        if ops is None:
+        drained = self._drain_ops()
+        if drained is None:
             return 0
+        if self._frontier_dirty is not None:
+            tile_n = self._frontier_tile()
+            if (
+                tile_n
+                and not self.hooks._traced_put  # transforms may move slots
+                and len(self._frontier_dirty)
+                == self.table.cls.shape[1] // tile_n
+            ):
+                self._frontier_dirty[
+                    np.unique(self._drained_slots_np // tile_n)
+                ] = True
+            else:
+                self._frontier_dirty = None
+        ops = self._ingress(drained)
         self.table, applied = apply_ops(
             self.table, ops, jnp.int32(self.tick), mode=self.mode
         )
@@ -550,15 +567,21 @@ class PeerNetworkSim:
         current shape — the per-DEVICE local shape when the shard_map mesh
         is active (each device tiles its own peer block); 0 = no frontier
         kernel fits and dirty-stripe bookkeeping is pointless."""
-        if self.layout != "packed":
-            return 0
-        from ..ops.packed import frontier_tile_n, frontier_tile_n_sharded
+        if self.layout == "packed":
+            from ..ops.packed import frontier_tile_n, frontier_tile_n_sharded
 
-        p, n = self.table.khi.shape
-        mesh = self._gossip_mesh()
-        if mesh is not None:
-            return frontier_tile_n_sharded(p, n, mesh.devices.size)
-        return frontier_tile_n(p, n)
+            p, n = self.table.khi.shape
+            mesh = self._gossip_mesh()
+            if mesh is not None:
+                return frontier_tile_n_sharded(p, n, mesh.devices.size)
+            return frontier_tile_n(p, n)
+        # dense: full-P stripe frontier, unsharded only
+        if self.mesh is not None:
+            return 0
+        from ..ops.ring_kernel import frontier_tile_n_dense
+
+        p, n = self.table.cls.shape
+        return frontier_tile_n_dense(p, n, self.lean_gossip)
 
     def _one_round(self):
         if self.layout == "packed":
@@ -706,6 +729,38 @@ class PeerNetworkSim:
             )
         )
         spmd_mesh = self._gossip_mesh()
+        f_tile = self._frontier_tile()
+        if (
+            use_pallas and spmd_mesh is None and self.mesh is None
+            and f_tile > 0 and self.topology.kind in ("ring", "chain")
+        ):
+            # dense frontier loop: settled slot stripes skipped per round
+            from ..ops.ring_kernel import gossip_frontier_dense
+
+            t_total = self.table.cls.shape[1] // f_tile
+            if (
+                self._frontier_dirty is not None
+                and len(self._frontier_dirty) == t_total
+            ):
+                dirty = jnp.asarray(self._frontier_dirty)
+            else:
+                dirty = jnp.ones(t_total, dtype=jnp.bool_)
+            self.table, rounds, final_changed = gossip_frontier_dense(
+                self.table, dirty, self.topology.kind == "ring", self.mode,
+                self.lean_gossip, max_rounds,
+                interpret=jax.default_backend() != "tpu",
+            )
+            rounds = int(rounds)
+            if rounds < max_rounds or int(final_changed) == 0:
+                self._frontier_dirty = np.zeros(t_total, dtype=bool)
+            else:
+                self._frontier_dirty = None
+            self.stats["gossip_rounds"] += rounds
+            self.stats["steps"] += 1
+            self.last_residual = int(final_changed)
+            self._sync_clocks()
+            self._fire_subscriptions()
+            return rounds
         hub = (
             int(np.argmax(self.topology.degree()))
             if self.topology.name == "star"

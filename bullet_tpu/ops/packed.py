@@ -434,6 +434,18 @@ def ring_round_packed_traced(
 # ------------------------------------------------- frontier convergence
 
 
+def frontier_ids(dirty: jax.Array, t_total: int) -> jax.Array:
+    """Grid-remap array for frontier kernels: [t_total + 1] int32 where
+    entries [0, count) are the dirty stripe ids (stable order), trailing
+    entries repeat the last dirty id (an unchanged block index — no DMA,
+    and the in-kernel guard skips compute), and [t_total] is the count."""
+    count = jnp.sum(dirty.astype(jnp.int32))
+    order = jnp.argsort(~dirty, stable=True).astype(jnp.int32)
+    last_id = order[jnp.maximum(count - 1, 0)]
+    ids = jnp.where(jnp.arange(t_total) < count, order, last_id)
+    return jnp.concatenate([ids, count[None].astype(jnp.int32)])
+
+
 def _frontier_round_kernel_packed(wrap: bool, num_peers: int, t_total: int,
                                   *refs):
     """Full-P stripe round over ONLY the active stripes.
@@ -574,11 +586,8 @@ def frontier_halo_round_packed_traced(table, dirty, wrap: bool,
 
     tops, bottoms = zip(*(edges(f) for f in table))
 
-    count = jnp.sum(dirty.astype(jnp.int32))
-    order = jnp.argsort(~dirty, stable=True).astype(jnp.int32)
-    last_id = order[jnp.maximum(count - 1, 0)]
-    ids = jnp.where(jnp.arange(t_total) < count, order, last_id)
-    ids_full = jnp.concatenate([ids, count[None].astype(jnp.int32)])
+    ids_full = frontier_ids(dirty, t_total)
+    ids = ids_full[:t_total]
     counts_in = jnp.zeros((1, t_total), jnp.int32)
 
     # trailing duplicate steps must keep BOTH block indices fixed at the
@@ -643,11 +652,8 @@ def frontier_round_packed_traced(table, dirty, wrap: bool, interpret: bool):
     tile_n = _stripe_tile_n(p, n)
     t_total = n // tile_n
 
-    count = jnp.sum(dirty.astype(jnp.int32))
-    order = jnp.argsort(~dirty, stable=True).astype(jnp.int32)
-    last_id = order[jnp.maximum(count - 1, 0)]
-    ids = jnp.where(jnp.arange(t_total) < count, order, last_id)
-    ids_full = jnp.concatenate([ids, count[None].astype(jnp.int32)])
+    ids_full = frontier_ids(dirty, t_total)
+    ids = ids_full[:t_total]
     counts_in = jnp.zeros((1, t_total), jnp.int32)
 
     stripe_spec = pl.BlockSpec(
@@ -755,11 +761,8 @@ def frontier_shard_round_packed(block, tops, bottoms, dirty, interpret: bool,
     tile_n = _stripe_tile_n(b, n)
     t_total = n // tile_n
 
-    count = jnp.sum(dirty.astype(jnp.int32))
-    order = jnp.argsort(~dirty, stable=True).astype(jnp.int32)
-    last_id = order[jnp.maximum(count - 1, 0)]
-    ids = jnp.where(jnp.arange(t_total) < count, order, last_id)
-    ids_full = jnp.concatenate([ids, count[None].astype(jnp.int32)])
+    ids_full = frontier_ids(dirty, t_total)
+    ids = ids_full[:t_total]
     counts_in = jnp.zeros((1, t_total), jnp.int32)
 
     center_spec = pl.BlockSpec(

@@ -461,3 +461,168 @@ def _ring_round_pallas_jit(
         interpret=interpret,
     )(*table, *table, *table)
     return TableState(*outs[:7]), outs[7][0, 0]
+
+
+# ------------------------------------------- frontier convergence (dense)
+
+
+def _frontier_fullp_kernel_dense(nf: int, mode: str, wrap: bool,
+                                 num_peers: int, t_total: int, *refs):
+    """Full-P stripe frontier round over the dense layout, processing ONLY
+    the active stripes (same prefetched grid remapping as the packed
+    frontier — slot stripes never interact, and a stripe that survives a
+    full round unchanged is at its fixed point forever). nf=7 merges all
+    metadata under the mode's priority order; nf=4 is the lean variant
+    (value keys only; writer/ctr/tick stay local). All outputs alias their
+    inputs, so skipped stripes simply stay as they were."""
+    import jax.experimental.pallas as pl
+
+    ids_ref = refs[0]
+    c_refs = refs[1 : 1 + nf]
+    out_refs, cnt_out = refs[2 + nf : 2 + 2 * nf], refs[2 + 2 * nf]
+
+    j = pl.program_id(0)
+    count = ids_ref[t_total]
+    stripe = ids_ref[j]
+
+    @pl.when(j < count)
+    def _():
+        center = [r[...] for r in c_refs]
+        row = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
+
+        def shifted(direction: int):
+            out = []
+            for f in range(nf):
+                rolled = jnp.roll(center[f], direction, axis=0)
+                if not wrap:
+                    edge = row == (0 if direction == +1 else num_peers - 1)
+                    rolled = jnp.where(edge, 0, rolled)
+                out.append(rolled)
+            return out
+
+        def keys_of(vals):
+            if nf == 4:
+                return vals
+            return _keys(vals[:4], vals[4], vals[5], mode)
+
+        def lexmax(a_vals, b_vals):
+            return _lexmax_vals(keys_of(a_vals), keys_of(b_vals), a_vals, b_vals)
+
+        m1, gt1 = lexmax(center, shifted(+1))
+        m2, gt2 = lexmax(m1, shifted(-1))
+        for out, v in zip(out_refs, m2):
+            out[...] = v
+        cnt_out[0, stripe] = (
+            jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(gt2.astype(jnp.int32))
+        )
+
+
+def frontier_tile_n_dense(p: int, n: int, lean: bool) -> int:
+    """Stripe width for the dense frontier loop (0 when no full-P stripe
+    fits): the lean variant carries 8 buffers so it gets twice the budget
+    of the 14-buffer full-metadata variant."""
+    if p % _HALO or n % 128:
+        return 0
+    budget = _FULLP_MAX_ELEMS * (2 if lean else 1)
+    start = (budget // max(p, 1)) // 128 * 128
+    t = min(max(128, start), n)
+    while t >= 128 and n % t:
+        t -= 128
+    if t < 128 or n % t:
+        return 0
+    return t if p * t <= budget * 2 else 0
+
+
+def frontier_round_dense_traced(
+    table: TableState, dirty: jax.Array, wrap: bool, mode: str, lean: bool,
+    interpret: bool,
+):
+    """One dense frontier round in place; returns (table, new per-stripe
+    dirty flags, total changed count)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .packed import frontier_ids
+
+    p, n = table.cls.shape
+    tile_n = frontier_tile_n_dense(p, n, lean)
+    t_total = n // tile_n
+    nf = 4 if lean else 7
+    fields = (
+        (table.cls, table.khi, table.klo, table.vid) if lean else tuple(table)
+    )
+
+    ids_full = frontier_ids(dirty, t_total)
+    ids = ids_full[:t_total]
+    counts_in = jnp.zeros((1, t_total), jnp.int32)
+
+    stripe_spec = pl.BlockSpec(
+        (p, tile_n), lambda j, ids: (0, ids[j]), memory_space=pltpu.VMEM
+    )
+    cnt_spec = pl.BlockSpec(
+        (1, t_total), lambda j, ids: (0, 0), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_total,),
+        in_specs=[stripe_spec] * nf + [cnt_spec],
+        out_specs=[stripe_spec] * nf + [cnt_spec],
+    )
+    aliases = {i + 1: i for i in range(nf)}
+    aliases[nf + 1] = nf
+    outs = pl.pallas_call(
+        functools.partial(
+            _frontier_fullp_kernel_dense, nf, mode, wrap, p, t_total
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)),
+            jax.ShapeDtypeStruct((1, t_total), jnp.int32),
+        ),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(ids_full, *fields, counts_in)
+    processed = jnp.zeros(t_total, dtype=jnp.bool_).at[ids].set(True)
+    counts = jnp.where(processed, outs[nf][0, :], 0)
+    if lean:
+        new_table = table._replace(
+            cls=outs[0], khi=outs[1], klo=outs[2], vid=outs[3]
+        )
+    else:
+        new_table = TableState(*outs[:7])
+    return new_table, counts > 0, jnp.sum(counts)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wrap", "mode", "lean", "max_rounds", "interpret"),
+    donate_argnums=(0,),
+)
+def gossip_frontier_dense(
+    table: TableState,
+    dirty: jax.Array,
+    wrap: bool,
+    mode: str,
+    lean: bool,
+    max_rounds: int,
+    interpret: bool = False,
+) -> Tuple[TableState, jax.Array, jax.Array]:
+    """Dense frontier convergence loop (ring/chain): per round only stripes
+    still changing are touched. Bit-identical final state and round count
+    to the classic all-stripes loop."""
+
+    def cond(state):
+        _, dirty_f, rounds, _ = state
+        return jnp.any(dirty_f) & (rounds < max_rounds)
+
+    def body(state):
+        tbl, dirty_f, rounds, _ = state
+        tbl, new_dirty, changed = frontier_round_dense_traced(
+            tbl, dirty_f, wrap, mode, lean, interpret
+        )
+        return tbl, new_dirty, rounds + 1, changed
+
+    table, _, rounds, last_changed = jax.lax.while_loop(
+        cond, body, (table, dirty, jnp.int32(0), jnp.int32(1))
+    )
+    return table, rounds, last_changed
