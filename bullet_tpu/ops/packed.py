@@ -434,16 +434,20 @@ def ring_round_packed_traced(
 # ------------------------------------------------- frontier convergence
 
 
-def frontier_ids(dirty: jax.Array, t_total: int) -> jax.Array:
-    """Grid-remap array for frontier kernels: [t_total + 1] int32 where
-    entries [0, count) are the dirty stripe ids (stable order), trailing
-    entries repeat the last dirty id (an unchanged block index — no DMA,
-    and the in-kernel guard skips compute), and [t_total] is the count."""
+def frontier_ids(dirty: jax.Array, t_total: int):
+    """(remap array, grid size) for frontier kernels. The remap array is
+    [t_total + 1] int32: entries [0, count) are the dirty stripe ids in
+    ascending order (only those are ever read — the grid is dynamic),
+    trailing entries are zero-filled, and [t_total] is the count. The grid
+    size is max(count, 1) — frontier pallas_calls use a DYNAMIC grid
+    (Mosaic supports traced grid bounds), so a mostly-converged table
+    costs exactly its active stripes, with no trailing no-op steps; the
+    max(·, 1) keeps a zero-dirty direct call valid (the kernel's j < count
+    guard skips the one padded step)."""
     count = jnp.sum(dirty.astype(jnp.int32))
-    order = jnp.argsort(~dirty, stable=True).astype(jnp.int32)
-    last_id = order[jnp.maximum(count - 1, 0)]
-    ids = jnp.where(jnp.arange(t_total) < count, order, last_id)
-    return jnp.concatenate([ids, count[None].astype(jnp.int32)])
+    ids = jnp.nonzero(dirty, size=t_total, fill_value=0)[0].astype(jnp.int32)
+    ids_full = jnp.concatenate([ids, count[None].astype(jnp.int32)])
+    return ids_full, jnp.maximum(count, 1)
 
 
 def _frontier_round_kernel_packed(wrap: bool, num_peers: int, t_total: int,
@@ -586,30 +590,22 @@ def frontier_halo_round_packed_traced(table, dirty, wrap: bool,
 
     tops, bottoms = zip(*(edges(f) for f in table))
 
-    ids_full = frontier_ids(dirty, t_total)
-    ids = ids_full[:t_total]
+    ids_full, grid_j = frontier_ids(dirty, t_total)
     counts_in = jnp.zeros((1, t_total), jnp.int32)
 
-    # trailing duplicate steps must keep BOTH block indices fixed at the
-    # last real step's, or the varying tile index would re-DMA per step
-    def center_idx(j, i, ids):
-        active = j < ids[t_total]
-        return (jnp.where(active, i, tiles - 1), ids[j])
-
-    def halo_idx(j, i, ids):
-        active = j < ids[t_total]
-        return (jnp.where(active, i, tiles - 1), ids[j])
-
     center_spec = pl.BlockSpec(
-        (tile_p, tile_n), center_idx, memory_space=pltpu.VMEM
+        (tile_p, tile_n), lambda j, i, ids: (i, ids[j]),
+        memory_space=pltpu.VMEM,
     )
-    halo_spec = pl.BlockSpec((8, tile_n), halo_idx, memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec(
+        (8, tile_n), lambda j, i, ids: (i, ids[j]), memory_space=pltpu.VMEM
+    )
     cnt_spec = pl.BlockSpec(
         (1, t_total), lambda j, i, ids: (0, 0), memory_space=pltpu.SMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t_total, tiles),
+        grid=(grid_j, tiles),  # dynamic: exactly the active stripes
         in_specs=[center_spec] * 3 + [halo_spec] * 6 + [cnt_spec],
         out_specs=[center_spec] * 3 + [cnt_spec],
     )
@@ -625,8 +621,9 @@ def frontier_halo_round_packed_traced(table, dirty, wrap: bool,
         input_output_aliases={1: 0, 2: 1, 3: 2, 10: 3},
         interpret=interpret,
     )(ids_full, *table, *tops, *bottoms, counts_in)
-    processed = jnp.zeros(t_total, dtype=jnp.bool_).at[ids].set(True)
-    counts = jnp.where(processed, outs[3][0, :], 0)
+    # processed stripes == the dirty set (dynamic grid runs exactly
+    # those); unwritten SMEM entries keep the aliased input's zeros
+    counts = jnp.where(dirty, outs[3][0, :], 0)
     return PackedTable(*outs[:3]), counts > 0, jnp.sum(counts)
 
 
@@ -652,8 +649,7 @@ def frontier_round_packed_traced(table, dirty, wrap: bool, interpret: bool):
     tile_n = _stripe_tile_n(p, n)
     t_total = n // tile_n
 
-    ids_full = frontier_ids(dirty, t_total)
-    ids = ids_full[:t_total]
+    ids_full, grid_j = frontier_ids(dirty, t_total)
     counts_in = jnp.zeros((1, t_total), jnp.int32)
 
     stripe_spec = pl.BlockSpec(
@@ -669,7 +665,7 @@ def frontier_round_packed_traced(table, dirty, wrap: bool, interpret: bool):
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t_total,),
+        grid=(grid_j,),  # dynamic: exactly the active stripes
         in_specs=[stripe_spec] * 3 + [cnt_spec],
         out_specs=[stripe_spec] * 3 + [cnt_spec],
     )
@@ -690,8 +686,9 @@ def frontier_round_packed_traced(table, dirty, wrap: bool, interpret: bool):
     # aliased input's zeros is a Pallas implementation detail) — mask to
     # the processed set, which the ids array gives exactly (trailing
     # duplicates re-mark the last processed stripe, harmlessly)
-    processed = jnp.zeros(t_total, dtype=jnp.bool_).at[ids].set(True)
-    counts = jnp.where(processed, outs[3][0, :], 0)
+    # processed stripes == the dirty set (dynamic grid runs exactly
+    # those); unwritten SMEM entries keep the aliased input's zeros
+    counts = jnp.where(dirty, outs[3][0, :], 0)
     return PackedTable(*outs[:3]), counts > 0, jnp.sum(counts)
 
 
@@ -761,8 +758,7 @@ def frontier_shard_round_packed(block, tops, bottoms, dirty, interpret: bool,
     tile_n = _stripe_tile_n(b, n)
     t_total = n // tile_n
 
-    ids_full = frontier_ids(dirty, t_total)
-    ids = ids_full[:t_total]
+    ids_full, grid_j = frontier_ids(dirty, t_total)
     counts_in = jnp.zeros((1, t_total), jnp.int32)
 
     center_spec = pl.BlockSpec(
@@ -776,7 +772,7 @@ def frontier_shard_round_packed(block, tops, bottoms, dirty, interpret: bool,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t_total, 1),
+        grid=(grid_j, 1),  # dynamic: exactly the active stripes
         in_specs=[center_spec] * 3 + [halo_spec] * 6 + [cnt_spec],
         out_specs=[center_spec] * 3 + [cnt_spec],
     )
@@ -798,8 +794,9 @@ def frontier_shard_round_packed(block, tops, bottoms, dirty, interpret: bool,
         input_output_aliases={1: 0, 2: 1, 3: 2, 10: 3},
         interpret=interpret,
     )(ids_full, *block, *tops, *bottoms, counts_in)
-    processed = jnp.zeros(t_total, dtype=jnp.bool_).at[ids].set(True)
-    counts = jnp.where(processed, outs[3][0, :], 0)
+    # processed stripes == the dirty set (dynamic grid runs exactly
+    # those); unwritten SMEM entries keep the aliased input's zeros
+    counts = jnp.where(dirty, outs[3][0, :], 0)
     return PackedTable(*outs[:3]), counts
 
 

@@ -552,8 +552,7 @@ def frontier_round_dense_traced(
         (table.cls, table.khi, table.klo, table.vid) if lean else tuple(table)
     )
 
-    ids_full = frontier_ids(dirty, t_total)
-    ids = ids_full[:t_total]
+    ids_full, grid_j = frontier_ids(dirty, t_total)
     counts_in = jnp.zeros((1, t_total), jnp.int32)
 
     stripe_spec = pl.BlockSpec(
@@ -564,7 +563,7 @@ def frontier_round_dense_traced(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t_total,),
+        grid=(grid_j,),  # dynamic: exactly the active stripes
         in_specs=[stripe_spec] * nf + [cnt_spec],
         out_specs=[stripe_spec] * nf + [cnt_spec],
     )
@@ -582,8 +581,9 @@ def frontier_round_dense_traced(
         input_output_aliases=aliases,
         interpret=interpret,
     )(ids_full, *fields, counts_in)
-    processed = jnp.zeros(t_total, dtype=jnp.bool_).at[ids].set(True)
-    counts = jnp.where(processed, outs[nf][0, :], 0)
+    # processed stripes == the dirty set (dynamic grid runs exactly
+    # those); unwritten SMEM entries keep the aliased input's zeros
+    counts = jnp.where(dirty, outs[nf][0, :], 0)
     if lean:
         new_table = table._replace(
             cls=outs[0], khi=outs[1], klo=outs[2], vid=outs[3]
