@@ -238,18 +238,39 @@ class PeerNetworkSim:
                 return False
         if self.validation.active and not self.validation.check_put(path, value):
             return False
-        for leaf_path, leaf_value in flatten_value(path, value):
-            if not leaf_path:
-                raise ValueError(
-                    "cannot put a scalar at the root path (empty leaf path)"
-                )
-            slot = self.host.intern_path(leaf_path)
-            cls, khi, klo, vid = self.host.encode_value(leaf_value)
-            self._clock[peer] += 1
-            self._pending[peer].append(
-                (slot, cls, khi, klo, vid, int(self._clock[peer]))
+        leaves = list(flatten_value(path, value))
+        if any(not leaf_path for leaf_path, _ in leaves):
+            raise ValueError(
+                "cannot put a scalar at the root path (empty leaf path)"
             )
-            self.stats["ops_enqueued"] += 1
+        if len(leaves) > 4:
+            # tree puts batch through the bulk machinery: one native
+            # intern_batch call + vectorized value encode instead of a
+            # Python loop per leaf (outcome identical — the merge is a
+            # lattice, so enqueue order never affects converged state)
+            from ..utils.encode import bulk_encode_values
+
+            k = len(leaves)
+            slots = self.host.intern_batch([p for p, _ in leaves])
+            cls, khi, klo, vid = bulk_encode_values(
+                self.host.values, [v for _, v in leaves]
+            )
+            ctr = (self._clock[peer] + 1 + np.arange(k)).astype(np.int32)
+            self._clock[peer] += k
+            self._pending_bulk.append(
+                (np.full(k, peer, dtype=np.int32), slots.astype(np.int32),
+                 cls, khi, klo, vid, ctr)
+            )
+            self.stats["ops_enqueued"] += k
+        else:
+            for leaf_path, leaf_value in leaves:
+                slot = self.host.intern_path(leaf_path)
+                cls, khi, klo, vid = self.host.encode_value(leaf_value)
+                self._clock[peer] += 1
+                self._pending[peer].append(
+                    (slot, cls, khi, klo, vid, int(self._clock[peer]))
+                )
+                self.stats["ops_enqueued"] += 1
         self.hooks.queue_after_put(peer, path, value)
         return True
 

@@ -450,62 +450,146 @@ def frontier_ids(dirty: jax.Array, t_total: int):
     return ids_full, jnp.maximum(count, 1)
 
 
+# -- in-kernel frontier compaction -----------------------------------------
+# The single-chip frontier loops carry the remap array itself instead of
+# per-stripe dirty flags: the kernel APPENDS each still-changing stripe's id
+# to an SMEM output as it processes it (the TPU grid is sequential, so a
+# read-modify-write running count is race-free), producing the NEXT round's
+# prefetch array directly. The while_loop body then contains nothing but the
+# pallas_call plus two scalar reads — no nonzero/cumsum/concat/where/sum
+# chain per round. Layout of the ids array ([t_total + 2] int32):
+#   [0, count)       dirty stripe ids, ascending
+#   [t_total]        count
+#   [t_total + 1]    total entries changed in the round that produced this
+# (the shard_map frontier keeps the flag-based form: its dirty set must be
+# psum-agreed across devices, which in-kernel local compaction cannot see).
+
+
+def frontier_ids_compact(dirty: jax.Array, t_total: int) -> jax.Array:
+    """Initial ids array for the compacting frontier loops, from seed flags.
+    The changed-total cell starts at 1 (any nonzero: it is only read after
+    the first round overwrites it)."""
+    count = jnp.sum(dirty.astype(jnp.int32))
+    ids = jnp.nonzero(dirty, size=t_total, fill_value=0)[0].astype(jnp.int32)
+    return jnp.concatenate(
+        [ids, count[None].astype(jnp.int32), jnp.ones((1,), jnp.int32)]
+    )
+
+
+def _merge_stripe_fullp(center, wrap: bool, num_peers: int):
+    """Shared full-P stripe merge body: one ring/chain round on a [P, tile]
+    block (rolls wrap inside the block); returns (merged fields, changed
+    count)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
+
+    def shifted(direction: int):
+        out = []
+        for f in range(3):
+            rolled = jnp.roll(center[f], direction, axis=0)
+            if not wrap:
+                edge = row == (0 if direction == +1 else num_peers - 1)
+                rolled = jnp.where(edge, 0, rolled)
+            out.append(rolled)
+        return out
+
+    def lexmax(a_vals, b_vals):
+        gt = _lex_gt_packed(packed_keys(*b_vals), packed_keys(*a_vals))
+        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+
+    m1, gt1 = lexmax(center, shifted(+1))
+    m2, gt2 = lexmax(m1, shifted(-1))
+    return m2, jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(gt2.astype(jnp.int32))
+
+
+def _merge_stripe_halo(center, t_refs, b_refs, wrap: bool, tile_p: int,
+                       num_peers: int, i):
+    """Shared halo-tile merge body: one ring/chain round on a [tile_p, tile]
+    block whose boundary rows come from the pre-round snapshots ``t_refs``
+    (row 7 = the row above) / ``b_refs`` (row 0 = the row below)."""
+    row_in_block = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
+    global_row = i * tile_p + row_in_block
+
+    def shifted(direction: int):
+        out = []
+        for f in range(3):
+            c = center[f]
+            if direction == +1:
+                rolled = jnp.roll(c, 1, axis=0)
+                fixed = jnp.where(row_in_block == 0, t_refs[f][7:8, :], rolled)
+                if not wrap:
+                    fixed = jnp.where(global_row == 0, 0, fixed)
+            else:
+                rolled = jnp.roll(c, -1, axis=0)
+                fixed = jnp.where(
+                    row_in_block == tile_p - 1, b_refs[f][0:1, :], rolled
+                )
+                if not wrap:
+                    fixed = jnp.where(global_row == num_peers - 1, 0, fixed)
+            out.append(fixed)
+        return out
+
+    def lexmax(a_vals, b_vals):
+        gt = _lex_gt_packed(packed_keys(*b_vals), packed_keys(*a_vals))
+        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+
+    m1, gt1 = lexmax(center, shifted(+1))
+    m2, gt2 = lexmax(m1, shifted(-1))
+    return m2, jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(gt2.astype(jnp.int32))
+
+
 def _frontier_round_kernel_packed(wrap: bool, num_peers: int, t_total: int,
                                   *refs):
-    """Full-P stripe round over ONLY the active stripes.
+    """Full-P stripe round over ONLY the active stripes, with in-kernel
+    frontier compaction.
 
     Slot stripes are independent (gossip moves values along the peer axis,
     never across slots), and the merge is monotone — a stripe that survives
     a full round unchanged is at its fixed point FOREVER. The grid is
-    remapped through a prefetched id array: steps j < count process the
-    dirty stripes; trailing steps repeat the last id, which Pallas
-    recognizes as an unchanged block index (no DMA) and the guard skips
-    (no compute) — a mostly-converged table costs only its active
-    wavefront. All outputs alias their inputs, so skipped stripes and
-    unwritten counts simply stay as they were."""
+    remapped through the prefetched ids array: steps j < count process the
+    dirty stripes. Each still-changing stripe's id is APPENDED to the SMEM
+    ids output (grid steps run sequentially, so the running count in
+    ``ids_out[0, t_total]`` is race-free), producing the next round's
+    prefetch array directly — the convergence loop does no host- or
+    XLA-side dirty bookkeeping at all. All data outputs alias their inputs,
+    so skipped stripes simply stay as they were."""
     import jax.experimental.pallas as pl
 
     ids_ref = refs[0]
     c_refs = refs[1:4]
-    out_refs, cnt_out = refs[5:8], refs[8]
+    out_refs, ids_out = refs[4:7], refs[7]
 
     j = pl.program_id(0)
     count = ids_ref[t_total]
-    stripe = ids_ref[j]
+
+    @pl.when(j == 0)
+    def _():
+        ids_out[0, t_total] = 0
+        ids_out[0, t_total + 1] = 0
 
     @pl.when(j < count)
     def _():
-        center = [r[...] for r in c_refs]
-        row = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
-
-        def shifted(direction: int):
-            out = []
-            for f in range(3):
-                rolled = jnp.roll(center[f], direction, axis=0)
-                if not wrap:
-                    edge = row == (0 if direction == +1 else num_peers - 1)
-                    rolled = jnp.where(edge, 0, rolled)
-                out.append(rolled)
-            return out
-
-        def lexmax(a_vals, b_vals):
-            gt = _lex_gt_packed(packed_keys(*b_vals), packed_keys(*a_vals))
-            return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
-
-        m1, gt1 = lexmax(center, shifted(+1))
-        m2, gt2 = lexmax(m1, shifted(-1))
+        stripe = ids_ref[j]
+        m2, c = _merge_stripe_fullp(
+            [r[...] for r in c_refs], wrap, num_peers
+        )
         for out, v in zip(out_refs, m2):
             out[...] = v
-        cnt_out[0, stripe] = (
-            jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(gt2.astype(jnp.int32))
-        )
+
+        @pl.when(c > 0)
+        def _():
+            k = ids_out[0, t_total]
+            ids_out[0, k] = stripe
+            ids_out[0, t_total] = k + 1
+            ids_out[0, t_total + 1] += c
 
 
-def _frontier_halo_kernel_packed(wrap: bool, tile_p: int, num_peers: int,
+def _frontier_halo_kernel_counts(wrap: bool, tile_p: int, num_peers: int,
                                  t_total: int, tiles: int, *refs):
-    """Halo-variant frontier round (P beyond the full-P stripe budget):
-    2-D grid (active stripes outer, peer tiles inner); the count for a
-    stripe accumulates across its peer tiles."""
+    """Counts-emitting halo frontier round — the shard_map body: per-stripe
+    change counts must cross devices (psum) before the next frontier can be
+    agreed, so local in-kernel compaction cannot apply. 2-D grid (active
+    stripes outer, peer tiles inner); a stripe's count accumulates across
+    its peer tiles."""
     import jax.experimental.pallas as pl
 
     ids_ref = refs[0]
@@ -521,42 +605,12 @@ def _frontier_halo_kernel_packed(wrap: bool, tile_p: int, num_peers: int,
 
     @pl.when(j < count)
     def _():
-        center = [r[...] for r in c_refs]
-        row_in_block = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
-        global_row = i * tile_p + row_in_block
-
-        def shifted(direction: int):
-            out = []
-            for f in range(3):
-                c = center[f]
-                if direction == +1:
-                    rolled = jnp.roll(c, 1, axis=0)
-                    fixed = jnp.where(
-                        row_in_block == 0, t_refs[f][7:8, :], rolled
-                    )
-                    if not wrap:
-                        fixed = jnp.where(global_row == 0, 0, fixed)
-                else:
-                    rolled = jnp.roll(c, -1, axis=0)
-                    fixed = jnp.where(
-                        row_in_block == tile_p - 1, b_refs[f][0:1, :], rolled
-                    )
-                    if not wrap:
-                        fixed = jnp.where(
-                            global_row == num_peers - 1, 0, fixed
-                        )
-                out.append(fixed)
-            return out
-
-        def lexmax(a_vals, b_vals):
-            gt = _lex_gt_packed(packed_keys(*b_vals), packed_keys(*a_vals))
-            return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
-
-        m1, gt1 = lexmax(center, shifted(+1))
-        m2, gt2 = lexmax(m1, shifted(-1))
+        m2, c = _merge_stripe_halo(
+            [r[...] for r in c_refs], t_refs, b_refs, wrap, tile_p,
+            num_peers, i,
+        )
         for out, v in zip(out_refs, m2):
             out[...] = v
-        c = jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(gt2.astype(jnp.int32))
 
         @pl.when(i == 0)
         def _():
@@ -567,11 +621,69 @@ def _frontier_halo_kernel_packed(wrap: bool, tile_p: int, num_peers: int,
             cnt_out[0, stripe] += c
 
 
-def frontier_halo_round_packed_traced(table, dirty, wrap: bool,
+def _frontier_halo_kernel_packed(wrap: bool, tile_p: int, num_peers: int,
+                                 t_total: int, tiles: int, *refs):
+    """Compacting halo frontier round (P beyond the full-P stripe budget):
+    2-D grid, active stripes outer, peer tiles inner (the inner index moves
+    fastest, so a stripe's tiles run consecutively). A stripe's change
+    count accumulates in SMEM scratch across its peer tiles; after the last
+    tile, a still-changing stripe's id is appended to the ids output — the
+    next round's prefetch array (see _frontier_round_kernel_packed)."""
+    import jax.experimental.pallas as pl
+
+    ids_ref = refs[0]
+    c_refs = refs[1:4]
+    t_refs = refs[4:7]
+    b_refs = refs[7:10]
+    out_refs, ids_out = refs[10:13], refs[13]
+    acc = refs[14]
+
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    count = ids_ref[t_total]
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        ids_out[0, t_total] = 0
+        ids_out[0, t_total + 1] = 0
+
+    @pl.when(j < count)
+    def _():
+        stripe = ids_ref[j]
+        m2, c = _merge_stripe_halo(
+            [r[...] for r in c_refs], t_refs, b_refs, wrap, tile_p,
+            num_peers, i,
+        )
+        for out, v in zip(out_refs, m2):
+            out[...] = v
+
+        @pl.when(i == 0)
+        def _():
+            acc[0, 0] = c
+
+        @pl.when(i > 0)
+        def _():
+            acc[0, 0] += c
+
+        @pl.when(i == tiles - 1)
+        def _():
+            total = acc[0, 0]
+
+            @pl.when(total > 0)
+            def _():
+                k = ids_out[0, t_total]
+                ids_out[0, k] = stripe
+                ids_out[0, t_total] = k + 1
+                ids_out[0, t_total + 1] += total
+
+
+def frontier_halo_round_packed_traced(table, ids, wrap: bool,
                                       interpret: bool):
-    """Frontier round via the halo kernel (any 8-aligned P): pre-round
-    boundary snapshot (full width — it is ~2/tile_p of the table) + 2-D
-    remapped grid over only the active stripes."""
+    """Compacting frontier round via the halo kernel (any 8-aligned P):
+    pre-round boundary snapshot (full width — it is ~2/tile_p of the table)
+    + 2-D remapped grid over only the active stripes. ``ids`` is the
+    [t_total + 2] compact array (see frontier_ids_compact); returns
+    (table, next ids)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -589,25 +701,24 @@ def frontier_halo_round_packed_traced(table, dirty, wrap: bool,
         return top, bottom
 
     tops, bottoms = zip(*(edges(f) for f in table))
-
-    ids_full, grid_j = frontier_ids(dirty, t_total)
-    counts_in = jnp.zeros((1, t_total), jnp.int32)
+    grid_j = jnp.maximum(ids[t_total], 1)
 
     center_spec = pl.BlockSpec(
-        (tile_p, tile_n), lambda j, i, ids: (i, ids[j]),
+        (tile_p, tile_n), lambda j, i, ids_: (i, ids_[j]),
         memory_space=pltpu.VMEM,
     )
     halo_spec = pl.BlockSpec(
-        (8, tile_n), lambda j, i, ids: (i, ids[j]), memory_space=pltpu.VMEM
+        (8, tile_n), lambda j, i, ids_: (i, ids_[j]), memory_space=pltpu.VMEM
     )
-    cnt_spec = pl.BlockSpec(
-        (1, t_total), lambda j, i, ids: (0, 0), memory_space=pltpu.SMEM
+    ids_spec = pl.BlockSpec(
+        (1, t_total + 2), lambda j, i, ids_: (0, 0), memory_space=pltpu.SMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid_j, tiles),  # dynamic: exactly the active stripes
-        in_specs=[center_spec] * 3 + [halo_spec] * 6 + [cnt_spec],
-        out_specs=[center_spec] * 3 + [cnt_spec],
+        in_specs=[center_spec] * 3 + [halo_spec] * 6,
+        out_specs=[center_spec] * 3 + [ids_spec],
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
     )
     outs = pl.pallas_call(
         functools.partial(
@@ -616,15 +727,12 @@ def frontier_halo_round_packed_traced(table, dirty, wrap: bool,
         grid_spec=grid_spec,
         out_shape=(
             *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
-            jax.ShapeDtypeStruct((1, t_total), jnp.int32),
+            jax.ShapeDtypeStruct((1, t_total + 2), jnp.int32),
         ),
-        input_output_aliases={1: 0, 2: 1, 3: 2, 10: 3},
+        input_output_aliases={1: 0, 2: 1, 3: 2},
         interpret=interpret,
-    )(ids_full, *table, *tops, *bottoms, counts_in)
-    # processed stripes == the dirty set (dynamic grid runs exactly
-    # those); unwritten SMEM entries keep the aliased input's zeros
-    counts = jnp.where(dirty, outs[3][0, :], 0)
-    return PackedTable(*outs[:3]), counts > 0, jnp.sum(counts)
+    )(ids, *table, *tops, *bottoms)
+    return PackedTable(*outs[:3]), outs[3][0]
 
 
 def frontier_tile_n(p: int, n: int) -> int:
@@ -637,37 +745,36 @@ def frontier_tile_n(p: int, n: int) -> int:
     return 0
 
 
-def frontier_round_packed_traced(table, dirty, wrap: bool, interpret: bool):
-    """One frontier round: process dirty stripes in place, return the new
-    per-stripe dirty flags and the total changed count."""
+def frontier_round_packed_traced(table, ids, wrap: bool, interpret: bool):
+    """One compacting frontier round: process the stripes listed in ``ids``
+    in place, return (table, next ids) — the kernel emits the next round's
+    compact id array itself (see _frontier_round_kernel_packed)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     p, n = table.khi.shape
     if not packed_ring_supported(p, n):
-        return frontier_halo_round_packed_traced(table, dirty, wrap, interpret)
+        return frontier_halo_round_packed_traced(table, ids, wrap, interpret)
     tile_n = _stripe_tile_n(p, n)
     t_total = n // tile_n
-
-    ids_full, grid_j = frontier_ids(dirty, t_total)
-    counts_in = jnp.zeros((1, t_total), jnp.int32)
+    grid_j = jnp.maximum(ids[t_total], 1)
 
     stripe_spec = pl.BlockSpec(
-        (p, tile_n), lambda j, ids: (0, ids[j]), memory_space=pltpu.VMEM
+        (p, tile_n), lambda j, ids_: (0, ids_[j]), memory_space=pltpu.VMEM
     )
-    # counts live as ONE full-array SMEM block, shaped [1, T]: Mosaic rejects
-    # (1,1) blocks, and a [T,1] window pads its minor dim to 128 lanes
-    # (T*512 B — past the 1 MB SMEM budget at the north-star stripe count);
-    # [1, T] pads sublanes to 8 instead (T*32 B). The kernel writes
-    # cnt[0, stripe] dynamically.
-    cnt_spec = pl.BlockSpec(
-        (1, t_total), lambda j, ids: (0, 0), memory_space=pltpu.SMEM
+    # the ids output lives as ONE full-array SMEM block, shaped [1, T+2]:
+    # Mosaic rejects (1,1) blocks, and a [T,1] window pads its minor dim to
+    # 128 lanes (T*512 B — past the 1 MB SMEM budget at the north-star
+    # stripe count); [1, T] pads sublanes to 8 instead (T*32 B). The kernel
+    # appends ids dynamically.
+    ids_spec = pl.BlockSpec(
+        (1, t_total + 2), lambda j, ids_: (0, 0), memory_space=pltpu.SMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid_j,),  # dynamic: exactly the active stripes
-        in_specs=[stripe_spec] * 3 + [cnt_spec],
-        out_specs=[stripe_spec] * 3 + [cnt_spec],
+        in_specs=[stripe_spec] * 3,
+        out_specs=[stripe_spec] * 3 + [ids_spec],
     )
     outs = pl.pallas_call(
         functools.partial(
@@ -676,20 +783,12 @@ def frontier_round_packed_traced(table, dirty, wrap: bool, interpret: bool):
         grid_spec=grid_spec,
         out_shape=(
             *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
-            jax.ShapeDtypeStruct((1, t_total), jnp.int32),
+            jax.ShapeDtypeStruct((1, t_total + 2), jnp.int32),
         ),
-        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        input_output_aliases={1: 0, 2: 1, 3: 2},
         interpret=interpret,
-    )(ids_full, *table, counts_in)
-    # only processed stripes' counts are defined (the kernel writes
-    # cnt[stripe] for j < count; whether unwritten SMEM entries keep the
-    # aliased input's zeros is a Pallas implementation detail) — mask to
-    # the processed set, which the ids array gives exactly (trailing
-    # duplicates re-mark the last processed stripe, harmlessly)
-    # processed stripes == the dirty set (dynamic grid runs exactly
-    # those); unwritten SMEM entries keep the aliased input's zeros
-    counts = jnp.where(dirty, outs[3][0, :], 0)
-    return PackedTable(*outs[:3]), counts > 0, jnp.sum(counts)
+    )(ids, *table)
+    return PackedTable(*outs[:3]), outs[3][0]
 
 
 @functools.partial(
@@ -703,27 +802,34 @@ def gossip_frontier_packed(
     max_rounds: int,
     interpret: bool = False,
 ) -> Tuple[PackedTable, jax.Array, jax.Array]:
-    """Frontier convergence loop (ring/chain, full-P stripe shapes): per
-    round, only stripes still changing are touched. Bit-identical final
+    """Frontier convergence loop (ring/chain, full-P stripe or halo shapes):
+    per round, only stripes still changing are touched, and the kernel
+    itself compacts the next round's frontier in SMEM. Bit-identical final
     state to the classic loop (every active stripe advances exactly one
     round per iteration; settled stripes are at their fixed point); rounds
     count matches too. Sparse workloads converge in a fraction of the
-    classic loop's traffic."""
+    classic loop's traffic; the loop body is a single pallas_call plus two
+    scalar reads."""
+    p, n = table.khi.shape
+    tile_n = frontier_tile_n(p, n)
+    t_total = n // tile_n
+    ids0 = frontier_ids_compact(dirty, t_total)
 
     def cond(state):
-        _, dirty_f, rounds, _ = state
-        return jnp.any(dirty_f) & (rounds < max_rounds)
+        _, ids, rounds = state
+        return (ids[t_total] > 0) & (rounds < max_rounds)
 
     def body(state):
-        tbl, dirty_f, rounds, _ = state
-        tbl, new_dirty, changed = frontier_round_packed_traced(
-            tbl, dirty_f, wrap, interpret
-        )
-        return tbl, new_dirty, rounds + 1, changed
+        tbl, ids, rounds = state
+        tbl, ids = frontier_round_packed_traced(tbl, ids, wrap, interpret)
+        return tbl, ids, rounds + 1
 
-    table, _, rounds, last_changed = jax.lax.while_loop(
-        cond, body, (table, dirty, jnp.int32(0), jnp.int32(1))
+    table, ids, rounds = jax.lax.while_loop(
+        cond, body, (table, ids0, jnp.int32(0))
     )
+    # the changed-total cell reports the LAST executed round's merges; a
+    # zero-round call (nothing dirty) reports 0
+    last_changed = jnp.where(rounds > 0, ids[t_total + 1], 0)
     return table, rounds, last_changed
 
 
@@ -784,7 +890,7 @@ def frontier_shard_round_packed(block, tops, bottoms, dirty, interpret: bool,
     kw = {} if vma is None else {"vma": frozenset(vma)}
     outs = pl.pallas_call(
         functools.partial(
-            _frontier_halo_kernel_packed, True, b, b, t_total, 1
+            _frontier_halo_kernel_counts, True, b, b, t_total, 1
         ),
         grid_spec=grid_spec,
         out_shape=(

@@ -473,20 +473,28 @@ def _frontier_fullp_kernel_dense(nf: int, mode: str, wrap: bool,
     frontier — slot stripes never interact, and a stripe that survives a
     full round unchanged is at its fixed point forever). nf=7 merges all
     metadata under the mode's priority order; nf=4 is the lean variant
-    (value keys only; writer/ctr/tick stay local). All outputs alias their
-    inputs, so skipped stripes simply stay as they were."""
+    (value keys only; writer/ctr/tick stay local). Still-changing stripe
+    ids are APPENDED to the SMEM ids output — the next round's prefetch
+    array (in-kernel frontier compaction, see ops.packed). All data
+    outputs alias their inputs, so skipped stripes simply stay as they
+    were."""
     import jax.experimental.pallas as pl
 
     ids_ref = refs[0]
     c_refs = refs[1 : 1 + nf]
-    out_refs, cnt_out = refs[2 + nf : 2 + 2 * nf], refs[2 + 2 * nf]
+    out_refs, ids_out = refs[1 + nf : 1 + 2 * nf], refs[1 + 2 * nf]
 
     j = pl.program_id(0)
     count = ids_ref[t_total]
-    stripe = ids_ref[j]
+
+    @pl.when(j == 0)
+    def _():
+        ids_out[0, t_total] = 0
+        ids_out[0, t_total + 1] = 0
 
     @pl.when(j < count)
     def _():
+        stripe = ids_ref[j]
         center = [r[...] for r in c_refs]
         row = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
 
@@ -512,9 +520,14 @@ def _frontier_fullp_kernel_dense(nf: int, mode: str, wrap: bool,
         m2, gt2 = lexmax(m1, shifted(-1))
         for out, v in zip(out_refs, m2):
             out[...] = v
-        cnt_out[0, stripe] = (
-            jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(gt2.astype(jnp.int32))
-        )
+        c = jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(gt2.astype(jnp.int32))
+
+        @pl.when(c > 0)
+        def _():
+            k = ids_out[0, t_total]
+            ids_out[0, k] = stripe
+            ids_out[0, t_total] = k + 1
+            ids_out[0, t_total + 1] += c
 
 
 def frontier_tile_n_dense(p: int, n: int, lean: bool) -> int:
@@ -534,15 +547,14 @@ def frontier_tile_n_dense(p: int, n: int, lean: bool) -> int:
 
 
 def frontier_round_dense_traced(
-    table: TableState, dirty: jax.Array, wrap: bool, mode: str, lean: bool,
+    table: TableState, ids: jax.Array, wrap: bool, mode: str, lean: bool,
     interpret: bool,
 ):
-    """One dense frontier round in place; returns (table, new per-stripe
-    dirty flags, total changed count)."""
+    """One compacting dense frontier round in place; ``ids`` is the
+    [t_total + 2] compact array (ops.packed.frontier_ids_compact); returns
+    (table, next ids)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-
-    from .packed import frontier_ids
 
     p, n = table.cls.shape
     tile_n = frontier_tile_n_dense(p, n, lean)
@@ -551,24 +563,21 @@ def frontier_round_dense_traced(
     fields = (
         (table.cls, table.khi, table.klo, table.vid) if lean else tuple(table)
     )
-
-    ids_full, grid_j = frontier_ids(dirty, t_total)
-    counts_in = jnp.zeros((1, t_total), jnp.int32)
+    grid_j = jnp.maximum(ids[t_total], 1)
 
     stripe_spec = pl.BlockSpec(
-        (p, tile_n), lambda j, ids: (0, ids[j]), memory_space=pltpu.VMEM
+        (p, tile_n), lambda j, ids_: (0, ids_[j]), memory_space=pltpu.VMEM
     )
-    cnt_spec = pl.BlockSpec(
-        (1, t_total), lambda j, ids: (0, 0), memory_space=pltpu.SMEM
+    ids_spec = pl.BlockSpec(
+        (1, t_total + 2), lambda j, ids_: (0, 0), memory_space=pltpu.SMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid_j,),  # dynamic: exactly the active stripes
-        in_specs=[stripe_spec] * nf + [cnt_spec],
-        out_specs=[stripe_spec] * nf + [cnt_spec],
+        in_specs=[stripe_spec] * nf,
+        out_specs=[stripe_spec] * nf + [ids_spec],
     )
     aliases = {i + 1: i for i in range(nf)}
-    aliases[nf + 1] = nf
     outs = pl.pallas_call(
         functools.partial(
             _frontier_fullp_kernel_dense, nf, mode, wrap, p, t_total
@@ -576,21 +585,18 @@ def frontier_round_dense_traced(
         grid_spec=grid_spec,
         out_shape=(
             *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)),
-            jax.ShapeDtypeStruct((1, t_total), jnp.int32),
+            jax.ShapeDtypeStruct((1, t_total + 2), jnp.int32),
         ),
         input_output_aliases=aliases,
         interpret=interpret,
-    )(ids_full, *fields, counts_in)
-    # processed stripes == the dirty set (dynamic grid runs exactly
-    # those); unwritten SMEM entries keep the aliased input's zeros
-    counts = jnp.where(dirty, outs[nf][0, :], 0)
+    )(ids, *fields)
     if lean:
         new_table = table._replace(
             cls=outs[0], khi=outs[1], klo=outs[2], vid=outs[3]
         )
     else:
         new_table = TableState(*outs[:7])
-    return new_table, counts > 0, jnp.sum(counts)
+    return new_table, outs[nf][0]
 
 
 @functools.partial(
@@ -608,21 +614,29 @@ def gossip_frontier_dense(
     interpret: bool = False,
 ) -> Tuple[TableState, jax.Array, jax.Array]:
     """Dense frontier convergence loop (ring/chain): per round only stripes
-    still changing are touched. Bit-identical final state and round count
-    to the classic all-stripes loop."""
+    still changing are touched, and the kernel compacts the next frontier
+    in SMEM (see ops.packed). Bit-identical final state and round count to
+    the classic all-stripes loop."""
+    from .packed import frontier_ids_compact
+
+    p, n = table.cls.shape
+    tile_n = frontier_tile_n_dense(p, n, lean)
+    t_total = n // tile_n
+    ids0 = frontier_ids_compact(dirty, t_total)
 
     def cond(state):
-        _, dirty_f, rounds, _ = state
-        return jnp.any(dirty_f) & (rounds < max_rounds)
+        _, ids, rounds = state
+        return (ids[t_total] > 0) & (rounds < max_rounds)
 
     def body(state):
-        tbl, dirty_f, rounds, _ = state
-        tbl, new_dirty, changed = frontier_round_dense_traced(
-            tbl, dirty_f, wrap, mode, lean, interpret
+        tbl, ids, rounds = state
+        tbl, ids = frontier_round_dense_traced(
+            tbl, ids, wrap, mode, lean, interpret
         )
-        return tbl, new_dirty, rounds + 1, changed
+        return tbl, ids, rounds + 1
 
-    table, _, rounds, last_changed = jax.lax.while_loop(
-        cond, body, (table, dirty, jnp.int32(0), jnp.int32(1))
+    table, ids, rounds = jax.lax.while_loop(
+        cond, body, (table, ids0, jnp.int32(0))
     )
+    last_changed = jnp.where(rounds > 0, ids[t_total + 1], 0)
     return table, rounds, last_changed
