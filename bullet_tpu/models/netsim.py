@@ -250,18 +250,14 @@ class PeerNetworkSim:
             # lattice, so enqueue order never affects converged state)
             from ..utils.encode import bulk_encode_values
 
-            k = len(leaves)
             slots = self.host.intern_batch([p for p, _ in leaves])
             cls, khi, klo, vid = bulk_encode_values(
                 self.host.values, [v for _, v in leaves]
             )
-            ctr = (self._clock[peer] + 1 + np.arange(k)).astype(np.int32)
-            self._clock[peer] += k
-            self._pending_bulk.append(
-                (np.full(k, peer, dtype=np.int32), slots.astype(np.int32),
-                 cls, khi, klo, vid, ctr)
+            self._enqueue_bulk(
+                np.full(len(leaves), peer, dtype=np.int32),
+                slots.astype(np.int32), cls, khi, klo, vid,
             )
-            self.stats["ops_enqueued"] += k
         else:
             for leaf_path, leaf_value in leaves:
                 slot = self.host.intern_path(leaf_path)
@@ -363,13 +359,17 @@ class PeerNetworkSim:
                 if k == 0:
                     return
 
-        # per-op Lamport stamps: clock[peer] + within-batch sequence
+        self._enqueue_bulk(peers, slots, cls, khi, klo, vid)
+
+    def _enqueue_bulk(self, peers, slots, cls, khi, klo, vid) -> None:
+        """Stamp per-op Lamport counters (clock[peer] + within-batch
+        sequence) and queue one bulk chunk — the single enqueue point shared
+        by ``put_bulk`` and batched tree ``put``s."""
         seq, counts = _group_positions(peers, self.num_peers)
         ctr = (self._clock[peers] + seq + 1).astype(np.int32)
         self._clock += counts
-
         self._pending_bulk.append((peers, slots, cls, khi, klo, vid, ctr))
-        self.stats["ops_enqueued"] += k
+        self.stats["ops_enqueued"] += len(peers)
 
     def intern_path(self, path: str) -> int:
         """Pre-intern a path for slot-id based ``put_bulk`` ingestion."""
@@ -541,7 +541,11 @@ class PeerNetworkSim:
         """Packed apply: flat ingress (traced transforms + device validation
         veto), host lattice pre-reduction per (peer, slot), then ONE
         gather+scatter apply — no dense batch, no scan (ops/packed.py)."""
-        from ..ops.packed import MAX_VID, apply_flat_packed, reduce_flat_ops
+        from ..ops.packed import (
+            MAX_VID,
+            apply_flat_packed_stacked,
+            reduce_flat_ops,
+        )
 
         flat = self._drain_flat()
         if flat is None:
@@ -578,8 +582,11 @@ class PeerNetworkSim:
                 self._frontier_dirty[np.unique(reduced[1] // tile_n)] = True
             else:
                 self._frontier_dirty = None
-        self.table, applied = apply_flat_packed(
-            self.table, *(jnp.asarray(a) for a in reduced)
+        # ONE stacked h2d transfer for the whole reduced batch (the tunnel
+        # charges per-transfer latency; five separate array uploads cost
+        # noticeably more than one [5, K] block)
+        self.table, applied = apply_flat_packed_stacked(
+            self.table, jnp.asarray(np.stack(reduced))
         )
         return int(applied)
 

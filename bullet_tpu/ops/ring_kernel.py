@@ -638,5 +638,6 @@ def gossip_frontier_dense(
     table, ids, rounds = jax.lax.while_loop(
         cond, body, (table, ids0, jnp.int32(0))
     )
-    last_changed = jnp.where(rounds > 0, ids[t_total + 1], 0)
+    # 0 IFF the frontier is empty at exit (see gossip_frontier_packed)
+    last_changed = jnp.where(ids[t_total] == 0, 0, ids[t_total + 1])
     return table, rounds, last_changed

@@ -101,3 +101,55 @@ def test_put_bulk_scalar_peer_broadcast(cpu_sim_factory=None):
     sim.run_until_converged()
     assert sim.tables_equal()
     assert sim.get(0, "a/x") == 1 and sim.get(3, "a/z") == 3
+
+
+def test_reduce_flat_ops_matches_lexsort_oracle():
+    """The argsort+reduceat reduction must keep exactly the
+    (cls, khi, klo, vid)-lexmax op per (peer, slot) — checked against a
+    straight 4-key lexsort oracle on heavy-duplicate random batches."""
+    import numpy as np
+
+    from bullet_tpu.ops.packed import CV_SHIFT, reduce_flat_ops
+
+    def oracle(peer, slot, cls, khi, klo, vid):
+        keep = cls > 0
+        peer, slot, cls, khi, klo, vid = (
+            a[keep] for a in (peer, slot, cls, khi, klo, vid)
+        )
+        if peer.size == 0:
+            return None
+        bias = np.int64(1) << 31
+        pslot = (peer.astype(np.int64) << 32) | slot.astype(np.int64)
+        key64 = (
+            ((khi.astype(np.int64) + bias).astype(np.uint64) << np.uint64(32))
+            | (klo.astype(np.int64) + bias).astype(np.uint64)
+        )
+        order = np.lexsort((vid, key64, cls, pslot))
+        ps = pslot[order]
+        last = np.ones(order.size, dtype=bool)
+        last[:-1] = ps[1:] != ps[:-1]
+        idx = order[last]
+        cv = ((cls[idx].astype(np.int64) << CV_SHIFT) | vid[idx]).astype(
+            np.int32
+        )
+        return peer[idx], slot[idx], khi[idx], klo[idx], cv
+
+    rng = np.random.default_rng(7)
+    for k, peers, slots in ((1, 1, 1), (500, 3, 7), (5000, 16, 50)):
+        peer = rng.integers(0, peers, k).astype(np.int32)
+        slot = rng.integers(0, slots, k).astype(np.int32)
+        cls = rng.integers(0, 5, k).astype(np.int32)  # incl. cls=0 drops
+        khi = rng.integers(-(1 << 31), 1 << 31, k).astype(np.int32)
+        klo = rng.integers(-(1 << 31), 1 << 31, k).astype(np.int32)
+        vid = rng.integers(0, 1 << 28, k).astype(np.int32)
+        want = oracle(peer, slot, cls, khi, klo, vid)
+        got = reduce_flat_ops(peer, slot, cls, khi, klo, vid)
+        if want is None:
+            assert got is None
+            continue
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(w, g)
+
+    # all-invalid batch reduces to None
+    z = np.zeros(4, dtype=np.int32)
+    assert reduce_flat_ops(z, z, z, z, z, z) is None

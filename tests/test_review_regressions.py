@@ -458,3 +458,26 @@ def test_csv_numeric_coercion_js_semantics():
     assert _convert_csv_value("abc") == "abc"
     assert _convert_csv_value("") is None
     assert _convert_csv_value("TRUE") is True
+
+
+def test_zero_round_frontier_does_not_fake_convergence():
+    """Code-review r2 session 2: a run_until_converged(max_rounds=0) call
+    executes zero frontier rounds; the loop must NOT report residual 0, or
+    netsim zeroes its dirty-stripe seed and later convergences skip the
+    still-dirty stripes forever (replicas permanently divergent)."""
+    import numpy as np
+
+    from bullet_tpu.models.netsim import PeerNetworkSim
+
+    for layout in ("packed", "dense"):
+        sim = PeerNetworkSim(8, capacity=1024, topology="ring", layout=layout)
+        sim.put(0, "a/x", 1)
+        sim.run_until_converged()  # establish frontier tracking (all clean)
+        assert sim.tables_equal()
+        sim.put(2, "a/y", 7)
+        r = sim.run_until_converged(max_rounds=0)  # applies, gossips nothing
+        assert r == 0
+        assert sim.last_residual != 0  # not converged — and must not claim so
+        sim.run_until_converged()
+        assert sim.tables_equal(), layout
+        assert sim.get(0, "a/y") == 7, layout
