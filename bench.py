@@ -106,12 +106,20 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
                 khi=mix(2, 2000) - 1000, klo=mix(3, 2000) - 1000, cv=cv
             )
 
-        from bullet_tpu.ops.packed import ring_round_packed_traced
+        from bullet_tpu.ops.packed import ring_multiround_packed_traced
+
+        # M=5 rounds fuse per block-load: the full-P stripe holds every
+        # peer in VMEM, so consecutive rounds amortize the block's HBM
+        # read+write (DMA-bound 54 B/s -> compute-bound ~89 B/s on v5e);
+        # states stay bit-identical to M sequential rounds (tested)
+        fuse = 5
+        while rounds % fuse:
+            fuse -= 1
 
         def packed_round(_, t):
             # traced (not the jit wrapper): the pallas in->out aliasing makes
             # the donated fori carry update fully in place
-            t2, _c = ring_round_packed_traced(t, True, False)
+            t2, _c = ring_multiround_packed_traced(t, True, fuse, False)
             return t2
 
         import functools
@@ -121,7 +129,7 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
         # matching output exists. Rebuild (one cheap fused jit) per run.
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_packed(t):
-            out = jax.lax.fori_loop(0, rounds, packed_round, t)
+            out = jax.lax.fori_loop(0, rounds // fuse, packed_round, t)
             return jnp.sum(out.cv), out
 
         s, warm_out = run_packed(build_packed())  # compile + warm

@@ -720,9 +720,12 @@ class PeerNetworkSim:
                         )
                     )
                 else:
+                    # fuse=5: five rounds per block-load (full-P stripe
+                    # shapes; halo shapes fall back internally) — exact
+                    # classic round counts reconstructed in the loop
                     self.table, rounds, final_changed = gossip_frontier_packed(
                         self.table, dirty, self.topology.kind == "ring",
-                        max_rounds, interpret=interp,
+                        max_rounds, interpret=interp, fuse=5,
                     )
                 rounds_int = int(rounds)
                 if rounds_int < max_rounds or int(final_changed) == 0:

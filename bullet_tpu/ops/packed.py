@@ -381,6 +381,65 @@ def _fullp_round_kernel_packed(wrap: bool, num_peers: int, *refs):
     count_ref[0, 0] += c
 
 
+def _fullp_multiround_kernel_packed(wrap: bool, num_peers: int, m: int,
+                                    *refs):
+    """M consecutive ring/chain rounds per block-load (unrolled in VMEM).
+
+    The full-P stripe block holds EVERY peer's rows for its slot stripe, and
+    gossip only moves values along the peer axis — so M rounds can run
+    entirely in VMEM before writing back, amortizing the block's HBM
+    read+write over M rounds. The classic loop is DMA-bound (~3.8 µs DMA vs
+    ~2.2 µs merge compute per block-round on v5e); M-round fusion
+    approaches the compute roofline. States after k*M fused steps are
+    bit-identical to k*M classic rounds; the count output is the total
+    changes across all M rounds."""
+    import jax.experimental.pallas as pl
+
+    c_refs, out_refs, count_ref = refs[:3], refs[3:6], refs[6]
+    vals = [r[...] for r in c_refs]
+    total = jnp.int32(0)
+    for _ in range(m):
+        vals, c = _merge_stripe_fullp(vals, wrap, num_peers)
+        total += c
+    for out, v in zip(out_refs, vals):
+        out[...] = v
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        count_ref[0, 0] = 0
+
+    count_ref[0, 0] += total
+
+
+def ring_multiround_packed_traced(
+    table: PackedTable, wrap: bool, m: int, interpret: bool
+) -> Tuple[PackedTable, jax.Array]:
+    """M fused ring/chain rounds in one in-place pallas_call (see the
+    kernel docstring); returns (table, total changed across the M rounds).
+    Same shape support as ring_round_packed_traced."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, n = table.khi.shape
+    tile_n = _stripe_tile_n(p, n)
+    grid = (n // tile_n,)
+    data_spec = pl.BlockSpec((p, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM)
+    count_spec = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)
+    ) + (jax.ShapeDtypeStruct((1, 1), jnp.int32),)
+    outs = pl.pallas_call(
+        functools.partial(_fullp_multiround_kernel_packed, wrap, p, m),
+        grid=grid,
+        in_specs=[data_spec] * 3,
+        out_specs=tuple([data_spec] * 3) + (count_spec,),
+        out_shape=out_shapes,
+        input_output_aliases={0: 0, 1: 1, 2: 2},
+        interpret=interpret,
+    )(*table)
+    return PackedTable(*outs[:3]), outs[3][0, 0]
+
+
 # 6 stripe buffers (3 in + 3 out) double-buffered must fit VMEM comfortably:
 # cap a stripe at 2^17 int32 (512 KB) → 6 MB total
 _STRIPE_MAX_ELEMS = 1 << 17
@@ -752,6 +811,98 @@ def frontier_tile_n(p: int, n: int) -> int:
     return 0
 
 
+def _frontier_multiround_kernel_packed(wrap: bool, num_peers: int,
+                                       t_total: int, m: int, *refs):
+    """Compacting frontier round with M rounds fused per block-load.
+
+    Per stripe, all M rounds run in VMEM (full-P stripe: rolls wrap inside
+    the block) and ``stripe_last`` records the last inner round (1-based)
+    that changed anything. By monotonicity a stripe that ran unchanged
+    rounds after its last change is at its fixed point, so it stays dirty
+    IFF stripe_last == M. The SMEM ids output additionally carries
+    [t_total+1] = total changes across the invocation and [t_total+2] =
+    max(stripe_last) over processed stripes — the loop reconstructs the
+    EXACT classic round count from it (see gossip_frontier_packed)."""
+    import jax.experimental.pallas as pl
+
+    ids_ref = refs[0]
+    c_refs = refs[1:4]
+    out_refs, ids_out = refs[4:7], refs[7]
+
+    j = pl.program_id(0)
+    count = ids_ref[t_total]
+
+    @pl.when(j == 0)
+    def _():
+        ids_out[0, t_total] = 0
+        ids_out[0, t_total + 1] = 0
+        ids_out[0, t_total + 2] = 0
+
+    @pl.when(j < count)
+    def _():
+        stripe = ids_ref[j]
+        vals = [r[...] for r in c_refs]
+        total = jnp.int32(0)
+        stripe_last = jnp.int32(0)
+        for k in range(1, m + 1):
+            vals, c = _merge_stripe_fullp(vals, wrap, num_peers)
+            stripe_last = jnp.where(c > 0, jnp.int32(k), stripe_last)
+            total += c
+        for out, v in zip(out_refs, vals):
+            out[...] = v
+
+        @pl.when(stripe_last == m)
+        def _():
+            k_ = ids_out[0, t_total]
+            ids_out[0, k_] = stripe
+            ids_out[0, t_total] = k_ + 1
+
+        ids_out[0, t_total + 1] += total
+        ids_out[0, t_total + 2] = jnp.maximum(
+            ids_out[0, t_total + 2], stripe_last
+        )
+
+
+def frontier_multiround_packed_traced(table, ids, wrap: bool, m: int,
+                                      interpret: bool):
+    """One M-fused compacting frontier step (full-P stripe shapes only);
+    ``ids`` is a [t_total + 3] array (frontier_ids_compact layout plus the
+    max-last-change cell); returns (table, next ids)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, n = table.khi.shape
+    tile_n = _stripe_tile_n(p, n)
+    t_total = n // tile_n
+    grid_j = jnp.maximum(ids[t_total], 1)
+
+    stripe_spec = pl.BlockSpec(
+        (p, tile_n), lambda j, ids_: (0, ids_[j]), memory_space=pltpu.VMEM
+    )
+    ids_spec = pl.BlockSpec(
+        (1, t_total + 3), lambda j, ids_: (0, 0), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid_j,),
+        in_specs=[stripe_spec] * 3,
+        out_specs=[stripe_spec] * 3 + [ids_spec],
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _frontier_multiround_kernel_packed, wrap, p, t_total, m
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
+            jax.ShapeDtypeStruct((1, t_total + 3), jnp.int32),
+        ),
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+        interpret=interpret,
+    )(ids, *table)
+    return PackedTable(*outs[:3]), outs[3][0]
+
+
 def frontier_round_packed_traced(table, ids, wrap: bool, interpret: bool):
     """One compacting frontier round: process the stripes listed in ``ids``
     in place, return (table, next ids) — the kernel emits the next round's
@@ -799,7 +950,7 @@ def frontier_round_packed_traced(table, ids, wrap: bool, interpret: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("wrap", "max_rounds", "interpret"),
+    jax.jit, static_argnames=("wrap", "max_rounds", "interpret", "fuse"),
     donate_argnums=(0,),
 )
 def gossip_frontier_packed(
@@ -808,18 +959,81 @@ def gossip_frontier_packed(
     wrap: bool,
     max_rounds: int,
     interpret: bool = False,
+    fuse: int = 1,
 ) -> Tuple[PackedTable, jax.Array, jax.Array]:
     """Frontier convergence loop (ring/chain, full-P stripe or halo shapes):
     per round, only stripes still changing are touched, and the kernel
     itself compacts the next round's frontier in SMEM. Bit-identical final
     state to the classic loop (every active stripe advances exactly one
-    round per iteration; settled stripes are at their fixed point); rounds
-    count matches too. Sparse workloads converge in a fraction of the
-    classic loop's traffic; the loop body is a single pallas_call plus two
-    scalar reads."""
+    round per iteration; settled stripes are at their fixed point); the
+    returned rounds count matches the classic loop exactly — including with
+    ``fuse`` > 1, where FUSE rounds run per block-load (DMA amortized, see
+    _fullp_multiround_kernel_packed) and the exact classic round count is
+    reconstructed from the kernels' max-last-change tracking: a fused phase
+    runs while a whole fuse-block fits under max_rounds, then single rounds
+    finish the tail. Extra fused rounds past the fixed point are no-ops by
+    idempotence, so the final state is still bit-identical."""
     p, n = table.khi.shape
     tile_n = frontier_tile_n(p, n)
     t_total = n // tile_n
+
+    if fuse > 1 and packed_ring_supported(p, n):
+        ids0 = jnp.concatenate(
+            [frontier_ids_compact(dirty, t_total), jnp.zeros((1,), jnp.int32)]
+        )
+
+        def cond_f(state):
+            _, ids, rounds_done, _ = state
+            return (ids[t_total] > 0) & (rounds_done + fuse <= max_rounds)
+
+        def body_f(state):
+            tbl, ids, rounds_done, last_change = state
+            tbl, ids = frontier_multiround_packed_traced(
+                tbl, ids, wrap, fuse, interpret
+            )
+            mr = ids[t_total + 2]
+            last_change = jnp.where(mr > 0, rounds_done + mr, last_change)
+            return tbl, ids, rounds_done + fuse, last_change
+
+        table, ids_m, rounds_done, last_change = jax.lax.while_loop(
+            cond_f, body_f, (table, ids0, jnp.int32(0), jnp.int32(-1))
+        )
+
+        ids1 = ids_m[: t_total + 2]
+
+        def cond_t(state):
+            _, ids, rounds_done, _ = state
+            return (ids[t_total] > 0) & (rounds_done < max_rounds)
+
+        def body_t(state):
+            tbl, ids, rounds_done, last_change = state
+            tbl, ids = frontier_round_packed_traced(tbl, ids, wrap, interpret)
+            last_change = jnp.where(
+                ids[t_total + 1] > 0, rounds_done + 1, last_change
+            )
+            return tbl, ids, rounds_done + 1, last_change
+
+        table, ids1, rounds_done, last_change = jax.lax.while_loop(
+            cond_t, body_t, (table, ids1, rounds_done, last_change)
+        )
+        remaining = ids1[t_total]
+        # classic round count: the first no-change round = last change + 1
+        # (1 if rounds ran but nothing ever changed; rounds_done == the
+        # max_rounds cutoff when not converged; 0 if nothing was dirty)
+        rounds = jnp.where(
+            remaining > 0,
+            rounds_done,
+            jnp.where(
+                rounds_done == 0,
+                0,
+                jnp.maximum(last_change + 1, 1),
+            ),
+        )
+        last_changed = jnp.where(
+            remaining == 0, 0, jnp.maximum(ids1[t_total + 1], 1)
+        )
+        return table, rounds, last_changed
+
     ids0 = frontier_ids_compact(dirty, t_total)
 
     def cond(state):

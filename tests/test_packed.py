@@ -491,3 +491,74 @@ def test_frontier_halo_bitidentical():
     for a, b in zip(want, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(r_want) == int(r_got)
+
+
+@pytest.mark.parametrize("wrap", [True, False])
+def test_multiround_fused_matches_sequential(wrap):
+    """M rounds fused per block-load (the bench fast path) must be
+    bit-identical to M sequential rounds, with the summed change count."""
+    from bullet_tpu.ops.packed import (
+        ring_multiround_packed_traced,
+        ring_round_packed_traced,
+    )
+
+    for m in (1, 2, 3, 5):
+        t0 = pack_table(random_dense(64, 1024, seed=5))
+        a = PackedTable(*(jnp.array(f) for f in t0))
+        total = 0
+        for _ in range(m):
+            a, c = jax.jit(
+                ring_round_packed_traced, static_argnums=(1, 2)
+            )(a, wrap, True)
+            total += int(c)
+        b, cb = jax.jit(
+            ring_multiround_packed_traced, static_argnums=(1, 2, 3)
+        )(PackedTable(*(jnp.array(f) for f in t0)), wrap, m, True)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert total == int(cb), (wrap, m)
+
+
+def test_frontier_fused_round_parity():
+    """The fuse>1 frontier loop must report the EXACT classic round count
+    and bit-identical state — across convergence lengths that land at every
+    offset within a fuse block, max_rounds cutoffs, and empty frontiers."""
+    from bullet_tpu.ops.packed import (
+        _stripe_tile_n,
+        gossip_frontier_packed,
+        gossip_until_converged_packed,
+    )
+    from bullet_tpu.parallel import topology as topo2
+
+    p, n = 16, 2048
+    t_total = n // _stripe_tile_n(p, n)
+    nb = jnp.asarray(topo2.ring(p).neighbors)
+    rng = np.random.default_rng(55)
+    for seed in range(4):
+        t = pack_table(random_dense(p, n, seed=60 + seed))
+        for max_rounds in (p + 2, 7, 5, 3, 0):
+            want, r_want, c_want = gossip_until_converged_packed(
+                PackedTable(*(jnp.array(f) for f in t)), nb, "ring",
+                max_rounds, use_pallas=True)
+            for fuse in (2, 3, 5):
+                got, r_got, c_got = gossip_frontier_packed(
+                    PackedTable(*(jnp.array(f) for f in t)),
+                    jnp.ones(t_total, dtype=jnp.bool_), True, max_rounds,
+                    interpret=True, fuse=fuse)
+                for a, b in zip(want, got):
+                    np.testing.assert_array_equal(
+                        np.asarray(a), np.asarray(b), (seed, max_rounds, fuse))
+                assert int(r_want) == int(r_got), (seed, max_rounds, fuse,
+                                                   int(r_want), int(r_got))
+                assert (int(c_want) == 0) == (int(c_got) == 0), (
+                    seed, max_rounds, fuse)
+
+    # empty frontier: zero rounds, zero residual
+    t = pack_table(random_dense(p, n, seed=70))
+    got, r, c = gossip_frontier_packed(
+        PackedTable(*(jnp.array(f) for f in t)),
+        jnp.zeros(t_total, dtype=jnp.bool_), True, p + 2,
+        interpret=True, fuse=5)
+    assert int(r) == 0 and int(c) == 0
+    for a, b in zip(t, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
