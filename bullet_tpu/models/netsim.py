@@ -722,10 +722,15 @@ class PeerNetworkSim:
                 else:
                     # fuse=5: five rounds per block-load (full-P stripe
                     # shapes; halo shapes fall back internally) — exact
-                    # classic round counts reconstructed in the loop
+                    # classic round counts reconstructed in the loop. On
+                    # CPU interpret the fusion has no DMA to amortize and
+                    # only multiplies compute, so it stays hardware-only
+                    # (the fused paths are covered by dedicated parity
+                    # tests in interpret mode).
                     self.table, rounds, final_changed = gossip_frontier_packed(
                         self.table, dirty, self.topology.kind == "ring",
-                        max_rounds, interpret=interp, fuse=5,
+                        max_rounds, interpret=interp,
+                        fuse=1 if interp else 5,
                     )
                 rounds_int = int(rounds)
                 if rounds_int < max_rounds or int(final_changed) == 0:
@@ -776,10 +781,11 @@ class PeerNetworkSim:
                 dirty = jnp.asarray(self._frontier_dirty)
             else:
                 dirty = jnp.ones(t_total, dtype=jnp.bool_)
+            interp_dense = jax.default_backend() != "tpu"
             self.table, rounds, final_changed = gossip_frontier_dense(
                 self.table, dirty, self.topology.kind == "ring", self.mode,
                 self.lean_gossip, max_rounds,
-                interpret=jax.default_backend() != "tpu",
+                interpret=interp_dense, fuse=1 if interp_dense else 5,
             )
             rounds = int(rounds)
             if rounds < max_rounds or int(final_changed) == 0:

@@ -466,18 +466,46 @@ def _ring_round_pallas_jit(
 # ------------------------------------------- frontier convergence (dense)
 
 
+def _merge_stripe_fullp_dense(center, nf: int, mode: str, wrap: bool,
+                              num_peers: int):
+    """Shared dense full-P stripe merge body: one ring/chain round on a
+    [P, tile] block (rolls wrap inside the block); nf=7 merges all metadata
+    under the mode's priority order, nf=4 is the lean variant. Returns
+    (merged fields, changed count)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
+
+    def shifted(direction: int):
+        out = []
+        for f in range(nf):
+            rolled = jnp.roll(center[f], direction, axis=0)
+            if not wrap:
+                edge = row == (0 if direction == +1 else num_peers - 1)
+                rolled = jnp.where(edge, 0, rolled)
+            out.append(rolled)
+        return out
+
+    def keys_of(vals):
+        if nf == 4:
+            return vals
+        return _keys(vals[:4], vals[4], vals[5], mode)
+
+    def lexmax(a_vals, b_vals):
+        return _lexmax_vals(keys_of(a_vals), keys_of(b_vals), a_vals, b_vals)
+
+    m1, gt1 = lexmax(center, shifted(+1))
+    m2, gt2 = lexmax(m1, shifted(-1))
+    return m2, jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(gt2.astype(jnp.int32))
+
+
 def _frontier_fullp_kernel_dense(nf: int, mode: str, wrap: bool,
-                                 num_peers: int, t_total: int, *refs):
-    """Full-P stripe frontier round over the dense layout, processing ONLY
-    the active stripes (same prefetched grid remapping as the packed
-    frontier — slot stripes never interact, and a stripe that survives a
-    full round unchanged is at its fixed point forever). nf=7 merges all
-    metadata under the mode's priority order; nf=4 is the lean variant
-    (value keys only; writer/ctr/tick stay local). Still-changing stripe
-    ids are APPENDED to the SMEM ids output — the next round's prefetch
-    array (in-kernel frontier compaction, see ops.packed). All data
-    outputs alias their inputs, so skipped stripes simply stay as they
-    were."""
+                                 num_peers: int, t_total: int, m: int,
+                                 *refs):
+    """Full-P stripe frontier rounds over the dense layout, processing ONLY
+    the active stripes (same prefetched grid remapping and in-kernel
+    frontier compaction as the packed frontier — see ops.packed). With
+    m > 1, M rounds fuse per block-load and the ids output carries the
+    max-last-change cell for exact round reconstruction, mirroring
+    _frontier_multiround_kernel_packed."""
     import jax.experimental.pallas as pl
 
     ids_ref = refs[0]
@@ -491,43 +519,34 @@ def _frontier_fullp_kernel_dense(nf: int, mode: str, wrap: bool,
     def _():
         ids_out[0, t_total] = 0
         ids_out[0, t_total + 1] = 0
+        if m > 1:
+            ids_out[0, t_total + 2] = 0
 
     @pl.when(j < count)
     def _():
         stripe = ids_ref[j]
-        center = [r[...] for r in c_refs]
-        row = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
-
-        def shifted(direction: int):
-            out = []
-            for f in range(nf):
-                rolled = jnp.roll(center[f], direction, axis=0)
-                if not wrap:
-                    edge = row == (0 if direction == +1 else num_peers - 1)
-                    rolled = jnp.where(edge, 0, rolled)
-                out.append(rolled)
-            return out
-
-        def keys_of(vals):
-            if nf == 4:
-                return vals
-            return _keys(vals[:4], vals[4], vals[5], mode)
-
-        def lexmax(a_vals, b_vals):
-            return _lexmax_vals(keys_of(a_vals), keys_of(b_vals), a_vals, b_vals)
-
-        m1, gt1 = lexmax(center, shifted(+1))
-        m2, gt2 = lexmax(m1, shifted(-1))
-        for out, v in zip(out_refs, m2):
+        vals = [r[...] for r in c_refs]
+        total = jnp.int32(0)
+        stripe_last = jnp.int32(0)
+        for k in range(1, m + 1):
+            vals, c = _merge_stripe_fullp_dense(vals, nf, mode, wrap,
+                                                num_peers)
+            stripe_last = jnp.where(c > 0, jnp.int32(k), stripe_last)
+            total += c
+        for out, v in zip(out_refs, vals):
             out[...] = v
-        c = jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(gt2.astype(jnp.int32))
 
-        @pl.when(c > 0)
+        @pl.when(stripe_last == m)
         def _():
-            k = ids_out[0, t_total]
-            ids_out[0, k] = stripe
-            ids_out[0, t_total] = k + 1
-            ids_out[0, t_total + 1] += c
+            k_ = ids_out[0, t_total]
+            ids_out[0, k_] = stripe
+            ids_out[0, t_total] = k_ + 1
+
+        ids_out[0, t_total + 1] += total
+        if m > 1:
+            ids_out[0, t_total + 2] = jnp.maximum(
+                ids_out[0, t_total + 2], stripe_last
+            )
 
 
 def frontier_tile_n_dense(p: int, n: int, lean: bool) -> int:
@@ -548,11 +567,12 @@ def frontier_tile_n_dense(p: int, n: int, lean: bool) -> int:
 
 def frontier_round_dense_traced(
     table: TableState, ids: jax.Array, wrap: bool, mode: str, lean: bool,
-    interpret: bool,
+    interpret: bool, m: int = 1,
 ):
-    """One compacting dense frontier round in place; ``ids`` is the
-    [t_total + 2] compact array (ops.packed.frontier_ids_compact); returns
-    (table, next ids)."""
+    """Compacting dense frontier step in place (M rounds fused per
+    block-load when m > 1); ``ids`` is the [t_total + 2] compact array
+    (ops.packed.frontier_ids_compact), or [t_total + 3] with the
+    max-last-change cell when m > 1; returns (table, next ids)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -564,12 +584,13 @@ def frontier_round_dense_traced(
         (table.cls, table.khi, table.klo, table.vid) if lean else tuple(table)
     )
     grid_j = jnp.maximum(ids[t_total], 1)
+    ids_len = t_total + (3 if m > 1 else 2)
 
     stripe_spec = pl.BlockSpec(
         (p, tile_n), lambda j, ids_: (0, ids_[j]), memory_space=pltpu.VMEM
     )
     ids_spec = pl.BlockSpec(
-        (1, t_total + 2), lambda j, ids_: (0, 0), memory_space=pltpu.SMEM
+        (1, ids_len), lambda j, ids_: (0, 0), memory_space=pltpu.SMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -580,12 +601,12 @@ def frontier_round_dense_traced(
     aliases = {i + 1: i for i in range(nf)}
     outs = pl.pallas_call(
         functools.partial(
-            _frontier_fullp_kernel_dense, nf, mode, wrap, p, t_total
+            _frontier_fullp_kernel_dense, nf, mode, wrap, p, t_total, m
         ),
         grid_spec=grid_spec,
         out_shape=(
             *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)),
-            jax.ShapeDtypeStruct((1, t_total + 2), jnp.int32),
+            jax.ShapeDtypeStruct((1, ids_len), jnp.int32),
         ),
         input_output_aliases=aliases,
         interpret=interpret,
@@ -601,7 +622,8 @@ def frontier_round_dense_traced(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wrap", "mode", "lean", "max_rounds", "interpret"),
+    static_argnames=("wrap", "mode", "lean", "max_rounds", "interpret",
+                     "fuse"),
     donate_argnums=(0,),
 )
 def gossip_frontier_dense(
@@ -612,16 +634,73 @@ def gossip_frontier_dense(
     lean: bool,
     max_rounds: int,
     interpret: bool = False,
+    fuse: int = 1,
 ) -> Tuple[TableState, jax.Array, jax.Array]:
     """Dense frontier convergence loop (ring/chain): per round only stripes
     still changing are touched, and the kernel compacts the next frontier
     in SMEM (see ops.packed). Bit-identical final state and round count to
-    the classic all-stripes loop."""
+    the classic all-stripes loop — including with ``fuse`` > 1, which runs
+    FUSE rounds per block-load and reconstructs the exact classic round
+    count (same scheme as gossip_frontier_packed)."""
     from .packed import frontier_ids_compact
 
     p, n = table.cls.shape
     tile_n = frontier_tile_n_dense(p, n, lean)
     t_total = n // tile_n
+
+    if fuse > 1:
+        ids0 = jnp.concatenate(
+            [frontier_ids_compact(dirty, t_total), jnp.zeros((1,), jnp.int32)]
+        )
+
+        def cond_f(state):
+            _, ids, rounds_done, _ = state
+            return (ids[t_total] > 0) & (rounds_done + fuse <= max_rounds)
+
+        def body_f(state):
+            tbl, ids, rounds_done, last_change = state
+            tbl, ids = frontier_round_dense_traced(
+                tbl, ids, wrap, mode, lean, interpret, m=fuse
+            )
+            mr = ids[t_total + 2]
+            last_change = jnp.where(mr > 0, rounds_done + mr, last_change)
+            return tbl, ids, rounds_done + fuse, last_change
+
+        table, ids_m, rounds_done, last_change = jax.lax.while_loop(
+            cond_f, body_f, (table, ids0, jnp.int32(0), jnp.int32(-1))
+        )
+        ids1 = ids_m[: t_total + 2]
+
+        def cond_t(state):
+            _, ids, rounds_done, _ = state
+            return (ids[t_total] > 0) & (rounds_done < max_rounds)
+
+        def body_t(state):
+            tbl, ids, rounds_done, last_change = state
+            tbl, ids = frontier_round_dense_traced(
+                tbl, ids, wrap, mode, lean, interpret
+            )
+            last_change = jnp.where(
+                ids[t_total + 1] > 0, rounds_done + 1, last_change
+            )
+            return tbl, ids, rounds_done + 1, last_change
+
+        table, ids1, rounds_done, last_change = jax.lax.while_loop(
+            cond_t, body_t, (table, ids1, rounds_done, last_change)
+        )
+        remaining = ids1[t_total]
+        rounds = jnp.where(
+            remaining > 0,
+            rounds_done,
+            jnp.where(
+                rounds_done == 0, 0, jnp.maximum(last_change + 1, 1)
+            ),
+        )
+        last_changed = jnp.where(
+            remaining == 0, 0, jnp.maximum(ids1[t_total + 1], 1)
+        )
+        return table, rounds, last_changed
+
     ids0 = frontier_ids_compact(dirty, t_total)
 
     def cond(state):

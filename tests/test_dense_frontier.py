@@ -170,3 +170,41 @@ def test_dense_frontier_traced_put_invalidates_seed():
     sim.put(1, "x/a", 2)
     sim.run_until_converged()
     assert sim.tables_equal() and sim.get(5, "x/a") == 2
+
+
+def test_dense_frontier_fused_round_parity():
+    """fuse>1 dense frontier: exact classic round counts and bit-identical
+    state across modes/lean, cutoffs, and fuse offsets (same scheme as the
+    packed fused loop)."""
+    p, n = 16, 1024
+    for mode, lean, cutoffs in (
+        ("reference", False, (p + 2, 3)),
+        ("reference", True, (p + 2,)),
+        ("lww", False, (5,)),
+    ):
+        tile = frontier_tile_n_dense(p, n, lean)
+        t_total = n // tile
+        t = _random_table(p, n, seed=21)
+        nb = jnp.asarray(topo.ring(p).neighbors)
+        for max_rounds in cutoffs:
+            want, r_want, c_want = gossip_until_converged_device(
+                TableState(*(jnp.array(f) for f in t)), nb, "ring", mode,
+                max_rounds, use_pallas=lean, lean=lean,
+            )
+            for fuse in (5,):
+                got, r_got, c_got = gossip_frontier_dense(
+                    TableState(*(jnp.array(f) for f in t)),
+                    jnp.ones(t_total, dtype=jnp.bool_), True, mode, lean,
+                    max_rounds, interpret=True, fuse=fuse,
+                )
+                if lean:
+                    cmp_want, cmp_got = want[:4], got[:4]
+                else:
+                    cmp_want, cmp_got = want, got
+                for a, b in zip(cmp_want, cmp_got):
+                    np.testing.assert_array_equal(
+                        np.asarray(a), np.asarray(b),
+                        (mode, lean, max_rounds, fuse))
+                assert int(r_want) == int(r_got), (
+                    mode, lean, max_rounds, fuse, int(r_want), int(r_got))
+                assert (int(c_want) == 0) == (int(c_got) == 0)

@@ -533,14 +533,13 @@ def test_frontier_fused_round_parity():
     p, n = 16, 2048
     t_total = n // _stripe_tile_n(p, n)
     nb = jnp.asarray(topo2.ring(p).neighbors)
-    rng = np.random.default_rng(55)
-    for seed in range(4):
+    for seed in range(2):
         t = pack_table(random_dense(p, n, seed=60 + seed))
-        for max_rounds in (p + 2, 7, 5, 3, 0):
+        for max_rounds in (p + 2, 7, 3, 0):
             want, r_want, c_want = gossip_until_converged_packed(
                 PackedTable(*(jnp.array(f) for f in t)), nb, "ring",
                 max_rounds, use_pallas=True)
-            for fuse in (2, 3, 5):
+            for fuse in (2, 5):
                 got, r_got, c_got = gossip_frontier_packed(
                     PackedTable(*(jnp.array(f) for f in t)),
                     jnp.ones(t_total, dtype=jnp.bool_), True, max_rounds,
