@@ -102,6 +102,25 @@ def main() -> None:
         out["rounds"] = rounds0 + rounds
         rounds = max(rounds, 1)
         print("# converged", out["converge_s"], flush=True)
+
+        # direct reconciliation (production anti-entropy): a third write
+        # load, then reconcile() jumps straight to the fixed point —
+        # ceil(log2 P) doubling merges in ONE table pass, no simulated
+        # rounds. Warm the reconcile program first on the just-converged
+        # table (idempotent: the fixed point is already reached, so the
+        # warm-up is state-free); the timed run covers apply + join.
+        sim.reconcile()
+        _ = int(np.asarray(sim.table.cv[0, 0]))
+        sim.put_bulk(
+            rng.integers(0, num_peers, writes).astype(np.int32),
+            slots[rng.integers(0, keys, writes)],
+            rng.integers(0, 1 << 30, writes).astype(np.float64),
+        )
+        t0 = time.time()
+        sim.reconcile()
+        _ = int(np.asarray(sim.table.cv[0, 0]))
+        out["reconcile_s"] = round(time.time() - t0, 3)
+        print("# reconciled", out["reconcile_s"], flush=True)
     else:
         # warm the convergence program on a scratch copy so the timed run is
         # steady-state (the one-time Pallas compile costs ~2 min via the

@@ -17,6 +17,7 @@ Convergence is deterministic: the merge is a join-semilattice, so
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
@@ -113,6 +114,35 @@ def _rekey_packed(table, cls_map, khi_map, klo_map):
         klo=jnp.where(present, klo_map[vid], table.klo),
         cv=jnp.where(present, pack_cv(cls_map[vid], vid), table.cv),
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "lean"), donate_argnums=(0,)
+)
+def _reconcile_dense_jit(table: TableState, mode: str, lean: bool):
+    """Dense direct reconcile: one full-mesh doubling round (which by
+    construction joins every peer's entries and broadcasts the result).
+    Lean sims join the four value-key arrays only — writer/ctr/tick stay
+    local, exactly the lean gossip contract."""
+    from ..parallel.gossip import gossip_round_mesh
+
+    if not lean:
+        return gossip_round_mesh(table, mode)
+    from ..ops.merge import lex_gt
+
+    p = table.cls.shape[0]
+    steps = max(1, (p - 1).bit_length())
+
+    def body(k, vals):
+        shift = jnp.left_shift(jnp.int32(1), k)
+        rolled = tuple(jnp.roll(f, shift, axis=0) for f in vals)
+        gt = lex_gt(rolled, vals)
+        return tuple(jnp.where(gt, b, a) for a, b in zip(vals, rolled))
+
+    cls, khi, klo, vid = jax.lax.fori_loop(
+        0, steps, body, (table.cls, table.khi, table.klo, table.vid)
+    )
+    return table._replace(cls=cls, khi=khi, klo=klo, vid=vid), jnp.int32(0)
 
 
 @jax.jit
@@ -824,6 +854,62 @@ class PeerNetworkSim:
         self._sync_clocks()
         self._fire_subscriptions()
         return rounds
+
+    def reconcile(self) -> None:
+        """Directly reconcile every replica to the gossip fixed point —
+        the per-slot lattice join of all peers, broadcast everywhere —
+        WITHOUT simulating protocol rounds.
+
+        For any CONNECTED topology, run_until_converged reaches exactly
+        this state (the merge is a commutative/associative/idempotent
+        join, so the fixed point is topology-independent — a tested
+        invariant); reconcile() jumps straight to it in ceil(log2 P)
+        doubling merges, one table pass on the stripe kernel. This is the
+        production anti-entropy path: use it when you want the reconciled
+        state, and run_until_converged when the simulation itself (round
+        counts, per-round residuals) is the result. Raises ValueError on
+        partitioned topologies, whose fixed point depends on the
+        partition. Pending ops apply first; subscriptions fire as usual."""
+        if not self.topology.is_connected():
+            raise ValueError(
+                "reconcile() requires a connected topology; "
+                "run_until_converged() handles partitions"
+            )
+        self._ensure_capacity()
+        self._maybe_rekey()
+        self.tick += 1
+        self.stats["ops_applied"] += self._apply_pending()
+        self.hooks.fire_after_puts()
+        if self.layout == "packed":
+            from ..ops.packed import (
+                _reconcile_packed_jit,
+                packed_ring_supported,
+                reconcile_packed_xla,
+            )
+
+            p, n = self.table.khi.shape
+            if (
+                jax.default_backend() == "tpu"
+                and self.mesh is None
+                and packed_ring_supported(p, n)
+            ):
+                self.table = _reconcile_packed_jit(self.table, False)
+            else:
+                self.table = reconcile_packed_xla(self.table)
+        else:
+            self.table, _ = _reconcile_dense_jit(
+                self.table, self.mode, self.lean_gossip
+            )
+        self.stats["steps"] += 1
+        self.last_residual = 0
+        tile_n = self._frontier_tile()
+        if tile_n:
+            width = (
+                self.table.khi if self.layout == "packed" else self.table.cls
+            ).shape[1]
+            self._frontier_dirty = np.zeros(width // tile_n, dtype=bool)
+        self._sync_clocks()
+        self._fire_subscriptions()
 
     def _sync_clocks(self) -> None:
         """Lamport clock advance: after gossip every peer's clock must exceed

@@ -497,6 +497,82 @@ def ring_round_packed_traced(
     return PackedTable(*outs[:3]), outs[3][0, 0]
 
 
+# ---------------------------------------------------- direct reconcile
+
+
+def _reconcile_kernel_packed(num_peers: int, *refs):
+    """Direct join: ceil(log2 P) doubling merges fused in VMEM per stripe.
+
+    For any CONNECTED topology the gossip fixed point is the per-slot
+    lattice join of all peers' entries, broadcast everywhere (the merge is
+    a commutative/associative/idempotent join, so the converged state is
+    topology-independent — a tested invariant). Rolling by 1, 2, 4, …
+    accumulates each row's join over 2^k consecutive rows (wrapping), so
+    after ceil(log2 P) rounds every row holds the full-column join — ONE
+    table read+write instead of diameter-many simulated rounds."""
+    c_refs, out_refs = refs[:3], refs[3:6]
+    vals = [r[...] for r in c_refs]
+    shift = 1
+    while shift < num_peers:
+        rolled = [jnp.roll(v, shift, axis=0) for v in vals]
+        gt = _lex_gt_packed(packed_keys(*rolled), packed_keys(*vals))
+        vals = [jnp.where(gt, b, a) for a, b in zip(vals, rolled)]
+        shift *= 2
+    for out, v in zip(out_refs, vals):
+        out[...] = v
+
+
+def reconcile_packed_traced(
+    table: PackedTable, interpret: bool
+) -> PackedTable:
+    """One-pass direct reconciliation on the packed layout (full-P stripe
+    shapes; check packed_ring_supported). In place via aliasing."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, n = table.khi.shape
+    tile_n = _stripe_tile_n(p, n)
+    grid = (n // tile_n,)
+    data_spec = pl.BlockSpec(
+        (p, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
+    )
+    outs = pl.pallas_call(
+        functools.partial(_reconcile_kernel_packed, p),
+        grid=grid,
+        in_specs=[data_spec] * 3,
+        out_specs=[data_spec] * 3,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)
+        ),
+        input_output_aliases={0: 0, 1: 1, 2: 2},
+        interpret=interpret,
+    )(*table)
+    return PackedTable(*outs)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def reconcile_packed_xla(table: PackedTable) -> PackedTable:
+    """XLA fallback for shapes the stripe kernel can't tile (and for
+    sharded tables, where the rolls become collective permutes): the same
+    doubling join over whole-table ops."""
+    p = table.khi.shape[0]
+
+    def body(k, tbl):
+        shift = jnp.left_shift(jnp.int32(1), k)
+        rolled = PackedTable(*(jnp.roll(f, shift, axis=0) for f in tbl))
+        tbl, _ = merge_packed_xla(tbl, rolled)
+        return tbl
+
+    steps = max(1, (p - 1).bit_length())
+    return jax.lax.fori_loop(0, steps, body, table)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",),
+                   donate_argnums=(0,))
+def _reconcile_packed_jit(table: PackedTable, interpret: bool) -> PackedTable:
+    return reconcile_packed_traced(table, interpret)
+
+
 # ------------------------------------------------- frontier convergence
 
 

@@ -46,6 +46,25 @@ class Topology:
         adj = self.adjacency()
         return bool((adj == adj.T).all())
 
+    def is_connected(self) -> bool:
+        """True iff every peer is reachable from peer 0 (BFS). Single-peer
+        topologies count as connected."""
+        if self.num_peers <= 1:
+            return True
+        adj = self.adjacency()
+        seen = np.zeros(self.num_peers, dtype=bool)
+        seen[0] = True
+        frontier = [0]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in np.nonzero(adj[u])[0]:
+                    if not seen[v]:
+                        seen[v] = True
+                        nxt.append(int(v))
+            frontier = nxt
+        return bool(seen.all())
+
     # ------------------------------------------------------- fault injection
 
     def drop_links(self, links: Sequence[Tuple[int, int]]) -> "Topology":

@@ -308,3 +308,73 @@ def test_last_residual_honest_at_round_cap():
     sim.run_until_converged()
     assert sim.last_residual == 0
     assert sim.tables_equal()
+
+
+def test_reconcile_matches_converged_state():
+    """reconcile() must land on exactly the state run_until_converged
+    reaches (topology-independent fixed point), across layouts, modes,
+    lean, and topologies — without simulating rounds."""
+    for kw, topo_name in (
+        (dict(layout="packed"), "ring"),
+        (dict(layout="packed"), "star"),
+        (dict(layout="dense", mode="reference"), "chain"),
+        (dict(layout="dense", mode="lww"), "mesh"),
+        (dict(layout="dense", mode="reference", lean_gossip=True), "ring"),
+    ):
+        kw.setdefault("mode", "reference")
+
+        def load(s):
+            rng = np.random.default_rng(77)
+            for _ in range(60):
+                s.put(int(rng.integers(8)), f"r/k{int(rng.integers(10))}",
+                      int(rng.integers(10**6)))
+
+        a = PeerNetworkSim(8, capacity=2048, topology=topo_name, **kw)
+        b = PeerNetworkSim(8, capacity=2048, topology=topo_name, **kw)
+        load(a), load(b)
+        a.run_until_converged()
+        b.reconcile()
+        assert b.tables_equal()
+        lean = kw.get("lean_gossip", False)
+        fields_a = a.table[:4] if lean else a.table
+        fields_b = b.table[:4] if lean else b.table
+        if kw.get("mode") == "lww" or kw["layout"] == "packed" or lean:
+            cmp_a, cmp_b = fields_a[:4], fields_b[:4]
+        else:
+            # dense reference full-metadata: compare value keys (metadata
+            # tie-break winners can differ between protocols by design? no:
+            # priority orders are total, so everything must match)
+            cmp_a, cmp_b = fields_a, fields_b
+        for x, y in zip(cmp_a, cmp_b):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), (kw, topo_name))
+        assert b.get(3, "r/k4") == a.get(3, "r/k4")
+        assert b.last_residual == 0
+
+
+def test_reconcile_rejects_partitions():
+    from bullet_tpu.parallel import topology as topo2
+
+    t = topo2.ring(8).drop_links([(0, 1), (4, 5)])  # two components
+    assert not t.is_connected()
+    sim = PeerNetworkSim(8, capacity=256, topology=t, layout="packed")
+    sim.put(0, "x", 1)
+    with pytest.raises(ValueError):
+        sim.reconcile()
+    # run_until_converged still handles the partition
+    sim.run_until_converged()
+
+
+def test_reconcile_applies_pending_and_notifies():
+    sim = PeerNetworkSim(8, capacity=256, topology="ring", layout="packed")
+    seen = []
+    sim.on(2, "a/b", seen.append)  # fires immediately with None
+    sim.put(0, "a/b", 41)
+    sim.reconcile()
+    assert sim.get(7, "a/b") == 41
+    assert seen == [None, 41]
+    assert sim._frontier_dirty is not None and not sim._frontier_dirty.any()
+    # incremental write after reconcile seeds the frontier correctly
+    sim.put(1, "a/b", 99)
+    sim.run_until_converged()
+    assert sim.tables_equal() and sim.get(0, "a/b") == 99
