@@ -1025,6 +1025,75 @@ def frontier_round_packed_traced(table, ids, wrap: bool, interpret: bool):
     return PackedTable(*outs[:3]), outs[3][0]
 
 
+def frontier_fused_loop(table, dirty, t_total: int, max_rounds: int,
+                        fuse: int, round1_fn, roundm_fn):
+    """Shared fused-phase + single-round-tail convergence driver used by
+    both layouts (call inside an outer jit; the loops trace in place).
+
+    ``round1_fn(table, ids)`` runs ONE compacting frontier round over the
+    [t_total + 2] ids layout; ``roundm_fn(table, ids)`` runs FUSE rounds
+    over the [t_total + 3] layout, whose extra cell carries
+    max(stripe_last) for exact round reconstruction. The fused phase runs
+    only while a whole fuse-block fits STRICTLY under max_rounds — any
+    cutoff therefore ends in the single-round tail, so the reported
+    residual is the true last-round change count (matching the classic
+    loop exactly, not a fused-block sum). Returns (table, classic rounds,
+    last_changed)."""
+    ids0 = jnp.concatenate(
+        [frontier_ids_compact(dirty, t_total), jnp.zeros((1,), jnp.int32)]
+    )
+
+    def cond_f(state):
+        _, ids, rounds_done, _ = state
+        return (ids[t_total] > 0) & (rounds_done + fuse < max_rounds)
+
+    def body_f(state):
+        tbl, ids, rounds_done, last_change = state
+        tbl, ids = roundm_fn(tbl, ids)
+        mr = ids[t_total + 2]
+        last_change = jnp.where(mr > 0, rounds_done + mr, last_change)
+        return tbl, ids, rounds_done + fuse, last_change
+
+    table, ids_m, rounds_done, last_change = jax.lax.while_loop(
+        cond_f, body_f, (table, ids0, jnp.int32(0), jnp.int32(-1))
+    )
+
+    ids1 = ids_m[: t_total + 2]
+
+    def cond_t(state):
+        _, ids, rounds_done, _ = state
+        return (ids[t_total] > 0) & (rounds_done < max_rounds)
+
+    def body_t(state):
+        tbl, ids, rounds_done, last_change = state
+        tbl, ids = round1_fn(tbl, ids)
+        last_change = jnp.where(
+            ids[t_total + 1] > 0, rounds_done + 1, last_change
+        )
+        return tbl, ids, rounds_done + 1, last_change
+
+    table, ids1, rounds_done, last_change = jax.lax.while_loop(
+        cond_t, body_t, (table, ids1, rounds_done, last_change)
+    )
+    remaining = ids1[t_total]
+    # classic round count: the first no-change round = last change + 1
+    # (1 if rounds ran but nothing ever changed; rounds_done == the
+    # max_rounds cutoff when not converged; 0 if nothing was dirty)
+    rounds = jnp.where(
+        remaining > 0,
+        rounds_done,
+        jnp.where(
+            rounds_done == 0,
+            0,
+            jnp.maximum(last_change + 1, 1),
+        ),
+    )
+    last_changed = jnp.where(
+        remaining == 0, 0, jnp.maximum(ids1[t_total + 1], 1)
+    )
+    return table, rounds, last_changed
+
+
 @functools.partial(
     jax.jit, static_argnames=("wrap", "max_rounds", "interpret", "fuse"),
     donate_argnums=(0,),
@@ -1054,61 +1123,15 @@ def gossip_frontier_packed(
     t_total = n // tile_n
 
     if fuse > 1 and packed_ring_supported(p, n):
-        ids0 = jnp.concatenate(
-            [frontier_ids_compact(dirty, t_total), jnp.zeros((1,), jnp.int32)]
-        )
-
-        def cond_f(state):
-            _, ids, rounds_done, _ = state
-            return (ids[t_total] > 0) & (rounds_done + fuse <= max_rounds)
-
-        def body_f(state):
-            tbl, ids, rounds_done, last_change = state
-            tbl, ids = frontier_multiround_packed_traced(
+        return frontier_fused_loop(
+            table, dirty, t_total, max_rounds, fuse,
+            lambda tbl, ids: frontier_round_packed_traced(
+                tbl, ids, wrap, interpret
+            ),
+            lambda tbl, ids: frontier_multiround_packed_traced(
                 tbl, ids, wrap, fuse, interpret
-            )
-            mr = ids[t_total + 2]
-            last_change = jnp.where(mr > 0, rounds_done + mr, last_change)
-            return tbl, ids, rounds_done + fuse, last_change
-
-        table, ids_m, rounds_done, last_change = jax.lax.while_loop(
-            cond_f, body_f, (table, ids0, jnp.int32(0), jnp.int32(-1))
-        )
-
-        ids1 = ids_m[: t_total + 2]
-
-        def cond_t(state):
-            _, ids, rounds_done, _ = state
-            return (ids[t_total] > 0) & (rounds_done < max_rounds)
-
-        def body_t(state):
-            tbl, ids, rounds_done, last_change = state
-            tbl, ids = frontier_round_packed_traced(tbl, ids, wrap, interpret)
-            last_change = jnp.where(
-                ids[t_total + 1] > 0, rounds_done + 1, last_change
-            )
-            return tbl, ids, rounds_done + 1, last_change
-
-        table, ids1, rounds_done, last_change = jax.lax.while_loop(
-            cond_t, body_t, (table, ids1, rounds_done, last_change)
-        )
-        remaining = ids1[t_total]
-        # classic round count: the first no-change round = last change + 1
-        # (1 if rounds ran but nothing ever changed; rounds_done == the
-        # max_rounds cutoff when not converged; 0 if nothing was dirty)
-        rounds = jnp.where(
-            remaining > 0,
-            rounds_done,
-            jnp.where(
-                rounds_done == 0,
-                0,
-                jnp.maximum(last_change + 1, 1),
             ),
         )
-        last_changed = jnp.where(
-            remaining == 0, 0, jnp.maximum(ids1[t_total + 1], 1)
-        )
-        return table, rounds, last_changed
 
     ids0 = frontier_ids_compact(dirty, t_total)
 

@@ -642,64 +642,22 @@ def gossip_frontier_dense(
     the classic all-stripes loop — including with ``fuse`` > 1, which runs
     FUSE rounds per block-load and reconstructs the exact classic round
     count (same scheme as gossip_frontier_packed)."""
-    from .packed import frontier_ids_compact
+    from .packed import frontier_fused_loop, frontier_ids_compact
 
     p, n = table.cls.shape
     tile_n = frontier_tile_n_dense(p, n, lean)
     t_total = n // tile_n
 
     if fuse > 1:
-        ids0 = jnp.concatenate(
-            [frontier_ids_compact(dirty, t_total), jnp.zeros((1,), jnp.int32)]
-        )
-
-        def cond_f(state):
-            _, ids, rounds_done, _ = state
-            return (ids[t_total] > 0) & (rounds_done + fuse <= max_rounds)
-
-        def body_f(state):
-            tbl, ids, rounds_done, last_change = state
-            tbl, ids = frontier_round_dense_traced(
-                tbl, ids, wrap, mode, lean, interpret, m=fuse
-            )
-            mr = ids[t_total + 2]
-            last_change = jnp.where(mr > 0, rounds_done + mr, last_change)
-            return tbl, ids, rounds_done + fuse, last_change
-
-        table, ids_m, rounds_done, last_change = jax.lax.while_loop(
-            cond_f, body_f, (table, ids0, jnp.int32(0), jnp.int32(-1))
-        )
-        ids1 = ids_m[: t_total + 2]
-
-        def cond_t(state):
-            _, ids, rounds_done, _ = state
-            return (ids[t_total] > 0) & (rounds_done < max_rounds)
-
-        def body_t(state):
-            tbl, ids, rounds_done, last_change = state
-            tbl, ids = frontier_round_dense_traced(
+        return frontier_fused_loop(
+            table, dirty, t_total, max_rounds, fuse,
+            lambda tbl, ids: frontier_round_dense_traced(
                 tbl, ids, wrap, mode, lean, interpret
-            )
-            last_change = jnp.where(
-                ids[t_total + 1] > 0, rounds_done + 1, last_change
-            )
-            return tbl, ids, rounds_done + 1, last_change
-
-        table, ids1, rounds_done, last_change = jax.lax.while_loop(
-            cond_t, body_t, (table, ids1, rounds_done, last_change)
-        )
-        remaining = ids1[t_total]
-        rounds = jnp.where(
-            remaining > 0,
-            rounds_done,
-            jnp.where(
-                rounds_done == 0, 0, jnp.maximum(last_change + 1, 1)
+            ),
+            lambda tbl, ids: frontier_round_dense_traced(
+                tbl, ids, wrap, mode, lean, interpret, m=fuse
             ),
         )
-        last_changed = jnp.where(
-            remaining == 0, 0, jnp.maximum(ids1[t_total + 1], 1)
-        )
-        return table, rounds, last_changed
 
     ids0 = frontier_ids_compact(dirty, t_total)
 

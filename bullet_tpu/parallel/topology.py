@@ -47,23 +47,34 @@ class Topology:
         return bool((adj == adj.T).all())
 
     def is_connected(self) -> bool:
-        """True iff every peer is reachable from peer 0 (BFS). Single-peer
-        topologies count as connected."""
+        """True iff the topology is STRONGLY connected (every peer reaches
+        every peer along neighbor edges). Gossip is pull-based — peer p
+        merges FROM its neighbor list — so on a directed (asymmetric)
+        topology a value only spreads against the edge direction; weak
+        connectivity is not enough for the fixed point to be the global
+        join. Strong connectivity ⇔ every peer is reachable from peer 0 in
+        the graph AND in its transpose. Symmetric topologies (all
+        built-ins) reduce to plain connectivity. Single-peer topologies
+        count as connected."""
         if self.num_peers <= 1:
             return True
         adj = self.adjacency()
-        seen = np.zeros(self.num_peers, dtype=bool)
-        seen[0] = True
-        frontier = [0]
-        while frontier:
-            nxt = []
-            for u in frontier:
-                for v in np.nonzero(adj[u])[0]:
-                    if not seen[v]:
-                        seen[v] = True
-                        nxt.append(int(v))
-            frontier = nxt
-        return bool(seen.all())
+
+        def reaches_all(a: np.ndarray) -> bool:
+            seen = np.zeros(self.num_peers, dtype=bool)
+            seen[0] = True
+            frontier = [0]
+            while frontier:
+                nxt = []
+                for u in frontier:
+                    for v in np.nonzero(a[u])[0]:
+                        if not seen[v]:
+                            seen[v] = True
+                            nxt.append(int(v))
+                frontier = nxt
+            return bool(seen.all())
+
+        return reaches_all(adj) and reaches_all(adj.T)
 
     # ------------------------------------------------------- fault injection
 

@@ -336,15 +336,14 @@ def test_reconcile_matches_converged_state():
         b.reconcile()
         assert b.tables_equal()
         lean = kw.get("lean_gossip", False)
-        fields_a = a.table[:4] if lean else a.table
-        fields_b = b.table[:4] if lean else b.table
-        if kw.get("mode") == "lww" or kw["layout"] == "packed" or lean:
-            cmp_a, cmp_b = fields_a[:4], fields_b[:4]
+        if lean:
+            # lean contract: only the 4 value-key arrays are exchanged;
+            # writer/ctr/tick stay local and differ between protocols
+            cmp_a, cmp_b = a.table[:4], b.table[:4]
         else:
-            # dense reference full-metadata: compare value keys (metadata
-            # tie-break winners can differ between protocols by design? no:
-            # priority orders are total, so everything must match)
-            cmp_a, cmp_b = fields_a, fields_b
+            # priority orders are total, so the full entry (metadata
+            # included, where the layout carries it) must bit-match
+            cmp_a, cmp_b = tuple(a.table), tuple(b.table)
         for x, y in zip(cmp_a, cmp_b):
             np.testing.assert_array_equal(
                 np.asarray(x), np.asarray(y), (kw, topo_name))
@@ -378,3 +377,20 @@ def test_reconcile_applies_pending_and_notifies():
     sim.put(1, "a/b", 99)
     sim.run_until_converged()
     assert sim.tables_equal() and sim.get(0, "a/b") == 99
+
+
+def test_reconcile_rejects_directed_topologies():
+    """Gossip is pull-based: on a weakly-connected directed graph the
+    fixed point is NOT the global join, so reconcile must refuse (review
+    session-2 finding: is_connected now checks STRONG connectivity)."""
+    adj = np.zeros((4, 4), dtype=bool)
+    for p in range(3):
+        adj[p, p + 1] = True  # p pulls from p+1 only; nothing reaches 0's
+    t = topo.from_adjacency(adj, name="directed-chain")
+    assert not t.is_connected()
+    sim = PeerNetworkSim(4, capacity=64, topology=t, layout="dense")
+    sim.put(0, "y", 5)
+    with pytest.raises(ValueError):
+        sim.reconcile()
+    # and the symmetric chain still counts as connected
+    assert topo.chain(4).is_connected()

@@ -549,8 +549,9 @@ def test_frontier_fused_round_parity():
                         np.asarray(a), np.asarray(b), (seed, max_rounds, fuse))
                 assert int(r_want) == int(r_got), (seed, max_rounds, fuse,
                                                    int(r_want), int(r_got))
-                assert (int(c_want) == 0) == (int(c_got) == 0), (
-                    seed, max_rounds, fuse)
+                # cutoffs end in the single-round tail, so the residual is
+                # the true last-round count — exact, not a fused-block sum
+                assert int(c_want) == int(c_got), (seed, max_rounds, fuse)
 
     # empty frontier: zero rounds, zero residual
     t = pack_table(random_dense(p, n, seed=70))
@@ -561,3 +562,26 @@ def test_frontier_fused_round_parity():
     assert int(r) == 0 and int(c) == 0
     for a, b in zip(t, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reconcile_kernel_bitidentical_to_xla():
+    """The VMEM doubling-join reconcile kernel must bit-match the XLA
+    doubling fallback (interpret mode — CLAUDE.md Pallas invariant)."""
+    from bullet_tpu.ops.packed import (
+        reconcile_packed_traced,
+        reconcile_packed_xla,
+    )
+
+    for p, n in ((64, 1024), (8, 256), (48, 2048)):
+        t = pack_table(random_dense(p, n, seed=90 + p))
+        want = reconcile_packed_xla(PackedTable(*(jnp.array(f) for f in t)))
+        got = jax.jit(reconcile_packed_traced, static_argnums=(1,))(
+            PackedTable(*(jnp.array(f) for f in t)), True
+        )
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), (p, n))
+        # join really is global: every row equals row 0
+        for f in got:
+            np.testing.assert_array_equal(
+                np.asarray(f), np.tile(np.asarray(f)[:1], (p, 1))
+            )

@@ -77,3 +77,27 @@ def test_sharded_equals_unsharded_final_state():
     a, b = run(None), run(8)
     for fa, fb in zip(a, b):
         np.testing.assert_array_equal(fa, fb)
+
+
+@needs_devices
+def test_sharded_reconcile_matches_unsharded():
+    """reconcile() on a mesh-sharded sim (XLA doubling path: rolls lower
+    to collective permutes) lands on the same fixed point as unsharded."""
+    def run(mesh_devices, layout):
+        sim = PeerNetworkSim(16, capacity=128, topology="ring",
+                             mesh_devices=mesh_devices, layout=layout,
+                             mode="reference")
+        rng = np.random.default_rng(12)
+        for _ in range(40):
+            sim.put(int(rng.integers(16)), f"q/k{int(rng.integers(6))}",
+                    float(rng.integers(1000)))
+        sim.reconcile()
+        assert sim.tables_equal()
+        return [np.asarray(f) for f in sim.table]
+
+    for layout in ("dense", "packed"):
+        a = run(None, layout)
+        b = run(8, layout)
+        n_cmp = 4 if layout == "dense" else 3
+        for fa, fb in zip(a[:n_cmp], b[:n_cmp]):
+            np.testing.assert_array_equal(fa, fb, layout)
