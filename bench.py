@@ -178,6 +178,9 @@ def main() -> None:
     on_tpu = backend == "tpu"
     if on_tpu:
         num_peers, capacity, rounds = 256, 1 << 18, 30
+        # ordered best-first; the rest are FALLBACKS only (each impl costs
+        # minutes of compile through the tunnel, and the measured order is
+        # stable: packed+fused 88.8B > lean 17.6B > fused 9.7B > xla 5.1B)
         impls = ["packed", "lean", "fused", "xla"]
     else:  # CPU smoke sizing
         num_peers, capacity, rounds = 16, 1 << 14, 5
@@ -197,6 +200,7 @@ def main() -> None:
             best = rate
             best_impl = impl
             best_shape = (bp, bn)
+        break  # first success is the headline; don't pay 3 more compiles
 
     if best_impl is None:
         # every impl raised: fail loudly instead of printing a zero metric
