@@ -925,8 +925,29 @@ class PeerNetworkSim:
         return self.mesh if (self.use_shard_map and self.mesh is not None) else None
 
     def converged(self) -> bool:
-        """True iff one more gossip round would change nothing (checked on a
-        scratch copy; state is not advanced)."""
+        """True iff one more gossip round would change nothing (state is
+        not advanced). Packed ring/chain shapes use a count-only Pallas
+        probe — no table-sized scratch, so the check works at the
+        north-star shape where a scratch-copy round would not fit HBM;
+        other configurations probe on a scratch copy."""
+        if (
+            self.layout == "packed"
+            and self.topology.kind in ("ring", "chain")
+            and self.mesh is None
+        ):
+            from ..ops.packed import (
+                count_changes_round_packed,
+                packed_ring_supported,
+            )
+
+            p, n = self.table.khi.shape
+            if packed_ring_supported(p, n):
+                self._sync_device_state()
+                changed = count_changes_round_packed(
+                    self.table, self.topology.kind == "ring",
+                    jax.default_backend() != "tpu",
+                )
+                return int(changed) == 0
         _, changed = self._one_round()
         return int(changed) == 0
 

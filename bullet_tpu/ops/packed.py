@@ -497,6 +497,49 @@ def ring_round_packed_traced(
     return PackedTable(*outs[:3]), outs[3][0, 0]
 
 
+def _changes_round_kernel_packed(wrap: bool, num_peers: int, *refs):
+    """Count-only ring/chain round probe: computes how many entries ONE
+    more round would change, discarding the merged values — no table-sized
+    output, so a convergence check at the north-star shape costs zero
+    extra HBM (a scratch-copy round would need a second 12.9 GB table)."""
+    import jax.experimental.pallas as pl
+
+    c_refs, count_ref = refs[:3], refs[3]
+    _, c = _merge_stripe_fullp([r[...] for r in c_refs], wrap, num_peers)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        count_ref[0, 0] = 0
+
+    count_ref[0, 0] += c
+
+
+@functools.partial(jax.jit, static_argnames=("wrap", "interpret"))
+def count_changes_round_packed(
+    table: PackedTable, wrap: bool, interpret: bool
+) -> jax.Array:
+    """Entries one more ring/chain round would change (read-only probe;
+    full-P stripe shapes — check packed_ring_supported)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, n = table.khi.shape
+    tile_n = _stripe_tile_n(p, n)
+    data_spec = pl.BlockSpec(
+        (p, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
+    )
+    count_spec = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_changes_round_kernel_packed, wrap, p),
+        grid=(n // tile_n,),
+        in_specs=[data_spec] * 3,
+        out_specs=count_spec,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        interpret=interpret,
+    )(*table)
+    return out[0, 0]
+
+
 # ---------------------------------------------------- direct reconcile
 
 

@@ -585,3 +585,34 @@ def test_reconcile_kernel_bitidentical_to_xla():
             np.testing.assert_array_equal(
                 np.asarray(f), np.tile(np.asarray(f)[:1], (p, 1))
             )
+
+
+@pytest.mark.parametrize("wrap", [True, False])
+def test_count_changes_probe_matches_round(wrap):
+    """The read-only converged() probe must report exactly the change
+    count a real round produces — without touching the table."""
+    from bullet_tpu.ops.packed import count_changes_round_packed
+
+    t = pack_table(random_dense(16, 512, seed=44))
+    before = [np.asarray(f).copy() for f in t]
+    _, c_real = ring_round_packed_pallas(t, wrap=wrap, interpret=True)
+    c_probe = count_changes_round_packed(
+        PackedTable(*(jnp.array(f) for f in before)), wrap, True
+    )
+    assert int(c_real) == int(c_probe)
+    # converged table probes 0
+    from bullet_tpu.ops.packed import gossip_until_converged_packed
+    nb = jnp.asarray(topo.ring(16).neighbors)
+    done, _, _ = gossip_until_converged_packed(
+        PackedTable(*(jnp.array(f) for f in before)), nb,
+        "ring" if wrap else "chain", 20)
+    assert int(count_changes_round_packed(done, wrap, True)) == 0
+
+
+def test_sim_converged_probe():
+    sim = PeerNetworkSim(8, capacity=256, topology="ring", layout="packed")
+    sim.put(0, "c/x", 3)
+    sim.step(rounds=0)  # apply only
+    assert not sim.converged()
+    sim.run_until_converged()
+    assert sim.converged() and sim.tables_equal()
