@@ -1247,9 +1247,11 @@ def frontier_shard_round_packed(block, tops, bottoms, dirty, interpret: bool,
         in_specs=[center_spec] * 3 + [halo_spec] * 6 + [cnt_spec],
         out_specs=[center_spec] * 3 + [cnt_spec],
     )
-    # the halo frontier kernel with tiles=1 and wrap=True is exactly the
-    # local body needed: row 0 reads tops[7], row b-1 reads bottoms[0],
-    # no global-edge masking in-kernel (the ppermuted rows carry it)
+    # the counts-emitting halo frontier kernel with tiles=1 and wrap=True
+    # is exactly the local body needed: row 0 reads tops[7], row b-1 reads
+    # bottoms[0], no global-edge masking in-kernel (the ppermuted rows
+    # carry it); counts (not compacted ids) because the frontier must
+    # psum-agree across devices before the next round
     # under shard_map (check_vma) every pallas output must declare how it
     # varies over the mesh; callers pass vma={PEER_AXIS}
     kw = {} if vma is None else {"vma": frozenset(vma)}
