@@ -192,14 +192,12 @@ def main() -> None:
     errors = []
     for impl in impls:
         try:
-            rate, bp, bn = bench_gossip(num_peers, capacity, rounds, impl)
+            best, bp, bn = bench_gossip(num_peers, capacity, rounds, impl)
         except Exception as err:  # noqa: BLE001 - report the impl that works
             errors.append((impl, err))
             continue
-        if rate > best:
-            best = rate
-            best_impl = impl
-            best_shape = (bp, bn)
+        best_impl = impl
+        best_shape = (bp, bn)
         break  # first success is the headline; don't pay 3 more compiles
 
     if best_impl is None:

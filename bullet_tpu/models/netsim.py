@@ -934,15 +934,18 @@ class PeerNetworkSim:
             self.layout == "packed"
             and self.topology.kind in ("ring", "chain")
             and self.mesh is None
+            and self.use_pallas is not False  # explicit opt-out honored
         ):
             from ..ops.packed import (
                 count_changes_round_packed,
                 packed_ring_supported,
             )
 
+            # sync FIRST: capacity growth / re-keying replace the table,
+            # and the supported-shape gate must see the final shape
+            self._sync_device_state()
             p, n = self.table.khi.shape
             if packed_ring_supported(p, n):
-                self._sync_device_state()
                 changed = count_changes_round_packed(
                     self.table, self.topology.kind == "ring",
                     jax.default_backend() != "tpu",
