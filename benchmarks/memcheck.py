@@ -1,0 +1,102 @@
+"""AOT memory audit of the north-star-shape device programs.
+
+The packed table at 1,024 peers x 1M slots is ~12.9 GB — most of a v5e
+chip's HBM — so every program that touches it must alias in place with
+temp ~= 0 (CLAUDE.md invariant: ONE table-sized allocation; XLA:TPU
+scatter always copies its operand, which is why the apply path chunks).
+This script compiles (without running) the convergence, reconcile, and
+probe programs at the full shape and asserts their temp allocations stay
+under 256 MB. Compile-only: safe to run even when HBM is busy.
+
+Usage: python benchmarks/memcheck.py   (needs the TPU backend for the
+Mosaic kernels; prints one line per program + OK)
+"""
+
+import os
+import sys
+
+_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _REPO_ROOT)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from bench import _enable_compile_cache  # noqa: E402
+
+_enable_compile_cache()
+
+from bullet_tpu.ops.packed import (  # noqa: E402
+    PackedTable,
+    _reconcile_packed_jit,
+    count_changes_round_packed,
+    gossip_frontier_packed,
+    gossip_until_converged_packed,
+)
+
+P, N = 1024, 1 << 20
+TEMP_CAP = 1 << 28  # 256 MB — table is ~12.9 GB; temp must be tiny
+GB = 1 << 30
+
+
+def audit(name, lowered):
+    mem = lowered.compile().memory_analysis()
+    print(
+        f"{name}: args {mem.argument_size_in_bytes / GB:.2f} GB, "
+        f"alias {mem.alias_size_in_bytes / GB:.2f} GB, "
+        f"temp {mem.temp_size_in_bytes / (1 << 20):.1f} MB",
+        flush=True,
+    )
+    assert mem.temp_size_in_bytes < TEMP_CAP, (name, mem.temp_size_in_bytes)
+
+
+def main() -> None:
+    tbl = jax.ShapeDtypeStruct((P, N), jnp.int32)
+    table = PackedTable(tbl, tbl, tbl)
+    t_total = N // 128
+    dirty = jax.ShapeDtypeStruct((t_total,), jnp.bool_)
+    nb = jax.ShapeDtypeStruct((P, 2), jnp.int32)
+
+    audit(
+        "frontier fused (fuse=5)",
+        jax.jit(
+            gossip_frontier_packed,
+            static_argnames=("wrap", "max_rounds", "interpret", "fuse"),
+            donate_argnums=(0,),
+        ).lower(table, dirty, True, P + 2, False, 5),
+    )
+    audit(
+        "frontier single-round",
+        jax.jit(
+            gossip_frontier_packed,
+            static_argnames=("wrap", "max_rounds", "interpret", "fuse"),
+            donate_argnums=(0,),
+        ).lower(table, dirty, True, P + 2, False, 1),
+    )
+    audit(
+        "classic converge (pallas)",
+        jax.jit(
+            gossip_until_converged_packed,
+            static_argnames=("kind", "max_rounds", "use_pallas", "spmd_mesh"),
+            donate_argnums=(0,),
+        ).lower(table, nb, "ring", P + 2, True, None),
+    )
+    audit(
+        "reconcile",
+        jax.jit(
+            _reconcile_packed_jit,
+            static_argnames=("interpret",),
+            donate_argnums=(0,),
+        ).lower(table, False),
+    )
+    audit(
+        "converged() probe",
+        jax.jit(
+            count_changes_round_packed,
+            static_argnames=("wrap", "interpret"),
+        ).lower(table, True, False),
+    )
+    print("memcheck OK: every north-star program stays within one table")
+
+
+if __name__ == "__main__":
+    main()
