@@ -12,7 +12,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+_REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(_REPO_ROOT, "examples"))
+sys.path.insert(0, _REPO_ROOT)
 import _env  # noqa: F401,E402 - backend selection
 
 import numpy as np  # noqa: E402
