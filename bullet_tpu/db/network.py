@@ -91,6 +91,14 @@ class _PeerConnection:
     (the async Node reference cannot hit this). Per-connection FIFO order is
     preserved by the single writer."""
 
+    # A peer that stops reading fills its TCP buffer and stalls the writer
+    # thread; without a cap the outbox would then grow without bound (the
+    # deadlock the writer thread fixed must not become a memory leak).
+    # At the cap the connection is declared dead and closed — the
+    # reconnect/anti-entropy machinery recovers state when the peer heals,
+    # exactly as it does for any other connection loss.
+    MAX_OUTBOX = 10000  # frames (~the network-layer dedup cache size)
+
     def __init__(self, sock: socket.socket, peer_id: str, outbound: bool, url=None,
                  framing: str = "ndjson"):
         self.socket = sock
@@ -107,7 +115,14 @@ class _PeerConnection:
     def send_raw(self, data: bytes) -> None:
         """Enqueue pre-framed bytes (ws control replies from the reader)."""
         if self.open:
-            self._outbox.put(data)
+            self._enqueue(data)
+
+    def _enqueue(self, data: bytes) -> None:
+        if self._outbox.qsize() >= self.MAX_OUTBOX:
+            # stalled reader on the far side: drop the link, don't leak
+            self.close()
+            return
+        self._outbox.put(data)
 
     def send(self, message: dict) -> bool:
         if not self.open:
@@ -121,8 +136,8 @@ class _PeerConnection:
             data = encode_frame(
                 text.encode("utf-8"), OP_TEXT, mask=self.framing == "ws-client"
             )
-        self._outbox.put(data)
-        return True
+        self._enqueue(data)
+        return self.open
 
     def _write_loop(self) -> None:
         while True:
@@ -430,15 +445,19 @@ class BulletNetwork(EventEmitter):
             try:
                 if conn.framing == "ndjson":
                     raw = reader.readline()
+                    if not raw:  # readline() returns "" only at EOF
+                        break
                 else:
                     raw = ws.read_message(
                         reader, conn.socket,
                         client_side=conn.framing == "ws-client",
                         send_raw=conn.send_raw,
                     )
+                    if raw is None:  # close/EOF/oversize
+                        break
+                    if not raw:  # zero-length text frame: legal, not EOF
+                        continue
             except OSError:
-                break
-            if not raw:
                 break
             try:
                 message = json.loads(raw)

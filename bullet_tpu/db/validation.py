@@ -106,16 +106,20 @@ class BulletValidation:
             raise KeyError(f"Schema '{schema_name}' does not exist")
         return self._validate_against_schema(schema, data, schema_name)
 
-    def check_write(self, path: str, data: Any) -> bool:
+    def check_write(self, path: str, data: Any, report: bool = True) -> bool:
         """Write-path gate (the repaired version of the reference's dead
         ``_setData`` hook, bullet-validation.js:25-45): invalid writes are
         blocked and error handlers fire. ``None`` always passes — deletes are
-        null puts (bullet.js:755-758) and must work on schema-bound paths."""
+        null puts (bullet.js:755-758) and must work on schema-bound paths.
+        ``report=False`` checks silently (used where another stage owns the
+        typed-error reporting for the same row)."""
         if data is None:
             return True
-        return self._validate_data_for_path(path, data)
+        return self._validate_data_for_path(path, data, report)
 
-    def _validate_data_for_path(self, path: str, data: Any) -> bool:
+    def _validate_data_for_path(
+        self, path: str, data: Any, report: bool = True
+    ) -> bool:
         """Find the governing schema via ancestor walk and validate
         (bullet-validation.js:159-208)."""
         schema_path = schema_name = None
@@ -162,7 +166,8 @@ class BulletValidation:
                     return self._validate_nested_property(schema, prop_path, data)
             return self._validate_against_schema(schema, data, schema_name)
         except ValidationError as error:
-            self._handle_error(error)
+            if report:
+                self._handle_error(error)
             return False
 
     def _validate_nested_property(self, schema: dict, prop_path: List[str], data: Any) -> bool:

@@ -227,13 +227,15 @@ class EngineValidation:
         self._rules_dirty = False
         return self._rules
 
-    def _strict_rules(self) -> List[Tuple[int, int, bool, float, float]]:
+    def _strict_rules(self) -> List[Tuple[int, int, bool, bool, float, float]]:
         """Constraints the encoded-key device mask CANNOT express — integer
-        integralness and string/array length bounds — as
-        (base_pid, seg_sid, need_int, len_min, len_max) rows. These are
-        enforced by a vectorized host mask at put_bulk ingress (the raw
-        values are still in hand there); without it, bulk writes would
-        silently under-enforce schemas that scalar puts reject."""
+        integralness, boolean-vs-number identity (booleans encode as
+        CLS_NUMBER, but JS typeof true is "boolean" so number/integer
+        fields must reject them), and string/array length bounds — as
+        (base_pid, seg_sid, need_int, no_bool, len_min, len_max) rows.
+        These are enforced by a vectorized host mask at put_bulk ingress
+        (the raw values are still in hand there); without it, bulk writes
+        would silently under-enforce schemas that scalar puts reject."""
         rows = []
         for base_path, schema_name in self.host.path_schemas.items():
             schema = self.host.schemas.get(schema_name)
@@ -245,15 +247,17 @@ class EngineValidation:
                     continue
                 ptype = ps.get("type", "any")
                 need_int = ptype == "integer"
+                no_bool = ptype in ("number", "integer")
                 lmin = lmax = None
                 if ptype in ("string", "array"):
                     if isinstance(ps.get("min"), (int, float)):
                         lmin = float(ps["min"])
                     if isinstance(ps.get("max"), (int, float)):
                         lmax = float(ps["max"])
-                if need_int or lmin is not None or lmax is not None:
+                if need_int or no_bool or lmin is not None or lmax is not None:
                     rows.append(
                         (base_pid, self.sim.host._seg_id(prop), need_int,
+                         no_bool,
                          -1.0 if lmin is None else lmin,
                          float("inf") if lmax is None else lmax)
                     )
@@ -271,6 +275,7 @@ class EngineValidation:
         sg = seg[slots]
         k = len(slots)
         values_arr = values if isinstance(values, np.ndarray) else None
+        is_bool = np.zeros(k, dtype=bool)
         if values_arr is not None and values_arr.dtype.kind in "ifu":
             v = values_arr.astype(np.float64, copy=False)
             bad_int = ~np.isfinite(v) | (v != np.floor(v))
@@ -282,6 +287,7 @@ class EngineValidation:
             for i, val in enumerate(seq):
                 if isinstance(val, bool):
                     bad_int[i] = True
+                    is_bool[i] = True
                 elif isinstance(val, (int, float)):
                     bad_int[i] = not float(val).is_integer()
                 else:
@@ -289,12 +295,14 @@ class EngineValidation:
                 if isinstance(val, (str, list)):
                     lengths[i] = len(val)
         drop = np.zeros(k, dtype=bool)
-        for base, sid, need_int, lmin, lmax in rules:
+        for base, sid, need_int, no_bool, lmin, lmax in rules:
             m = (p2 == base) & (sg == sid)
             if not m.any():
                 continue
             if need_int:
                 drop |= m & bad_int
+            if no_bool:
+                drop |= m & is_bool
             if lmin >= 0 or lmax != float("inf"):
                 has_len = lengths >= 0
                 drop |= m & has_len & ((lengths < lmin) | (lengths > lmax))

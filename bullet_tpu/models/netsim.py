@@ -316,14 +316,15 @@ class PeerNetworkSim:
         k = len(peers)
         if k == 0:
             return
-        if self.hooks._put and not (
+        # pre-interned slot-id batches are the raw device-feed API and skip
+        # ALL hooks by design (documented)
+        pre_interned = (
             isinstance(paths, np.ndarray) and paths.dtype.kind == "i"
-        ):
-            # host put hooks must see bulk rows too (veto/mutate parity with
-            # scalar puts); this per-row pass only runs when hooks are
-            # registered — the vectorized fast path is otherwise untouched.
-            # Pre-interned slot-id batches skip hooks by design (documented:
-            # they are the raw device-feed API).
+        )
+        if self.hooks._put and not pre_interned:
+            # host put hooks must see bulk rows too (veto/mutate parity
+            # with scalar puts); this per-row pass only runs when hooks are
+            # registered — the vectorized fast path is otherwise untouched
             kept_p, kept_paths, kept_vals = [], [], []
             vals_seq = (
                 values.tolist() if isinstance(values, np.ndarray) else values
@@ -334,60 +335,80 @@ class PeerNetworkSim:
                     kept_p.append(int(p))
                     kept_paths.append(path)
                     kept_vals.append(value)
-                    self.hooks.queue_after_put(int(p), path, value)
             if not kept_p:
                 return
             peers = np.asarray(kept_p, dtype=np.int32)
             paths, values = kept_paths, kept_vals
             k = len(peers)
-        if isinstance(paths, np.ndarray) and paths.dtype.kind == "i":
-            slots = paths.astype(np.int32)
-        else:
-            # bulk path interning: one native C call when available
-            slots = self.host.intern_batch(paths)
+        slots = (
+            paths.astype(np.int32) if pre_interned
+            else self.host.intern_batch(paths)  # one native C call
+        )
 
-        try:
-            values_arr = np.asarray(values)
-        except ValueError:  # ragged lists etc.
-            values_arr = np.empty(0, dtype=object)
-        if values_arr.dtype.kind in "ifu":
+        # the numeric fast path requires an EXPLICIT numeric ndarray:
+        # np.asarray on a mixed list would silently coerce bools (and
+        # mixed strings) to numbers, diverging from scalar-put encoding
+        if isinstance(values, np.ndarray) and values.dtype.kind in "ifu":
             from ..utils.encode import bulk_encode_numbers
 
-            cls, khi, klo, vid = bulk_encode_numbers(self.host.values, values_arr)
+            raw_vals: Any = values
+            numeric = True
+            cls, khi, klo, vid = bulk_encode_numbers(self.host.values, values)
         else:
-            # mixed / string batches: vectorized per-class paths (numbers
-            # through the bits map, strings through ONE batch index insert)
+            # list / mixed / string batches: vectorized per-class paths
+            # (numbers through the bits map, strings through ONE batch
+            # index insert) with per-element class detection
             from ..utils.encode import bulk_encode_values
 
-            vals_seq = (
-                values.tolist() if isinstance(values, np.ndarray) else values
+            raw_vals = (
+                values.tolist() if isinstance(values, np.ndarray)
+                else list(values)
             )
-            cls, khi, klo, vid = bulk_encode_values(self.host.values, vals_seq)
+            numeric = False
+            cls, khi, klo, vid = bulk_encode_values(self.host.values, raw_vals)
 
         # strict schema constraints the device mask can't express (integer
-        # integralness, string/array length) drop here, while the raw
-        # values are still in hand; type/range/enum veto stays on device
+        # integralness, boolean identity, string/array length) drop here,
+        # while the raw values are still in hand; type/range/enum veto
+        # stays on device
         if self.validation.active:
-            raw = values_arr if values_arr.dtype.kind in "ifu" else values
-            drop = self.validation.strict_bulk_mask(slots, raw)
+            drop = self.validation.strict_bulk_mask(slots, raw_vals)
             if drop is not None and drop.any():
                 for i in np.nonzero(drop)[0]:
                     path = self.host.paths.path(int(slots[i]))
-                    val = (
-                        float(values_arr[i])
-                        if values_arr.dtype.kind in "ifu"
-                        else values[i]
-                    )
+                    val = float(raw_vals[i]) if numeric else raw_vals[i]
                     # re-run the host checker for the exact typed error
                     self.validation.host.check_write(path, val)
                 keep = ~drop
                 peers, slots, cls, khi, klo, vid = (
                     a[keep] for a in (peers, slots, cls, khi, klo, vid)
                 )
+                raw_vals = (
+                    raw_vals[keep] if numeric
+                    else [v for v, kp in zip(raw_vals, keep) if kp]
+                )
                 self.stats["ops_rejected"] += int(drop.sum())
                 k = len(peers)
                 if k == 0:
                     return
+
+        # afterPut hooks + "write" events fire for accepted rows — exactly
+        # like scalar puts (which queue before apply; merge losers still
+        # fire, matching the reference's afterPut-after-setData contract,
+        # bullet-middleware.js:112-131). With schemas bound, each row
+        # re-checks silently so rows the device mask will veto don't claim
+        # a write happened (the device path owns their typed errors).
+        if not pre_interned and (self.hooks._after_put or self.hooks._events):
+            check = (
+                self.validation.host.check_write
+                if self.validation.active else None
+            )
+            for i in range(k):
+                path = self.host.paths.path(int(slots[i]))
+                val = float(raw_vals[i]) if numeric else raw_vals[i]
+                if check is not None and not check(path, val, report=False):
+                    continue
+                self.hooks.queue_after_put(int(peers[i]), path, val)
 
         self._enqueue_bulk(peers, slots, cls, khi, klo, vid)
 

@@ -862,6 +862,24 @@ def _frontier_halo_kernel_packed(wrap: bool, tile_p: int, num_peers: int,
                 ids_out[0, t_total + 1] += total
 
 
+def _halo_boundary_snapshots(table, tiles: int, tile_p: int, n: int):
+    """(tops, bottoms) pre-round boundary snapshots for the halo kernels:
+    each tile's adjacent 8-row blocks from the neighboring tiles,
+    [8*tiles, n] per field. Built from static slices + a roll over the
+    tiny tile axis — a row GATHER here lowers to a table/8-sized XLA temp,
+    which blows the north-star HBM budget."""
+
+    def edges(f):
+        v = f.reshape(tiles, tile_p, n)
+        last8 = v[:, tile_p - 8 :, :]  # each tile's last 8 rows
+        first8 = v[:, :8, :]  # each tile's first 8 rows
+        top = jnp.roll(last8, 1, axis=0).reshape(tiles * 8, n)
+        bottom = jnp.roll(first8, -1, axis=0).reshape(tiles * 8, n)
+        return top, bottom
+
+    return zip(*(edges(f) for f in table))
+
+
 def frontier_halo_round_packed_traced(table, ids, wrap: bool,
                                       interpret: bool):
     """Compacting frontier round via the halo kernel (any 8-aligned P):
@@ -876,16 +894,7 @@ def frontier_halo_round_packed_traced(table, ids, wrap: bool,
     tile_p, tile_n = _halo_tiles_packed(p, n)
     tiles = p // tile_p
     t_total = n // tile_n
-
-    def edges(f):
-        v = f.reshape(tiles, tile_p, n)
-        last8 = v[:, tile_p - 8 :, :]
-        first8 = v[:, :8, :]
-        top = jnp.roll(last8, 1, axis=0).reshape(tiles * 8, n)
-        bottom = jnp.roll(first8, -1, axis=0).reshape(tiles * 8, n)
-        return top, bottom
-
-    tops, bottoms = zip(*(edges(f) for f in table))
+    tops, bottoms = _halo_boundary_snapshots(table, tiles, tile_p, n)
     grid_j = jnp.maximum(ids[t_total], 1)
 
     center_spec = pl.BlockSpec(
@@ -1359,21 +1368,9 @@ def halo_round_packed_traced(
     p, n = table.khi.shape
     tile_p, tile_n = _halo_tiles_packed(p, n)
     tiles = p // tile_p
-
     # pre-round boundary snapshot: the 8 rows above and below each tile
-    # (Mosaic needs 8-row sublane blocks; only rows 7 / 0 are consumed) —
-    # [8*tiles, n] each. Built from static slices + a roll over the tiny
-    # tile axis: a row GATHER here lowers to a table/8-sized XLA temp,
-    # which blows the north-star HBM budget.
-    def edges(f):
-        v = f.reshape(tiles, tile_p, n)
-        last8 = v[:, tile_p - 8 :, :]  # each tile's last 8 rows
-        first8 = v[:, :8, :]  # each tile's first 8 rows
-        top = jnp.roll(last8, 1, axis=0).reshape(tiles * 8, n)
-        bottom = jnp.roll(first8, -1, axis=0).reshape(tiles * 8, n)
-        return top, bottom
-
-    tops, bottoms = zip(*(edges(f) for f in table))
+    # (Mosaic needs 8-row sublane blocks; only rows 7 / 0 are consumed)
+    tops, bottoms = _halo_boundary_snapshots(table, tiles, tile_p, n)
 
     grid = (tiles, n // tile_n)
     center_spec = pl.BlockSpec(

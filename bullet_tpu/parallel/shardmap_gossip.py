@@ -415,9 +415,13 @@ def gossip_frontier_shardmap_packed(
         *fields, counts = fn(dirty_f, *tbl)
         return PackedTable(*fields), counts > 0, rounds + 1, jnp.sum(counts)
 
-    table, _, rounds, last_changed = jax.lax.while_loop(
+    table, dirty_f, rounds, last_changed = jax.lax.while_loop(
         cond, body, (table, dirty, jnp.int32(0), jnp.int32(1))
     )
+    # honest residual, matching the unsharded loops: 0 IFF the frontier is
+    # empty at exit (covers the nothing-dirty-at-entry case, where the
+    # init sentinel 1 would otherwise leak out as last_residual)
+    last_changed = jnp.where(jnp.any(dirty_f), last_changed, 0)
     return table, rounds, last_changed
 
 

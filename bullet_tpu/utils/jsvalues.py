@@ -76,9 +76,21 @@ _JS_PARSEFLOAT_RE = _re.compile(
 
 def js_parse_int(s: str):
     """JS ``parseInt(s, 10)``: trim, optional sign, then the longest decimal
-    digit prefix; NaN when no digits ("1e5" → 1, "Infinity" → NaN)."""
+    digit prefix; NaN when no digits ("1e5" → 1, "Infinity" → NaN).
+
+    The result is a JS Number, i.e. a float64 — long digit strings round
+    to the nearest double (parseInt("9007199254740993") === 9007199254740992)
+    and ~1e309-scale strings overflow to Infinity. Integral in-range values
+    come back as Python ints (how integral doubles print/JSON-serialize)."""
     m = _JS_PARSEINT_RE.match(s.strip(_JS_WS))
-    return int(m.group(0)) if m else math.nan
+    if not m:
+        return math.nan
+    exact = int(m.group(0))
+    try:
+        f = float(exact)  # nearest float64, like any JS Number
+    except OverflowError:
+        return -math.inf if exact < 0 else math.inf
+    return int(f) if abs(f) < 2**63 else f
 
 
 def js_parse_float(s: str) -> float:

@@ -481,3 +481,112 @@ def test_zero_round_frontier_does_not_fake_convergence():
         sim.run_until_converged()
         assert sim.tables_equal(), layout
         assert sim.get(0, "a/y") == 7, layout
+
+
+def test_bulk_bool_rejected_for_number_fields():
+    """Review session-2: booleans encode as CLS_NUMBER, so the device mask
+    alone accepted them for "number"-typed fields while scalar put rejects
+    (JS typeof true is "boolean"); the strict host mask must drop them —
+    scalar and bulk writes agree (docs/validation.md contract)."""
+    import numpy as np
+
+    from bullet_tpu.models.netsim import PeerNetworkSim
+
+    sim = PeerNetworkSim(4, capacity=128, topology="ring")
+    sim.define_schema("m", {"properties": {"v": {"type": "number"}}})
+    sim.apply_schema("items", "m")
+    assert not sim.put(0, "items/a/v", True)  # scalar: rejected
+    sim.put_bulk(np.asarray([0, 1]), ["items/b/v", "items/c/v"],
+                 [True, 2.5])  # mixed list must NOT coerce the bool
+    sim.run_until_converged()
+    assert sim.stats["ops_rejected"] >= 1
+    assert sim.get(2, "items/b/v") is None  # bool dropped
+    assert sim.get(2, "items/c/v") == 2.5  # number landed
+
+
+def test_bulk_after_put_fires_without_put_hook():
+    """Review session-2: put_bulk only queued afterPut inside the put-hook
+    branch, so afterPut/"write" listeners silently missed bulk rows unless
+    an unrelated put hook happened to be registered."""
+    import numpy as np
+
+    from bullet_tpu.models.netsim import PeerNetworkSim
+
+    sim = PeerNetworkSim(4, capacity=128, topology="ring")
+    seen = []
+    sim.use("afterPut", lambda path, value, peer=None: seen.append(path))
+    sim.put_bulk(np.asarray([0, 1]), ["a/x", "a/y"], np.array([1.0, 2.0]))
+    sim.step()
+    assert sorted(seen) == ["a/x", "a/y"]
+
+    # and validation-rejected rows must NOT claim a write happened
+    sim2 = PeerNetworkSim(4, capacity=128, topology="ring")
+    fired = []
+    sim2.use("afterPut", lambda path, value, peer=None: fired.append(path))
+    sim2.define_schema("m", {"properties": {"v": {"type": "number",
+                                                  "min": 0}}})
+    sim2.apply_schema("items", "m")
+    sim2.put_bulk(np.asarray([0, 1]), ["items/a/v", "items/b/v"],
+                  np.array([5.0, -5.0]))
+    sim2.step()
+    assert fired == ["items/a/v"]  # the vetoed row stays silent
+
+
+def test_sharded_frontier_residual_zero_at_fixed_point():
+    """Review session-2: the shard_map frontier loop returned its init
+    sentinel 1 as last_changed when entered with an empty frontier, so an
+    already-converged sharded sim reported last_residual == 1."""
+    from bullet_tpu.models.netsim import PeerNetworkSim
+
+    sim = PeerNetworkSim(16, capacity=2048, topology="ring",
+                         layout="packed", mesh_devices=8, use_shard_map=True)
+    sim.put(0, "s/x", 3)
+    sim.run_until_converged()
+    assert sim.tables_equal()
+    sim.run_until_converged()  # nothing pending: empty frontier at entry
+    assert sim.last_residual == 0
+
+
+def test_ws_empty_text_frame_is_not_eof():
+    """Review session-2: a zero-length text frame (legal per RFC 6455) was
+    conflated with EOF and tore down a healthy link."""
+    import socket as socket_mod
+    import time as time_mod
+
+    import bullet_tpu as bt
+    from bullet_tpu.db import ws
+
+    p1 = bt.create({"storage": False, "port": 0, "host": "127.0.0.1"})
+    try:
+        # raw ws client handshake
+        sock = socket_mod.create_connection(("127.0.0.1", p1.network.port))
+        reader = sock.makefile("rb")
+        ws.client_handshake(sock, reader, "127.0.0.1", p1.network.port,
+                            {"x-peer-id": "probe-peer"})
+        # empty text frame, then a real put
+        sock.sendall(ws.encode_frame(b"", ws.OP_TEXT, mask=True))
+        put = ('{"type": "put", "id": "m1", "path": "w/z", '
+               '"data": {"v": 7}, "ttl": 2}')
+        sock.sendall(ws.encode_frame(put.encode(), ws.OP_TEXT, mask=True))
+        for _ in range(100):
+            if p1.get("w/z").value() == {"v": 7}:
+                break
+            time_mod.sleep(0.05)
+        assert p1.get("w/z").value() == {"v": 7}  # link survived the ""
+        sock.close()
+    finally:
+        p1.close()
+
+
+def test_parse_int_is_float64():
+    """Review session-2: JS parseInt returns a Number (float64); long digit
+    strings round and huge ones overflow to Infinity."""
+    import math as math_mod
+
+    from bullet_tpu.utils.jsvalues import js_parse_int
+
+    assert js_parse_int("42") == 42
+    assert js_parse_int("9007199254740993") == 9007199254740992
+    assert js_parse_int("9" * 400) == math_mod.inf
+    assert js_parse_int("-" + "9" * 400) == -math_mod.inf
+    assert isinstance(js_parse_int("1" + "0" * 30), float)  # 1e30 > 2^63
