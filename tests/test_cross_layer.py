@@ -185,3 +185,59 @@ def test_mixed_type_fuzz_dense_vs_packed_vs_oracle(seed, topology):
             assert got == value  # int/float canonicalization is equality-safe
         else:
             assert got == value, (key, got, value)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_mixed_ingestion_fuzz_converge_vs_reconcile(seed):
+    """Random interleavings of every ingestion surface (scalar puts, tree
+    puts, numeric put_bulk, mixed-list put_bulk, remove) must land on ONE
+    state: identical across layouts, and identical between the simulated
+    convergence and direct reconcile()."""
+    import numpy as np
+
+    from bullet_tpu.models.netsim import PeerNetworkSim
+
+    def drive(sim, rng):
+        for _ in range(30):
+            op = rng.integers(5)
+            peer = int(rng.integers(8))
+            if op == 0:
+                sim.put(peer, f"f/k{int(rng.integers(8))}",
+                        float(rng.integers(1000)))
+            elif op == 1:
+                sim.put(peer, f"t/n{int(rng.integers(3))}", {
+                    f"c{i}": {"a": int(rng.integers(50)), "b": f"s{i}"}
+                    for i in range(6)
+                })
+            elif op == 2:
+                sim.put_bulk(
+                    rng.integers(0, 8, 12).astype(np.int32),
+                    [f"f/k{int(i)}" for i in rng.integers(0, 8, 12)],
+                    rng.integers(0, 500, 12).astype(np.float64),
+                )
+            elif op == 3:
+                sim.put_bulk(
+                    np.asarray([peer] * 4),
+                    [f"m/x{int(i)}" for i in rng.integers(0, 5, 4)],
+                    [True, None, f"str{int(rng.integers(9))}",
+                     float(rng.integers(99))],
+                )
+            else:
+                sim.remove(peer, f"t/n{int(rng.integers(3))}/c1")
+
+    def final_state(layout, finish):
+        sim = PeerNetworkSim(8, capacity=2048, topology="ring",
+                             layout=layout)
+        drive(sim, np.random.default_rng(100 + seed))
+        finish(sim)
+        assert sim.tables_equal()
+        return sim.get(0, "")
+
+    ref = final_state("packed", lambda s: s.run_until_converged())
+    for layout, finish in (
+        ("packed", lambda s: s.reconcile()),
+        ("dense", lambda s: s.run_until_converged()),
+        ("dense", lambda s: s.reconcile()),
+    ):
+        got = final_state(layout, finish)
+        assert got == ref, (layout, seed)
