@@ -622,7 +622,26 @@ class PeerNetworkSim:
                 np.asarray(ops.slot), np.asarray(ops.cls),
                 np.asarray(ops.khi), np.asarray(ops.klo), np.asarray(ops.vid),
             )
-        reduced = reduce_flat_ops(peer, slot, cls, khi, klo, vid)
+        from ..ops.packed import (
+            MAX_BLOCK_CHUNKS,
+            apply_flat_blocked,
+            block_apply_supported,
+            chunk_block_ops,
+        )
+
+        p_, n_ = self.table.khi.shape
+        # hardware-only, like the frontier fuse: interpret-mode pallas
+        # pays Python per grid step, which would tax every CPU-test apply
+        # (the blocked path has dedicated interpret-mode identity tests)
+        use_blocked = (
+            block_apply_supported(p_, n_)
+            and jax.default_backend() == "tpu"
+            and self.use_pallas is not False
+        )
+        reduced = reduce_flat_ops(
+            peer, slot, cls, khi, klo, vid,
+            block_shape=(p_, n_) if use_blocked else None,
+        )
         if reduced is None:
             return 0
         if self._frontier_dirty is not None:
@@ -633,6 +652,22 @@ class PeerNetworkSim:
                 self._frontier_dirty[np.unique(reduced[1] // tile_n)] = True
             else:
                 self._frontier_dirty = None
+        if use_blocked:
+            chunked = chunk_block_ops(*reduced, p_, n_)
+            if chunked is not None and len(chunked[1]) <= MAX_BLOCK_CHUNKS:
+                # blocked Pallas apply: fused win-select + one-hot scatter
+                # over only the op-occupied (8, BN) table blocks — XLA's
+                # per-element scatter cost (and its whole-table block walk
+                # for sparse batches) never enters the picture
+                self.table, applied = apply_flat_blocked(
+                    self.table, *chunked
+                )
+                return int(applied)
+            # hot block (> window capacity) or block count past the SMEM
+            # prefetch budget: fall back to the chunked scatter, which
+            # needs (peer, slot)-sorted rows
+            order = np.lexsort((reduced[1], reduced[0]))
+            reduced = tuple(a[order] for a in reduced)
         # ONE stacked h2d transfer for the whole reduced batch (the tunnel
         # charges per-transfer latency; five separate array uploads cost
         # noticeably more than one [5, K] block)

@@ -248,7 +248,235 @@ def apply_flat_packed_stacked(
     return apply_flat_packed(table, peer, slot, khi, klo, cv)
 
 
-def reduce_flat_ops(peer, slot, cls, khi, klo, vid):
+# ------------------------------------------------- blocked apply (Pallas)
+# XLA:TPU scatter costs ~2-3M elements/s regardless of locality (measured:
+# 68 ms winners gather vs 1.28 s for the three chunked scatters at 1M ops
+# on the north-star table). The blocked path instead streams only the
+# op-OCCUPIED (8, BN) table blocks through a Pallas kernel: ops arrive
+# block-sorted (reduce_flat_ops emits that order for free), chunked ≤16
+# per visit, and each op applies as a one-hot mask + winner-select over
+# the resident block — the kernel fuses the win decision, so there is no
+# separate gather pass and no [K] winner temps. Sparse batches touch only
+# their blocks (the chunked-scatter fallback walks the whole table even
+# for ten ops).
+
+_BLOCK_C = 16  # ops per chunk (meta len field: 5 bits)
+
+
+def _block_geometry(p: int, n: int) -> Tuple[int, int]:
+    """(BN, NB) for the blocked apply; (0, 0) when unsupported. Meta packs
+    (len ≤ 16, rb < 2^9, cb < 2^13) into one int32 — p ≤ 4096 rows and
+    n/BN ≤ 8192 column blocks."""
+    if p % 8 or p > 4096:
+        return 0, 0
+    for bn in (2048, 1024, 512, 256, 128):
+        if n % bn == 0 and n // bn <= 8192:
+            return bn, n // bn
+    return 0, 0
+
+
+def block_apply_supported(p: int, n: int) -> bool:
+    return _block_geometry(p, n)[0] > 0
+
+
+# window buckets (chunks per block visit). W is a static unroll of W·C
+# one-hot selects, and both Mosaic and XLA:CPU compile superlinearly in
+# the unroll depth, so only W=3 (48 ops/block) ships: it covers the
+# sparse/incremental batches where this path is transformative (the
+# chunked-scatter fallback walks the WHOLE table even for ten ops), and
+# dense mega-batches — which amortize the scatter cost anyway — fall
+# back. Widening to (3, 6, 12) needs a compile-time check first.
+_BLOCK_WINDOWS = (3,)
+
+
+def chunk_block_ops(peer, slot, khi, klo, cv, p: int, n: int):
+    """Host chunking for the blocked apply: BLOCK-SORTED unique ops →
+    (W, meta_rc [n_blocks] = rb | cb<<9, meta_cnt [n_blocks] =
+    chunk0 | cnt<<17, ops5 [n_chunks + W-1, C, 5] int32). One kernel step
+    per BLOCK reads a W-chunk window starting at its first chunk (the
+    tail padding keeps the window in bounds), so no block is ever
+    revisited — Pallas output double-buffering makes cross-step
+    read-modify-write of the same block unsound on hardware. W is the
+    smallest bucket covering the batch's densest block; None when it
+    exceeds the largest bucket (callers fall back)."""
+    import numpy as np
+
+    bn, _nb = _block_geometry(p, n)
+    k = len(peer)
+    b = (peer.astype(np.int64) >> 3) * (n // bn) + slot.astype(np.int64) // bn
+    first = np.empty(k, dtype=bool)
+    first[0] = True
+    np.not_equal(b[1:], b[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.append(starts, k))
+    need = -(-int(sizes.max()) // _BLOCK_C)
+    w = next((cand for cand in _BLOCK_WINDOWS if cand >= need), None)
+    if w is None:
+        return None
+    within = np.arange(k, dtype=np.int64) - np.repeat(starts, sizes)
+    boundary = first | (within % _BLOCK_C == 0)
+    cstarts = np.flatnonzero(boundary)
+    n_chunks = len(cstarts)
+    if n_chunks >= (1 << 17):  # chunk0 packs into 17 bits of meta_cnt
+        return None
+    rb = (peer[starts].astype(np.int32) >> 3)
+    cb = (slot[starts] // bn).astype(np.int32)
+    meta_rc = rb | (cb << 9)
+    chunk_of = np.cumsum(boundary) - 1
+    chunk0 = chunk_of[starts].astype(np.int32)
+    meta_cnt = chunk0 | (sizes.astype(np.int32) << 17)
+    pos = (within % _BLOCK_C).astype(np.int64)
+    ops5 = np.zeros((n_chunks + w - 1, _BLOCK_C, 5), dtype=np.int32)
+    ops5[chunk_of, pos, 0] = peer & 7
+    ops5[chunk_of, pos, 1] = slot % bn
+    ops5[chunk_of, pos, 2] = khi
+    ops5[chunk_of, pos, 3] = klo
+    ops5[chunk_of, pos, 4] = cv
+    return w, meta_rc, meta_cnt, ops5
+
+
+def _block_apply_kernel(bn: int, w: int, *refs):
+    """One BLOCK per grid step: apply its ≤W·C ops to the resident (8, BN)
+    block as one-hot winner-selects; win counts accumulate in SMEM. Each
+    block is visited exactly once (no cross-step read-modify-write — see
+    chunk_block_ops)."""
+    import jax.experimental.pallas as pl
+
+    meta_cnt_ref = refs[1]  # refs[0] = meta_rc (index maps only)
+    ops_refs = refs[2 : 2 + w]
+    khi_in, klo_in, cv_in = refs[2 + w : 5 + w]
+    khi_out, klo_out, cv_out, count_ref = refs[5 + w :]
+
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        count_ref[0, 0] = 0
+
+    cnt = meta_cnt_ref[j] >> 17
+    khi_b, klo_b, cv_b = khi_in[...], klo_in[...], cv_in[...]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, khi_b.shape, 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, khi_b.shape, 1)
+    applied = jnp.int32(0)
+    for i in range(w * _BLOCK_C):
+        wi, lane = divmod(i, _BLOCK_C)
+        ops_ref = ops_refs[wi]
+        r = ops_ref[0, 0, lane]
+        c = ops_ref[0, 1, lane]
+        okhi = ops_ref[0, 2, lane]
+        oklo = ops_ref[0, 3, lane]
+        ocv = ops_ref[0, 4, lane]
+        onehot = (row_i == r) & (col_i == c) & (i < cnt)
+        beats = _lex_gt_packed(
+            (ocv >> CV_SHIFT, okhi, oklo, ocv),
+            packed_keys(khi_b, klo_b, cv_b),
+        ) & ((ocv >> CV_SHIFT) > 0)
+        win = onehot & beats
+        khi_b = jnp.where(win, okhi, khi_b)
+        klo_b = jnp.where(win, oklo, klo_b)
+        cv_b = jnp.where(win, ocv, cv_b)
+        applied += jnp.sum(win.astype(jnp.int32))
+    khi_out[...] = khi_b
+    klo_out[...] = klo_b
+    cv_out[...] = cv_b
+    count_ref[0, 0] += applied
+
+
+# chunk-count ceiling for the blocked path: the meta prefetch array lives
+# in SMEM (~1 MB budget); 2^17 ints = 512 KB leaves headroom
+MAX_BLOCK_CHUNKS = 1 << 17
+
+
+def apply_flat_blocked(
+    table: PackedTable, w: int, meta_rc, meta_cnt, ops5
+) -> Tuple[PackedTable, jax.Array]:
+    """Blocked apply over host-chunked ops (see chunk_block_ops): the
+    block/chunk arrays pad to power-of-two buckets so the jit compiles a
+    BOUNDED set of programs (XLA shapes are static; the dynamic grid still
+    runs exactly n_blocks steps, so padding costs transfer bytes only),
+    then the [NC, C, 5] tensor expands to Mosaic's (8, 128) tile on
+    device. The pallas call aliases the table in place and visits only
+    op-occupied blocks, each exactly once. Returns (table, applied)."""
+    import numpy as np
+
+    def bucket(x, min_cap=256):
+        ln = len(x)
+        cap = max(min_cap, 1 << max(0, ln - 1).bit_length())
+        if cap == ln:
+            return x
+        out = np.zeros((cap,) + x.shape[1:], np.int32)
+        out[:ln] = x
+        return out
+
+    nb = len(meta_rc)
+    return _apply_flat_blocked_jit(
+        table, jnp.asarray(bucket(meta_rc)), jnp.asarray(bucket(meta_cnt)),
+        jnp.asarray(bucket(ops5)), jnp.int32(nb), w,
+        jax.default_backend() != "tpu",
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "interpret"), donate_argnums=(0,)
+)
+def _apply_flat_blocked_jit(
+    table: PackedTable, meta_rc, meta_cnt, ops5, n_blocks, w: int,
+    interpret: bool,
+) -> Tuple[PackedTable, jax.Array]:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, n = table.khi.shape
+    bn, _nb = _block_geometry(p, n)
+    # device-side expansion to the (8, 128) tile: [NC, C, 5] → [NC, 8, 128]
+    ops_t = jnp.transpose(ops5, (0, 2, 1))  # [NC, 5, C]
+    ops_pad = jnp.pad(
+        ops_t, ((0, 0), (0, 8 - ops_t.shape[1]), (0, 128 - ops_t.shape[2]))
+    )
+    grid_j = jnp.maximum(n_blocks, 1)
+
+    def tbl_idx(j, m, c0):
+        return m[j] & 0x1FF, m[j] >> 9
+
+    def ops_idx(wi):
+        # the W-chunk window: the SAME ops array passed W times, each view
+        # one (1, 8, 128) chunk at chunk0[j] + wi (Blocked indexing cannot
+        # express unaligned multi-chunk windows directly)
+        return lambda j, m, c0, wi=wi: ((c0[j] & 0x1FFFF) + wi, 0, 0)
+
+    tbl_spec = pl.BlockSpec((8, bn), tbl_idx, memory_space=pltpu.VMEM)
+    ops_specs = [
+        pl.BlockSpec((1, 8, 128), ops_idx(wi), memory_space=pltpu.VMEM)
+        for wi in range(w)
+    ]
+    cnt_spec = pl.BlockSpec(
+        (1, 1), lambda j, m, c0: (0, 0), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid_j,),  # dynamic: exactly the occupied blocks
+        in_specs=ops_specs + [tbl_spec, tbl_spec, tbl_spec],
+        out_specs=[tbl_spec, tbl_spec, tbl_spec, cnt_spec],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_block_apply_kernel, bn, w),
+        grid_spec=grid_spec,
+        out_shape=(
+            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        # alias indices count the prefetch operands (0=meta_rc, 1=meta_cnt)
+        # and the W ops views (2..2+w-1): tables follow
+        input_output_aliases={2 + w: 0, 3 + w: 1, 4 + w: 2},
+        interpret=interpret,
+    )(meta_rc, meta_cnt, *([ops_pad] * w), *table)
+    # n_blocks == 0 never reaches here (callers early-out on empty ops),
+    # but the padded single step is still safe: meta row 0 exists and its
+    # cnt field is 0, so nothing applies
+    return PackedTable(*outs[:3]), outs[3][0, 0]
+
+
+def reduce_flat_ops(peer, slot, cls, khi, klo, vid, block_shape=None):
     """Host-side lattice pre-reduction: keep the (cls, khi, klo, vid)-max op
     per (peer, slot).
 
@@ -259,7 +487,13 @@ def reduce_flat_ops(peer, slot, cls, khi, klo, vid):
     (klo, vid)); the bias-mapped uint halves recombine order-exactly
     (utils.encode.number_key). The winner's fields decode straight from
     (k1, k2max) — no row indirection. ~3× faster than the previous 4-key
-    lexsort at 1M ops (one sort pass instead of four)."""
+    lexsort at 1M ops (one sort pass instead of four).
+
+    ``block_shape=(p, n)`` emits the winners in BLOCK-SORTED order for the
+    blocked Pallas apply (primary key = the op's (8, BN) table block; the
+    fused key still uniquely identifies (peer, slot), so grouping is
+    unchanged) at the same one-argsort cost. Default order stays
+    (peer, slot) ascending — the chunked-scatter fallback asserts it."""
     import numpy as np
 
     keep = cls > 0
@@ -269,7 +503,20 @@ def reduce_flat_ops(peer, slot, cls, khi, klo, vid):
     if peer.size == 0:
         return None
     bias = np.int64(1) << 31
-    pslot = (peer.astype(np.int64) << 32) | slot.astype(np.int64)
+    if block_shape is not None:
+        p, n = block_shape
+        bn, nb = _block_geometry(p, n)
+        block = (peer.astype(np.int64) >> 3) * nb + slot.astype(np.int64) // bn
+        # block << 14 | rel_row << 11 | rel_col: unique per (peer, slot),
+        # block-major (rel_col < 2^11 for BN ≤ 2048, rel_row < 8)
+        pslot = (
+            (block << 14)
+            | ((peer.astype(np.int64) & 7) << 11)
+            | (slot.astype(np.int64) % bn)
+        )
+    else:
+        bn = nb = 0
+        pslot = (peer.astype(np.int64) << 32) | slot.astype(np.int64)
     k1 = (cls.astype(np.int64) << 32) | (khi.astype(np.int64) + bias)
     k2 = ((klo.astype(np.int64) + bias) << CV_SHIFT) | vid.astype(np.int64)
     order = np.argsort(pslot)  # winner needs no row identity: any sort kind
@@ -288,8 +535,14 @@ def reduce_flat_ops(peer, slot, cls, khi, klo, vid):
     khi_w = ((m1 & np.int64(0xFFFFFFFF)) - bias).astype(np.int32)
     klo_w = ((m2 >> CV_SHIFT) - bias).astype(np.int32)
     cv = ((cls_w << CV_SHIFT) | (m2 & np.int64(VID_MASK))).astype(np.int32)
-    peer_w = (ps[starts] >> 32).astype(np.int32)
-    slot_w = (ps[starts] & np.int64(0xFFFFFFFF)).astype(np.int32)
+    keys = ps[starts]
+    if block_shape is not None:
+        blk = keys >> 14
+        peer_w = ((blk // nb) * 8 + ((keys >> 11) & 7)).astype(np.int32)
+        slot_w = ((blk % nb) * bn + (keys & np.int64(0x7FF))).astype(np.int32)
+    else:
+        peer_w = (keys >> 32).astype(np.int32)
+        slot_w = (keys & np.int64(0xFFFFFFFF)).astype(np.int32)
     return peer_w, slot_w, khi_w, klo_w, cv
 
 

@@ -616,3 +616,108 @@ def test_sim_converged_probe():
     assert not sim.converged()
     sim.run_until_converged()
     assert sim.converged() and sim.tables_equal()
+
+
+def test_blocked_apply_bitidentical_to_scatter():
+    """The blocked Pallas apply (fused win-select + one-hot scatter over
+    op-occupied blocks) must produce the exact table and applied count of
+    the winners+chunked-scatter path, across duplicate-free and
+    multi-chunk-per-block batches."""
+    from bullet_tpu.ops.packed import (
+        apply_flat_blocked,
+        apply_flat_packed,
+        block_apply_supported,
+        chunk_block_ops,
+        init_packed,
+        reduce_flat_ops,
+    )
+
+    rng = np.random.default_rng(17)
+    for p, n, k, slots_hi in ((16, 512, 60, 512), (64, 2048, 200, 2048),
+                              (8, 256, 30, 256)):
+        assert block_apply_supported(p, n)
+        base = pack_table(random_dense(p, n, seed=p))
+        peer = rng.integers(0, p, k).astype(np.int32)
+        slot = rng.integers(0, min(n, slots_hi), k).astype(np.int32)
+        cls = rng.integers(0, 5, k).astype(np.int32)
+        khi = rng.integers(-10**6, 10**6, k).astype(np.int32)
+        klo = rng.integers(-10**6, 10**6, k).astype(np.int32)
+        vid = rng.integers(0, 1 << 20, k).astype(np.int32)
+
+        sorted_r = reduce_flat_ops(peer, slot, cls, khi, klo, vid)
+        want, want_applied = apply_flat_packed(
+            PackedTable(*(jnp.array(f) for f in base)),
+            *(jnp.asarray(a) for a in sorted_r),
+        )
+
+        blocked_r = reduce_flat_ops(peer, slot, cls, khi, klo, vid,
+                                    block_shape=(p, n))
+        # same winner set, different order
+        assert len(blocked_r[0]) == len(sorted_r[0])
+        chunked = chunk_block_ops(*blocked_r, p, n)
+        assert chunked is not None
+        got, got_applied = apply_flat_blocked(
+            PackedTable(*(jnp.array(f) for f in base)), *chunked
+        )
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          (p, n, k))
+        assert int(want_applied) == int(got_applied), (p, n, k)
+
+    # forced multi-chunk block: >16 ops into one (8, BN) block (40 ops =
+    # three chunks, still within the W=3 window)
+    p, n = 8, 256
+    base = init_packed(p, n)
+    k = 40
+    peer = np.zeros(k, dtype=np.int32)
+    slot = np.arange(k, dtype=np.int32)  # all in block (0, 0) for BN>=128
+    cls = np.full(k, 2, dtype=np.int32)
+    khi = np.arange(k, dtype=np.int32)
+    klo = np.zeros(k, dtype=np.int32)
+    vid = np.arange(k, dtype=np.int32)
+    blocked_r = reduce_flat_ops(peer, slot, cls, khi, klo, vid,
+                                block_shape=(p, n))
+    chunked = chunk_block_ops(*blocked_r, p, n)
+    assert chunked is not None
+    w, meta_rc, meta_cnt, ops5 = chunked
+    assert len(ops5) > w  # must actually span multiple chunks (+W-1 pad)
+    got, applied = apply_flat_blocked(
+        PackedTable(*(jnp.array(f) for f in base)), w, meta_rc, meta_cnt,
+        ops5
+    )
+    assert int(applied) == k
+    g = np.asarray(got.khi)
+    np.testing.assert_array_equal(g[0, :k], np.arange(k))
+
+
+def test_blocked_apply_dense_blocks_fall_back():
+    """Dense key ranges pack hundreds of ops per block — past the W=3
+    window the chunker refuses and the batch takes the scatter path."""
+    from bullet_tpu.ops.packed import (
+        apply_flat_blocked,
+        apply_flat_packed,
+        chunk_block_ops,
+        reduce_flat_ops,
+    )
+
+    p, n, k = 16, 4096, 600
+    rng = np.random.default_rng(23)
+    peer = rng.integers(0, p, k).astype(np.int32)
+    slot = rng.integers(0, 256, k).astype(np.int32)  # concentrated keys
+    cls = np.full(k, 2, dtype=np.int32)
+    khi = rng.integers(-10**6, 10**6, k).astype(np.int32)
+    klo = rng.integers(-10**6, 10**6, k).astype(np.int32)
+    vid = rng.integers(0, 1 << 20, k).astype(np.int32)
+    base = pack_table(random_dense(p, n, seed=77))
+
+    sr = reduce_flat_ops(peer, slot, cls, khi, klo, vid)
+    want, wa = apply_flat_packed(
+        PackedTable(*(jnp.array(f) for f in base)),
+        *(jnp.asarray(a) for a in sr),
+    )
+    br = reduce_flat_ops(peer, slot, cls, khi, klo, vid, block_shape=(p, n))
+    # hundreds of ops per block exceed the W=3 window: the chunker must
+    # refuse (callers fall back to the chunked scatter) rather than ship
+    # an unroll depth Mosaic/XLA:CPU cannot compile in reasonable time
+    assert chunk_block_ops(*br, p, n) is None
+    del want, wa, base  # the fallback path is covered by its own tests
