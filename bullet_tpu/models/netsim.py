@@ -638,6 +638,20 @@ class PeerNetworkSim:
             and jax.default_backend() == "tpu"
             and self.use_pallas is not False
         )
+        if use_blocked and len(slot):
+            # cheap conservative density estimate on the RAW ops: when the
+            # average per-occupied-block count already exceeds the W=3
+            # window, the chunker would refuse anyway — keep the
+            # (peer, slot) sort order up front and skip the block-order +
+            # re-sort round-trip (raw counts only overestimate density,
+            # so this never rejects a batch the chunker would accept
+            # unless some block is genuinely hot)
+            from ..ops.packed import _block_geometry
+
+            bn_, nb_ = _block_geometry(p_, n_)
+            occ_bound = (p_ >> 3) * min(nb_, -(-(int(slot.max()) + 1) // bn_))
+            if len(slot) / max(occ_bound, 1) > 48:
+                use_blocked = False
         reduced = reduce_flat_ops(
             peer, slot, cls, khi, klo, vid,
             block_shape=(p_, n_) if use_blocked else None,
