@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple, Union
 
 import numpy as np
 
@@ -36,6 +36,56 @@ from ..utils.encode import CLS_ABSENT, VID_NULL
 from .table import MISSING, GraphHost, flatten_value
 
 TopologyLike = Union[str, topo.Topology]
+
+
+class ConvergenceCell(NamedTuple):
+    """The dispatch-relevant shape of a convergence request. Built by
+    ``PeerNetworkSim._convergence_cell``; consumed by the strategy table."""
+
+    layout: str  # "packed" | "dense"
+    ring_chain: bool  # topology kind is ring or chain
+    frontier: bool  # a frontier-capable kernel tiles this shape (f_tile > 0)
+    spmd: bool  # engine shard_map mesh active
+    data_mesh: bool  # explicit device-put sharding active (self.mesh)
+    pallas: bool  # use_pallas if set explicitly, else backend == "tpu"
+
+
+# Convergence strategy table: (name, predicate, runner method name) —
+# FIRST match wins. ``run_until_converged`` resolves the cell, picks the
+# row, and calls the runner; the cell-coverage test enumerates every cell
+# and asserts the chosen row, so adding a kernel = adding/editing ONE row
+# here plus its runner. Runners own their loop + stats bookkeeping and
+# return the executed round count.
+CONVERGENCE_STRATEGIES: Tuple[Tuple[str, Callable, str], ...] = (
+    (
+        "packed-frontier-spmd",  # shard_map frontier loop, per-device Pallas
+        lambda c: c.layout == "packed" and c.spmd and c.frontier
+        and c.ring_chain and c.pallas,
+        "_converge_frontier_spmd",
+    ),
+    (
+        "packed-frontier-local",  # single-chip compacting frontier (fused)
+        lambda c: c.layout == "packed" and not c.spmd and not c.data_mesh
+        and c.frontier and c.ring_chain and c.pallas,
+        "_converge_frontier_local",
+    ),
+    (
+        "packed-loop",  # whole-table while_loop (XLA or stripe/halo Pallas)
+        lambda c: c.layout == "packed",
+        "_converge_packed_loop",
+    ),
+    (
+        "dense-frontier",  # dense-layout compacting frontier (full/lean)
+        lambda c: not c.spmd and not c.data_mesh and c.frontier
+        and c.ring_chain and c.pallas,
+        "_converge_dense_frontier",
+    ),
+    (
+        "dense-loop",  # dense whole-table while_loop (any topology)
+        lambda c: True,
+        "_converge_dense_loop",
+    ),
+)
 
 
 def _group_positions(peers: np.ndarray, num_peers: int):
@@ -623,7 +673,6 @@ class PeerNetworkSim:
                 np.asarray(ops.khi), np.asarray(ops.klo), np.asarray(ops.vid),
             )
         from ..ops.packed import (
-            MAX_BLOCK_CHUNKS,
             apply_flat_blocked,
             block_apply_supported,
             chunk_block_ops,
@@ -632,26 +681,12 @@ class PeerNetworkSim:
         p_, n_ = self.table.khi.shape
         # hardware-only, like the frontier fuse: interpret-mode pallas
         # pays Python per grid step, which would tax every CPU-test apply
-        # (the blocked path has dedicated interpret-mode identity tests)
+        # (the chunk-grid path has dedicated interpret-mode identity tests)
         use_blocked = (
             block_apply_supported(p_, n_)
             and jax.default_backend() == "tpu"
             and self.use_pallas is not False
         )
-        if use_blocked and len(slot):
-            # cheap conservative density estimate on the RAW ops: when the
-            # average per-occupied-block count already exceeds the W=3
-            # window, the chunker would refuse anyway — keep the
-            # (peer, slot) sort order up front and skip the block-order +
-            # re-sort round-trip (raw counts only overestimate density,
-            # so this never rejects a batch the chunker would accept
-            # unless some block is genuinely hot)
-            from ..ops.packed import _block_geometry
-
-            bn_, nb_ = _block_geometry(p_, n_)
-            occ_bound = (p_ >> 3) * min(nb_, -(-(int(slot.max()) + 1) // bn_))
-            if len(slot) / max(occ_bound, 1) > 48:
-                use_blocked = False
         reduced = reduce_flat_ops(
             peer, slot, cls, khi, klo, vid,
             block_shape=(p_, n_) if use_blocked else None,
@@ -667,21 +702,30 @@ class PeerNetworkSim:
             else:
                 self._frontier_dirty = None
         if use_blocked:
-            chunked = chunk_block_ops(*reduced, p_, n_)
-            if chunked is not None and len(chunked[1]) <= MAX_BLOCK_CHUNKS:
-                # blocked Pallas apply: fused win-select + one-hot scatter
-                # over only the op-occupied (8, BN) table blocks — XLA's
-                # per-element scatter cost (and its whole-table block walk
-                # for sparse batches) never enters the picture
-                self.table, applied = apply_flat_blocked(
-                    self.table, *chunked
+            # Pallas apply over only the op-occupied table blocks — XLA's
+            # per-element scatter cost never enters the picture. Dense
+            # batches (many ops per block) ride the MXU windowed kernel
+            # (128 ops per step); sparse batches the chunk grid (16-op
+            # steps over (8, 128) blocks, compact transfer).
+            from ..ops.packed import (
+                WINDOW_MIN_DENSITY,
+                apply_flat_windowed,
+                dense_batch_density,
+                window_apply_supported,
+                window_block_ops,
+            )
+
+            if window_apply_supported(p_, n_) and dense_batch_density(
+                reduced[0], reduced[1], n_
+            ) >= WINDOW_MIN_DENSITY:
+                self.table, applied = apply_flat_windowed(
+                    self.table, *window_block_ops(*reduced, p_, n_)
                 )
-                return int(applied)
-            # hot block (> window capacity) or block count past the SMEM
-            # prefetch budget: fall back to the chunked scatter, which
-            # needs (peer, slot)-sorted rows
-            order = np.lexsort((reduced[1], reduced[0]))
-            reduced = tuple(a[order] for a in reduced)
+            else:
+                self.table, applied = apply_flat_blocked(
+                    self.table, *chunk_block_ops(*reduced, p_, n_)
+                )
+            return int(applied)
         # ONE stacked h2d transfer for the whole reduced batch (the tunnel
         # charges per-transfer latency; five separate array uploads cost
         # noticeably more than one [5, K] block)
@@ -757,103 +801,143 @@ class PeerNetworkSim:
         self.hooks.fire_after_puts()
         if max_rounds is None:
             max_rounds = max(2 * self.topology.diameter + 2, 4)
-        if self.layout == "packed":
-            from ..ops.packed import (
-                gossip_until_converged_packed,
-                packed_ring_supported,
-            )
+        _, runner = self._convergence_strategy()
+        return runner(max_rounds)
 
-            spmd_mesh = self._gossip_mesh()
-            f_tile = self._frontier_tile()
-            use_pallas = (
+    # -- convergence strategy dispatch (see CONVERGENCE_STRATEGIES) --------
+
+    def _convergence_cell(self) -> ConvergenceCell:
+        return ConvergenceCell(
+            layout=self.layout,
+            ring_chain=self.topology.kind in ("ring", "chain"),
+            frontier=self._frontier_tile() > 0,
+            spmd=self._gossip_mesh() is not None,
+            data_mesh=self.mesh is not None,
+            pallas=(
                 self.use_pallas
                 if self.use_pallas is not None
-                else (
-                    jax.default_backend() == "tpu"
-                    and self.mesh is None
-                    and self.topology.kind in ("ring", "chain")
-                    and f_tile > 0
-                )
-            )
-            # the Pallas frontier kernel runs per-shard under shard_map too
-            # (interpret mode on the virtual CPU mesh)
-            frontier_spmd = (
-                spmd_mesh is not None and f_tile > 0
-                and self.topology.kind in ("ring", "chain")
-                and (
-                    self.use_pallas
-                    if self.use_pallas is not None
-                    else jax.default_backend() == "tpu"
-                )
-            )
-            frontier_local = (
-                use_pallas and spmd_mesh is None and f_tile > 0
-                and self.topology.kind in ("ring", "chain")
+                else jax.default_backend() == "tpu"
+            ),
+        )
+
+    def _convergence_strategy(self) -> Tuple[str, Callable[[int], int]]:
+        """(row name, runner) for the current sim state — the single place
+        run_until_converged picks a loop implementation."""
+        cell = self._convergence_cell()
+        for name, pred, method in CONVERGENCE_STRATEGIES:
+            if pred(cell):
+                return name, getattr(self, method)
+        raise AssertionError("unreachable: dense-loop matches every cell")
+
+    def _frontier_seed(self, t_total: int) -> jax.Array:
+        """Dirty-stripe seed for a frontier loop: the incrementally tracked
+        set when valid (only stripes touched since the last completed
+        convergence need work), else all-dirty."""
+        if (
+            self._frontier_dirty is not None
+            and len(self._frontier_dirty) == t_total
+        ):
+            return jnp.asarray(self._frontier_dirty)
+        return jnp.ones(t_total, dtype=jnp.bool_)
+
+    def _finish_frontier(self, t_total, rounds, final_changed, max_rounds):
+        if int(rounds) < max_rounds or int(final_changed) == 0:
+            # true fixed point: every stripe is settled until new ops land
+            self._frontier_dirty = np.zeros(t_total, dtype=bool)
+        else:
+            self._frontier_dirty = None  # cutoff: tracking is stale
+
+    def _finish_converge(self, rounds, final_changed, sync_clocks) -> int:
+        rounds = int(rounds)
+        self.stats["gossip_rounds"] += rounds
+        self.stats["steps"] += 1
+        # honest residual: 0 only if the loop actually reached the fixed
+        # point; nonzero when max_rounds cut it off mid-convergence
+        self.last_residual = int(final_changed)
+        if sync_clocks:
+            self._sync_clocks()
+        self._fire_subscriptions()
+        return rounds
+
+    def _converge_frontier_spmd(self, max_rounds: int) -> int:
+        """Packed frontier loop under shard_map: per-device Pallas rounds
+        (interpret mode on the virtual CPU mesh), frontier psum-agreed
+        across devices."""
+        from ..parallel.shardmap_gossip import gossip_frontier_shardmap_packed
+
+        t_total = self.table.khi.shape[1] // self._frontier_tile()
+        self.table, rounds, final_changed = gossip_frontier_shardmap_packed(
+            self.table, self._frontier_seed(t_total), self._gossip_mesh(),
+            self.topology.kind == "ring", max_rounds,
+            interpret=jax.default_backend() != "tpu",
+        )
+        self._finish_frontier(t_total, rounds, final_changed, max_rounds)
+        return self._finish_converge(rounds, final_changed, sync_clocks=False)
+
+    def _converge_frontier_local(self, max_rounds: int) -> int:
+        """Single-chip packed compacting frontier; settled slot stripes are
+        skipped per round. fuse>1 runs several rounds per block-load
+        (full-P stripe shapes; halo shapes fuse via the M-deep halo) with
+        exact classic round counts reconstructed in the loop. On CPU
+        interpret the fusion has no DMA to amortize and only multiplies
+        compute, so it stays hardware-only (the fused paths are covered by
+        dedicated parity tests in interpret mode)."""
+        from ..ops.packed import gossip_frontier_packed
+
+        t_total = self.table.khi.shape[1] // self._frontier_tile()
+        interp = jax.default_backend() != "tpu"
+        self.table, rounds, final_changed = gossip_frontier_packed(
+            self.table, self._frontier_seed(t_total),
+            self.topology.kind == "ring", max_rounds, interpret=interp,
+            fuse=1 if interp else 5,
+        )
+        self._finish_frontier(t_total, rounds, final_changed, max_rounds)
+        return self._finish_converge(rounds, final_changed, sync_clocks=False)
+
+    def _converge_packed_loop(self, max_rounds: int) -> int:
+        """Packed whole-table while_loop: shard_map ring/chain on a mesh,
+        stripe/halo Pallas rounds on one chip, XLA otherwise."""
+        from ..ops.packed import gossip_until_converged_packed
+
+        spmd_mesh = self._gossip_mesh()
+        use_pallas = (
+            self.use_pallas
+            if self.use_pallas is not None
+            else (
+                jax.default_backend() == "tpu"
                 and self.mesh is None
+                and self.topology.kind in ("ring", "chain")
+                and self._frontier_tile() > 0
             )
-            if frontier_local or frontier_spmd:
-                # frontier loop: settled slot stripes are skipped per round
-                from ..ops.packed import gossip_frontier_packed
+        )
+        self.table, rounds, final_changed = gossip_until_converged_packed(
+            self.table, jnp.asarray(self.topology.neighbors),
+            self.topology.kind, max_rounds,
+            use_pallas=bool(use_pallas) and spmd_mesh is None,
+            spmd_mesh=spmd_mesh,
+        )
+        return self._finish_converge(rounds, final_changed, sync_clocks=False)
 
-                p, n = self.table.khi.shape
-                t_total = n // f_tile
-                if (
-                    self._frontier_dirty is not None
-                    and len(self._frontier_dirty) == t_total
-                ):
-                    # incremental: only stripes touched since the last
-                    # completed convergence need work
-                    dirty = jnp.asarray(self._frontier_dirty)
-                else:
-                    dirty = jnp.ones(t_total, dtype=jnp.bool_)
-                interp = jax.default_backend() != "tpu"
-                if frontier_spmd:
-                    from ..parallel.shardmap_gossip import (
-                        gossip_frontier_shardmap_packed,
-                    )
+    def _converge_dense_frontier(self, max_rounds: int) -> int:
+        """Dense-layout compacting frontier (full-metadata or lean)."""
+        from ..ops.ring_kernel import gossip_frontier_dense
 
-                    self.table, rounds, final_changed = (
-                        gossip_frontier_shardmap_packed(
-                            self.table, dirty, spmd_mesh,
-                            self.topology.kind == "ring", max_rounds,
-                            interpret=interp,
-                        )
-                    )
-                else:
-                    # fuse=5: five rounds per block-load (full-P stripe
-                    # shapes; halo shapes fall back internally) — exact
-                    # classic round counts reconstructed in the loop. On
-                    # CPU interpret the fusion has no DMA to amortize and
-                    # only multiplies compute, so it stays hardware-only
-                    # (the fused paths are covered by dedicated parity
-                    # tests in interpret mode).
-                    self.table, rounds, final_changed = gossip_frontier_packed(
-                        self.table, dirty, self.topology.kind == "ring",
-                        max_rounds, interpret=interp,
-                        fuse=1 if interp else 5,
-                    )
-                rounds_int = int(rounds)
-                if rounds_int < max_rounds or int(final_changed) == 0:
-                    self._frontier_dirty = np.zeros(t_total, dtype=bool)
-                else:
-                    self._frontier_dirty = None
-            else:
-                self.table, rounds, final_changed = gossip_until_converged_packed(
-                    self.table,
-                    jnp.asarray(self.topology.neighbors),
-                    self.topology.kind,
-                    max_rounds,
-                    use_pallas=bool(use_pallas) and spmd_mesh is None,
-                    spmd_mesh=spmd_mesh,
-                )
-            rounds = int(rounds)
-            self.stats["gossip_rounds"] += rounds
-            self.stats["steps"] += 1
-            self.last_residual = int(final_changed)
-            self._fire_subscriptions()
-            return rounds
+        t_total = self.table.cls.shape[1] // self._frontier_tile()
+        interp = jax.default_backend() != "tpu"
+        self.table, rounds, final_changed = gossip_frontier_dense(
+            self.table, self._frontier_seed(t_total),
+            self.topology.kind == "ring", self.mode, self.lean_gossip,
+            max_rounds, interpret=interp, fuse=1 if interp else 5,
+        )
+        self._finish_frontier(t_total, rounds, final_changed, max_rounds)
+        return self._finish_converge(rounds, final_changed, sync_clocks=True)
+
+    def _converge_dense_loop(self, max_rounds: int) -> int:
+        """Dense whole-table while_loop for any topology (star hub path,
+        generic neighbor gather, shard_map collectives on a mesh)."""
         from ..ops.ring_kernel import ring_round_supported
 
+        spmd_mesh = self._gossip_mesh()
         use_pallas = (
             self.use_pallas
             if self.use_pallas is not None
@@ -864,66 +948,19 @@ class PeerNetworkSim:
                 and ring_round_supported(self.table)
             )
         )
-        spmd_mesh = self._gossip_mesh()
-        f_tile = self._frontier_tile()
-        if (
-            use_pallas and spmd_mesh is None and self.mesh is None
-            and f_tile > 0 and self.topology.kind in ("ring", "chain")
-        ):
-            # dense frontier loop: settled slot stripes skipped per round
-            from ..ops.ring_kernel import gossip_frontier_dense
-
-            t_total = self.table.cls.shape[1] // f_tile
-            if (
-                self._frontier_dirty is not None
-                and len(self._frontier_dirty) == t_total
-            ):
-                dirty = jnp.asarray(self._frontier_dirty)
-            else:
-                dirty = jnp.ones(t_total, dtype=jnp.bool_)
-            interp_dense = jax.default_backend() != "tpu"
-            self.table, rounds, final_changed = gossip_frontier_dense(
-                self.table, dirty, self.topology.kind == "ring", self.mode,
-                self.lean_gossip, max_rounds,
-                interpret=interp_dense, fuse=1 if interp_dense else 5,
-            )
-            rounds = int(rounds)
-            if rounds < max_rounds or int(final_changed) == 0:
-                self._frontier_dirty = np.zeros(t_total, dtype=bool)
-            else:
-                self._frontier_dirty = None
-            self.stats["gossip_rounds"] += rounds
-            self.stats["steps"] += 1
-            self.last_residual = int(final_changed)
-            self._sync_clocks()
-            self._fire_subscriptions()
-            return rounds
         hub = (
             int(np.argmax(self.topology.degree()))
             if self.topology.name == "star"
             else 0
         )
         self.table, rounds, final_changed = gossip_until_converged_device(
-            self.table,
-            jnp.asarray(self.topology.neighbors),
-            self.topology.kind,
-            self.mode,
-            max_rounds,
+            self.table, jnp.asarray(self.topology.neighbors),
+            self.topology.kind, self.mode, max_rounds,
             use_pallas=bool(use_pallas) and spmd_mesh is None,
-            lean=self.lean_gossip,
-            spmd_mesh=spmd_mesh,
-            topo_name=self.topology.name,
-            hub=hub,
+            lean=self.lean_gossip, spmd_mesh=spmd_mesh,
+            topo_name=self.topology.name, hub=hub,
         )
-        rounds = int(rounds)
-        self.stats["gossip_rounds"] += rounds
-        self.stats["steps"] += 1
-        # honest residual: 0 only if the loop actually reached the fixed
-        # point; nonzero when max_rounds cut it off mid-convergence
-        self.last_residual = int(final_changed)
-        self._sync_clocks()
-        self._fire_subscriptions()
-        return rounds
+        return self._finish_converge(rounds, final_changed, sync_clocks=True)
 
     def reconcile(self) -> None:
         """Directly reconcile every replica to the gossip fixed point —

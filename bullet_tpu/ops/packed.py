@@ -248,124 +248,116 @@ def apply_flat_packed_stacked(
     return apply_flat_packed(table, peer, slot, khi, klo, cv)
 
 
-# ------------------------------------------------- blocked apply (Pallas)
+# ------------------------------------------------ chunk-grid apply (Pallas)
 # XLA:TPU scatter costs ~2-3M elements/s regardless of locality (measured:
 # 68 ms winners gather vs 1.28 s for the three chunked scatters at 1M ops
-# on the north-star table). The blocked path instead streams only the
-# op-OCCUPIED (8, BN) table blocks through a Pallas kernel: ops arrive
-# block-sorted (reduce_flat_ops emits that order for free), chunked ≤16
-# per visit, and each op applies as a one-hot mask + winner-select over
-# the resident block — the kernel fuses the win decision, so there is no
-# separate gather pass and no [K] winner temps. Sparse batches touch only
-# their blocks (the chunked-scatter fallback walks the whole table even
-# for ten ops).
+# on the north-star table). The chunk-grid path instead streams only the
+# op-OCCUPIED (8, 128) table blocks through a Pallas kernel whose grid
+# runs over 16-op CHUNKS: ops arrive block-sorted (reduce_flat_ops emits
+# that order for free), so all chunks of a block are CONSECUTIVE grid
+# steps — the output block index is unchanged between them and Pallas
+# keeps the block resident in VMEM (the standard reduction-revisit
+# pattern; verified in both interpret mode and on hardware). The first
+# chunk of each block copies the (aliased, pre-call) input block into the
+# output ref; later chunks read-modify-write the output ref directly.
+# This removes the previous design's per-block op ceiling entirely: any
+# density works — a block with 1,000 ops simply owns 63 consecutive grid
+# steps while its 4 KB block stays resident. Matches the reference's hot
+# write loop (/root/reference/src/bullet.js:139-155 applying each op via
+# /root/reference/src/bullet-crt.js:164-279) at full batch width.
 
-_BLOCK_C = 16  # ops per chunk (meta len field: 5 bits)
+_BLOCK_C = 16  # ops per chunk (meta cnt field: 5 bits)
+_CG_BN = 128  # chunk-grid block width: one (8, 128) VPU tile per block
 
-
-def _block_geometry(p: int, n: int) -> Tuple[int, int]:
-    """(BN, NB) for the blocked apply; (0, 0) when unsupported. Meta packs
-    (len ≤ 16, rb < 2^9, cb < 2^13) into one int32 — p ≤ 4096 rows and
-    n/BN ≤ 8192 column blocks."""
-    if p % 8 or p > 4096:
-        return 0, 0
-    for bn in (2048, 1024, 512, 256, 128):
-        if n % bn == 0 and n // bn <= 8192:
-            return bn, n // bn
-    return 0, 0
+# chunks per pallas_call: TWO scalar-prefetch int32 arrays live in SMEM
+# (~1 MB budget) → 2^16 chunks = 512 KB; bigger batches run several
+# sequential segments (HBM read-modify-write across calls is safe)
+MAX_BLOCK_CHUNKS = 1 << 16
 
 
 def block_apply_supported(p: int, n: int) -> bool:
-    return _block_geometry(p, n)[0] > 0
-
-
-# window buckets (chunks per block visit). W is a static unroll of W·C
-# one-hot selects, and both Mosaic and XLA:CPU compile superlinearly in
-# the unroll depth, so only W=3 (48 ops/block) ships: it covers the
-# sparse/incremental batches where this path is transformative (the
-# chunked-scatter fallback walks the WHOLE table even for ten ops), and
-# dense mega-batches — which amortize the scatter cost anyway — fall
-# back. Widening to (3, 6, 12) needs a compile-time check first.
-_BLOCK_WINDOWS = (3,)
+    """Chunk-grid geometry: 8-aligned p ≤ 8192 (rb: 10 meta bits),
+    128-aligned n ≤ 2^24 (cb: 17 meta bits)."""
+    return p % 8 == 0 and 0 < p <= 8192 and n % _CG_BN == 0 and (
+        0 < n <= (_CG_BN << 17)
+    )
 
 
 def chunk_block_ops(peer, slot, khi, klo, cv, p: int, n: int):
-    """Host chunking for the blocked apply: BLOCK-SORTED unique ops →
-    (W, meta_rc [n_blocks] = rb | cb<<9, meta_cnt [n_blocks] =
-    chunk0 | cnt<<17, ops5 [n_chunks + W-1, C, 5] int32). One kernel step
-    per BLOCK reads a W-chunk window starting at its first chunk (the
-    tail padding keeps the window in bounds), so no block is ever
-    revisited — Pallas output double-buffering makes cross-step
-    read-modify-write of the same block unsound on hardware. W is the
-    smallest bucket covering the batch's densest block; None when it
-    exceeds the largest bucket (callers fall back)."""
+    """Host chunking for the chunk-grid apply: BLOCK-SORTED unique ops →
+    (meta_rc [n_chunks] = rb | cb<<10, meta_cf [n_chunks] = cnt | first<<5,
+    ops5 [n_chunks, C, 5] int32). ``first`` marks the first chunk of each
+    block (the kernel's copy-on-first signal). Any per-block density is
+    representable — there is no window ceiling."""
     import numpy as np
 
-    bn, _nb = _block_geometry(p, n)
     k = len(peer)
-    b = (peer.astype(np.int64) >> 3) * (n // bn) + slot.astype(np.int64) // bn
+    b = (peer.astype(np.int64) >> 3) * (n // _CG_BN) + (
+        slot.astype(np.int64) // _CG_BN
+    )
     first = np.empty(k, dtype=bool)
     first[0] = True
     np.not_equal(b[1:], b[:-1], out=first[1:])
     starts = np.flatnonzero(first)
     sizes = np.diff(np.append(starts, k))
-    need = -(-int(sizes.max()) // _BLOCK_C)
-    w = next((cand for cand in _BLOCK_WINDOWS if cand >= need), None)
-    if w is None:
-        return None
     within = np.arange(k, dtype=np.int64) - np.repeat(starts, sizes)
     boundary = first | (within % _BLOCK_C == 0)
     cstarts = np.flatnonzero(boundary)
     n_chunks = len(cstarts)
-    if n_chunks >= (1 << 17):  # chunk0 packs into 17 bits of meta_cnt
-        return None
-    rb = (peer[starts].astype(np.int32) >> 3)
-    cb = (slot[starts] // bn).astype(np.int32)
-    meta_rc = rb | (cb << 9)
+    csizes = np.diff(np.append(cstarts, k)).astype(np.int32)
+    rb = (peer[cstarts].astype(np.int32) >> 3)
+    cb = (slot[cstarts] // _CG_BN).astype(np.int32)
+    meta_rc = rb | (cb << 10)
+    meta_cf = csizes | (first[cstarts].astype(np.int32) << 5)
     chunk_of = np.cumsum(boundary) - 1
-    chunk0 = chunk_of[starts].astype(np.int32)
-    meta_cnt = chunk0 | (sizes.astype(np.int32) << 17)
     pos = (within % _BLOCK_C).astype(np.int64)
-    ops5 = np.zeros((n_chunks + w - 1, _BLOCK_C, 5), dtype=np.int32)
+    ops5 = np.zeros((n_chunks, _BLOCK_C, 5), dtype=np.int32)
     ops5[chunk_of, pos, 0] = peer & 7
-    ops5[chunk_of, pos, 1] = slot % bn
+    ops5[chunk_of, pos, 1] = slot % _CG_BN
     ops5[chunk_of, pos, 2] = khi
     ops5[chunk_of, pos, 3] = klo
     ops5[chunk_of, pos, 4] = cv
-    return w, meta_rc, meta_cnt, ops5
+    return meta_rc, meta_cf, ops5
 
 
-def _block_apply_kernel(bn: int, w: int, *refs):
-    """One BLOCK per grid step: apply its ≤W·C ops to the resident (8, BN)
-    block as one-hot winner-selects; win counts accumulate in SMEM. Each
-    block is visited exactly once (no cross-step read-modify-write — see
-    chunk_block_ops)."""
+def _chunk_apply_kernel(*refs):
+    """One 16-op CHUNK per grid step, applied to the resident (8, 128)
+    block as one-hot winner-selects. The first chunk of a block copies the
+    aliased input block into the output ref; later chunks of the same
+    block are consecutive steps, so the output block is still resident and
+    read-modify-write through it is exact. Win counts accumulate in
+    SMEM."""
     import jax.experimental.pallas as pl
 
-    meta_cnt_ref = refs[1]  # refs[0] = meta_rc (index maps only)
-    ops_refs = refs[2 : 2 + w]
-    khi_in, klo_in, cv_in = refs[2 + w : 5 + w]
-    khi_out, klo_out, cv_out, count_ref = refs[5 + w :]
+    meta_cf_ref = refs[1]  # refs[0] = meta_rc (index maps only)
+    ops_ref = refs[2]
+    in_refs = refs[3:6]
+    out_refs, count_ref = refs[6:9], refs[9]
 
-    j = pl.program_id(0)
+    t = pl.program_id(0)
 
-    @pl.when(j == 0)
+    @pl.when(t == 0)
     def _():
         count_ref[0, 0] = 0
 
-    cnt = meta_cnt_ref[j] >> 17
-    khi_b, klo_b, cv_b = khi_in[...], klo_in[...], cv_in[...]
+    cf = meta_cf_ref[t]
+    cnt = cf & 31
+
+    @pl.when((cf >> 5) == 1)
+    def _():
+        for o, i_ in zip(out_refs, in_refs):
+            o[...] = i_[...]
+
+    khi_b, klo_b, cv_b = (o[...] for o in out_refs)
     row_i = jax.lax.broadcasted_iota(jnp.int32, khi_b.shape, 0)
     col_i = jax.lax.broadcasted_iota(jnp.int32, khi_b.shape, 1)
     applied = jnp.int32(0)
-    for i in range(w * _BLOCK_C):
-        wi, lane = divmod(i, _BLOCK_C)
-        ops_ref = ops_refs[wi]
-        r = ops_ref[0, 0, lane]
-        c = ops_ref[0, 1, lane]
-        okhi = ops_ref[0, 2, lane]
-        oklo = ops_ref[0, 3, lane]
-        ocv = ops_ref[0, 4, lane]
+    for i in range(_BLOCK_C):
+        r = ops_ref[0, 0, i]
+        c = ops_ref[0, 1, i]
+        okhi = ops_ref[0, 2, i]
+        oklo = ops_ref[0, 3, i]
+        ocv = ops_ref[0, 4, i]
         onehot = (row_i == r) & (col_i == c) & (i < cnt)
         beats = _lex_gt_packed(
             (ocv >> CV_SHIFT, okhi, oklo, ocv),
@@ -376,27 +368,22 @@ def _block_apply_kernel(bn: int, w: int, *refs):
         klo_b = jnp.where(win, oklo, klo_b)
         cv_b = jnp.where(win, ocv, cv_b)
         applied += jnp.sum(win.astype(jnp.int32))
-    khi_out[...] = khi_b
-    klo_out[...] = klo_b
-    cv_out[...] = cv_b
+    for o, v in zip(out_refs, (khi_b, klo_b, cv_b)):
+        o[...] = v
     count_ref[0, 0] += applied
 
 
-# chunk-count ceiling for the blocked path: the meta prefetch array lives
-# in SMEM (~1 MB budget); 2^17 ints = 512 KB leaves headroom
-MAX_BLOCK_CHUNKS = 1 << 17
-
-
 def apply_flat_blocked(
-    table: PackedTable, w: int, meta_rc, meta_cnt, ops5
+    table: PackedTable, meta_rc, meta_cf, ops5
 ) -> Tuple[PackedTable, jax.Array]:
-    """Blocked apply over host-chunked ops (see chunk_block_ops): the
-    block/chunk arrays pad to power-of-two buckets so the jit compiles a
-    BOUNDED set of programs (XLA shapes are static; the dynamic grid still
-    runs exactly n_blocks steps, so padding costs transfer bytes only),
-    then the [NC, C, 5] tensor expands to Mosaic's (8, 128) tile on
-    device. The pallas call aliases the table in place and visits only
-    op-occupied blocks, each exactly once. Returns (table, applied)."""
+    """Chunk-grid apply over host-chunked ops (see chunk_block_ops).
+    Batches past the SMEM chunk budget run as sequential segments split at
+    chunk granularity — a block whose chunks straddle a segment boundary
+    is simply read-modified-written across two calls (the segment's first
+    chunk gets the copy-on-first bit forced, so it re-reads the updated
+    HBM block). Each segment pads to a power-of-two bucket so the jit
+    compiles a BOUNDED set of programs (the dynamic grid still runs
+    exactly n_chunks steps). Returns (table, applied)."""
     import numpy as np
 
     def bucket(x, min_cap=256):
@@ -408,72 +395,317 @@ def apply_flat_blocked(
         out[:ln] = x
         return out
 
-    nb = len(meta_rc)
-    return _apply_flat_blocked_jit(
-        table, jnp.asarray(bucket(meta_rc)), jnp.asarray(bucket(meta_cnt)),
-        jnp.asarray(bucket(ops5)), jnp.int32(nb), w,
-        jax.default_backend() != "tpu",
-    )
+    if len(meta_rc) == 0:
+        # a zero-chunk pallas call would still flush its (uninitialized)
+        # padded step's output block over table block (0, 0)
+        return table, jnp.int32(0)
+    interpret = jax.default_backend() != "tpu"
+    applied = jnp.int32(0)
+    for s in range(0, len(meta_rc), MAX_BLOCK_CHUNKS):
+        e = min(s + MAX_BLOCK_CHUNKS, len(meta_rc))
+        cf = meta_cf[s:e]
+        if s > 0 and not (cf[0] >> 5):
+            cf = cf.copy()
+            cf[0] |= 1 << 5  # segment start: force a fresh HBM read
+        table, a = _apply_flat_blocked_jit(
+            table, jnp.asarray(bucket(meta_rc[s:e])), jnp.asarray(bucket(cf)),
+            jnp.asarray(bucket(ops5[s:e])), jnp.int32(e - s), interpret,
+        )
+        applied = applied + a
+    return table, applied
 
 
 @functools.partial(
-    jax.jit, static_argnames=("w", "interpret"), donate_argnums=(0,)
+    jax.jit, static_argnames=("interpret",), donate_argnums=(0,)
 )
 def _apply_flat_blocked_jit(
-    table: PackedTable, meta_rc, meta_cnt, ops5, n_blocks, w: int,
-    interpret: bool,
+    table: PackedTable, meta_rc, meta_cf, ops5, n_chunks, interpret: bool
 ) -> Tuple[PackedTable, jax.Array]:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     p, n = table.khi.shape
-    bn, _nb = _block_geometry(p, n)
     # device-side expansion to the (8, 128) tile: [NC, C, 5] → [NC, 8, 128]
+    # (the compact form crosses the host↔device link; the padded temp is
+    # device-local and transient)
     ops_t = jnp.transpose(ops5, (0, 2, 1))  # [NC, 5, C]
     ops_pad = jnp.pad(
         ops_t, ((0, 0), (0, 8 - ops_t.shape[1]), (0, 128 - ops_t.shape[2]))
     )
-    grid_j = jnp.maximum(n_blocks, 1)
+    grid_t = jnp.maximum(n_chunks, 1)
 
-    def tbl_idx(j, m, c0):
-        return m[j] & 0x1FF, m[j] >> 9
+    def tbl_idx(t, m, cf):
+        return m[t] & 0x3FF, m[t] >> 10
 
-    def ops_idx(wi):
-        # the W-chunk window: the SAME ops array passed W times, each view
-        # one (1, 8, 128) chunk at chunk0[j] + wi (Blocked indexing cannot
-        # express unaligned multi-chunk windows directly)
-        return lambda j, m, c0, wi=wi: ((c0[j] & 0x1FFFF) + wi, 0, 0)
-
-    tbl_spec = pl.BlockSpec((8, bn), tbl_idx, memory_space=pltpu.VMEM)
-    ops_specs = [
-        pl.BlockSpec((1, 8, 128), ops_idx(wi), memory_space=pltpu.VMEM)
-        for wi in range(w)
-    ]
+    tbl_spec = pl.BlockSpec((8, _CG_BN), tbl_idx, memory_space=pltpu.VMEM)
+    ops_spec = pl.BlockSpec(
+        (1, 8, 128), lambda t, m, cf: (t, 0, 0), memory_space=pltpu.VMEM
+    )
     cnt_spec = pl.BlockSpec(
-        (1, 1), lambda j, m, c0: (0, 0), memory_space=pltpu.SMEM
+        (1, 1), lambda t, m, cf: (0, 0), memory_space=pltpu.SMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(grid_j,),  # dynamic: exactly the occupied blocks
-        in_specs=ops_specs + [tbl_spec, tbl_spec, tbl_spec],
+        grid=(grid_t,),  # dynamic: exactly the occupied chunks
+        in_specs=[ops_spec, tbl_spec, tbl_spec, tbl_spec],
         out_specs=[tbl_spec, tbl_spec, tbl_spec, cnt_spec],
     )
     outs = pl.pallas_call(
-        functools.partial(_block_apply_kernel, bn, w),
+        _chunk_apply_kernel,
         grid_spec=grid_spec,
         out_shape=(
             *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
-        # alias indices count the prefetch operands (0=meta_rc, 1=meta_cnt)
-        # and the W ops views (2..2+w-1): tables follow
-        input_output_aliases={2 + w: 0, 3 + w: 1, 4 + w: 2},
+        # alias indices count the prefetch operands (0=meta_rc, 1=meta_cf)
+        # and the ops view (2): tables follow
+        input_output_aliases={3: 0, 4: 1, 5: 2},
         interpret=interpret,
-    )(meta_rc, meta_cnt, *([ops_pad] * w), *table)
-    # n_blocks == 0 never reaches here (callers early-out on empty ops),
-    # but the padded single step is still safe: meta row 0 exists and its
-    # cnt field is 0, so nothing applies
+    )(meta_rc, meta_cf, ops_pad, *table)
+    # n_chunks >= 1 always (apply_flat_blocked early-outs on empty chunk
+    # lists): step 0 is a real chunk and carries first=1, so the output
+    # block is always initialized before it is written back
     return PackedTable(*outs[:3]), outs[3][0, 0]
+
+
+# ---------------------------------------------- windowed apply (dense, MXU)
+# The chunk-grid kernel's per-step floor is DMA-issue latency (~4.6 µs for
+# 7 tiny copies, measured) plus ~0.1 µs per scalar VMEM load — fine when a
+# batch touches few blocks, but a dense 1M-op batch is ~65k steps. The
+# windowed path instead applies 128 ops per grid step to an (8, 1024)
+# block, and builds the op one-hots on the MXU instead of looping:
+#
+#   R[s, j]  = (r_j == s)        — one compare against a sublane iota
+#   M[j, L]  = (c_j == L)        — needs c_j down the SUBLANES: transpose
+#                                  the lane vector via one MXU matmul
+#                                  (contract I_128 with c_row on lanes)
+#   U_half   = (R ⊙ v_half_row) @ M   — the dense update block, built per
+#                                  16-bit half so every product/sum is
+#                                  exact in f32 (targets are unique per
+#                                  block, so each output cell sums at most
+#                                  one nonzero term; padding rows carry
+#                                  all-zero values and cannot perturb it)
+#
+# then one block-wide packed lexmax merges U into the table. Zero scalar
+# loads, 6 value matmuls + 1 transpose per 128 ops, ~7 DMA issues per
+# window. Precision.HIGHEST keeps the f32 matmuls exact (default TPU
+# precision is bf16-mantissa passes, which would round 16-bit halves).
+
+_WIN_C = 128  # ops per window
+_WIN_BN = 1024  # window block width; (8, _WIN_BN) table blocks
+
+
+def window_apply_supported(p: int, n: int) -> bool:
+    """Windowed-apply geometry: 8-aligned p ≤ 8192 (rb: 10 meta bits),
+    _WIN_BN-aligned n ≤ 2^20 column blocks (cb: 20 meta bits)."""
+    return p % 8 == 0 and 0 < p <= 8192 and n % _WIN_BN == 0 and (
+        n // _WIN_BN <= (1 << 20)
+    )
+
+
+def window_block_ops(peer, slot, khi, klo, cv, p: int, n: int):
+    """Host windowing for the dense apply: BLOCK-SORTED unique ops →
+    (meta [n_win] = rb | cb<<10 | first<<30, ops5 [n_win, 128, 5] int32).
+    Each window holds ≤128 consecutive ops of ONE (8, 1024) block; padding
+    rows are all-zero (cls 0 never wins, and zero value halves contribute
+    nothing to the one-hot sums). ``first`` marks each block's first
+    window (the kernel's copy-on-first signal). The bn=128 block-major
+    order reduce_flat_ops emits refines (8, 1024)-block order, so the same
+    reduced batch feeds either path."""
+    import numpy as np
+
+    k = len(peer)
+    b = (peer.astype(np.int64) >> 3) * (n // _WIN_BN) + (
+        slot.astype(np.int64) // _WIN_BN
+    )
+    first = np.empty(k, dtype=bool)
+    first[0] = True
+    np.not_equal(b[1:], b[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.append(starts, k))
+    within = np.arange(k, dtype=np.int64) - np.repeat(starts, sizes)
+    boundary = first | (within % _WIN_C == 0)
+    wstarts = np.flatnonzero(boundary)
+    n_win = len(wstarts)
+    rb = (peer[wstarts].astype(np.int32) >> 3)
+    cb = (slot[wstarts] // _WIN_BN).astype(np.int32)
+    meta = rb | (cb << 10) | (first[wstarts].astype(np.int32) << 30)
+    win_of = np.cumsum(boundary) - 1
+    pos = (within % _WIN_C).astype(np.int64)
+    ops5 = np.zeros((n_win, _WIN_C, 5), dtype=np.int32)
+    ops5[win_of, pos, 0] = peer & 7
+    ops5[win_of, pos, 1] = slot % _WIN_BN
+    ops5[win_of, pos, 2] = khi
+    ops5[win_of, pos, 3] = klo
+    ops5[win_of, pos, 4] = cv
+    return meta, ops5
+
+
+def _window_apply_kernel(*refs):
+    """One 128-op window per grid step, densified onto the resident
+    (8, 1024) block via MXU one-hot matmuls (see section comment). Windows
+    of the same block are consecutive steps (copy-on-first + RMW through
+    the output refs, like the chunk-grid kernel)."""
+    import jax.experimental.pallas as pl
+
+    meta_ref = refs[0]
+    ops_ref = refs[1]
+    in_refs = refs[2:5]
+    out_refs, count_ref = refs[5:8], refs[8]
+
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        count_ref[0, 0] = 0
+
+    @pl.when(((meta_ref[t] >> 30) & 1) == 1)
+    def _():
+        for o, i_ in zip(out_refs, in_refs):
+            o[...] = i_[...]
+
+    ops = ops_ref[0]  # (8, 128): rows r, c, khi, klo, cv, 0-pad
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    c_row = ops[1:2, :].astype(f32)
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (8, _WIN_C), 0)
+    rf = (sub_i == ops[0:1, :]).astype(f32)  # R one-hot (8, 128)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (_WIN_C, _WIN_C), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (_WIN_C, _WIN_C), 1)
+    ).astype(f32)
+    # transpose the lane vector c_row onto sublanes: contract I's lanes
+    # with c_row's lanes on the MXU → (128, 1); c < 1024 is f32-exact
+    c_col = jax.lax.dot_general(
+        eye, c_row, (((1,), (1,)), ((), ())), precision=hi
+    ).astype(jnp.int32)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (_WIN_C, _WIN_BN), 1)
+    m = (c_col == lane_i).astype(f32)  # M one-hot (128, 1024)
+
+    def densify(field_row):
+        # exact 16-bit halves: hi half sign-extends, lo half is unsigned
+        fhi = (field_row >> 16).astype(f32)
+        flo = (field_row & 0xFFFF).astype(f32)
+        uhi = jax.lax.dot_general(
+            rf * fhi, m, (((1,), (0,)), ((), ())), precision=hi
+        )
+        ulo = jax.lax.dot_general(
+            rf * flo, m, (((1,), (0,)), ((), ())), precision=hi
+        )
+        return (uhi.astype(jnp.int32) << 16) | ulo.astype(jnp.int32)
+
+    u_khi = densify(ops[2:3, :])
+    u_klo = densify(ops[3:4, :])
+    u_cv = densify(ops[4:5, :])
+
+    khi_b, klo_b, cv_b = (o[...] for o in out_refs)
+    win = _lex_gt_packed(
+        packed_keys(u_khi, u_klo, u_cv), packed_keys(khi_b, klo_b, cv_b)
+    ) & ((u_cv >> CV_SHIFT) > 0)
+    out_refs[0][...] = jnp.where(win, u_khi, khi_b)
+    out_refs[1][...] = jnp.where(win, u_klo, klo_b)
+    out_refs[2][...] = jnp.where(win, u_cv, cv_b)
+    count_ref[0, 0] += jnp.sum(win.astype(jnp.int32))
+
+
+def apply_flat_windowed(
+    table: PackedTable, meta, ops5
+) -> Tuple[PackedTable, jax.Array]:
+    """Windowed dense apply over host-windowed ops (see window_block_ops);
+    segments past the SMEM meta budget like apply_flat_blocked. Returns
+    (table, applied)."""
+    import numpy as np
+
+    def bucket(x, min_cap=256):
+        ln = len(x)
+        cap = max(min_cap, 1 << max(0, ln - 1).bit_length())
+        if cap == ln:
+            return x
+        out = np.zeros((cap,) + x.shape[1:], np.int32)
+        out[:ln] = x
+        return out
+
+    if len(meta) == 0:
+        return table, jnp.int32(0)
+    interpret = jax.default_backend() != "tpu"
+    applied = jnp.int32(0)
+    for s in range(0, len(meta), MAX_BLOCK_CHUNKS):
+        e = min(s + MAX_BLOCK_CHUNKS, len(meta))
+        mseg = meta[s:e]
+        if s > 0 and not ((mseg[0] >> 30) & 1):
+            mseg = mseg.copy()
+            mseg[0] |= 1 << 30  # segment start: force a fresh HBM read
+        table, a = _apply_flat_windowed_jit(
+            table, jnp.asarray(bucket(mseg)), jnp.asarray(bucket(ops5[s:e])),
+            jnp.int32(e - s), interpret,
+        )
+        applied = applied + a
+    return table, applied
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret",), donate_argnums=(0,)
+)
+def _apply_flat_windowed_jit(
+    table: PackedTable, meta, ops5, n_win, interpret: bool
+) -> Tuple[PackedTable, jax.Array]:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, n = table.khi.shape
+    # device-side re-layout: [NW, 128, 5] → [NW, 8, 128] (rows = fields)
+    ops_t = jnp.transpose(ops5, (0, 2, 1))  # [NW, 5, 128]
+    ops_pad = jnp.pad(ops_t, ((0, 0), (0, 8 - ops_t.shape[1]), (0, 0)))
+    grid_t = jnp.maximum(n_win, 1)
+
+    def tbl_idx(t, m):
+        return m[t] & 0x3FF, (m[t] >> 10) & 0xFFFFF
+
+    tbl_spec = pl.BlockSpec((8, _WIN_BN), tbl_idx, memory_space=pltpu.VMEM)
+    ops_spec = pl.BlockSpec(
+        (1, 8, _WIN_C), lambda t, m: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+    cnt_spec = pl.BlockSpec(
+        (1, 1), lambda t, m: (0, 0), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid_t,),  # dynamic: exactly the occupied windows
+        in_specs=[ops_spec, tbl_spec, tbl_spec, tbl_spec],
+        out_specs=[tbl_spec, tbl_spec, tbl_spec, cnt_spec],
+    )
+    outs = pl.pallas_call(
+        _window_apply_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        # alias indices count the prefetch operand (0=meta) and the ops
+        # view (1): tables follow
+        input_output_aliases={2: 0, 3: 1, 4: 2},
+        interpret=interpret,
+    )(meta, ops_pad, *table)
+    return PackedTable(*outs[:3]), outs[3][0, 0]
+
+
+# ops per occupied (8, _WIN_BN) block above which the windowed path beats
+# the chunk grid (fewer, bigger steps; 2.5 KB/window transfer floor)
+WINDOW_MIN_DENSITY = 24
+
+
+def dense_batch_density(peer, slot, n: int) -> float:
+    """Mean ops per occupied (8, _WIN_BN) block (reduced, block-sorted
+    ops): routes between the chunk-grid and windowed apply paths."""
+    import numpy as np
+
+    if len(peer) == 0:
+        return 0.0
+    b = (peer.astype(np.int64) >> 3) * (n // _WIN_BN) + (
+        slot.astype(np.int64) // _WIN_BN
+    )
+    blocks = 1 + int(np.count_nonzero(b[1:] != b[:-1]))
+    return len(peer) / blocks
 
 
 def reduce_flat_ops(peer, slot, cls, khi, klo, vid, block_shape=None):
@@ -505,7 +737,7 @@ def reduce_flat_ops(peer, slot, cls, khi, klo, vid, block_shape=None):
     bias = np.int64(1) << 31
     if block_shape is not None:
         p, n = block_shape
-        bn, nb = _block_geometry(p, n)
+        bn, nb = _CG_BN, n // _CG_BN
         block = (peer.astype(np.int64) >> 3) * nb + slot.astype(np.int64) // bn
         # block << 14 | rel_row << 11 | rel_col: unique per (peer, slot),
         # block-major (rel_col < 2^11 for BN ≤ 2048, rel_row < 8)

@@ -618,14 +618,42 @@ def test_sim_converged_probe():
     assert sim.converged() and sim.tables_equal()
 
 
+def _blocked_vs_scatter(p, n, peer, slot, cls, khi, klo, vid, base):
+    """Run the same raw batch through the chunk-grid Pallas apply and the
+    winners+scatter path; assert bit-identical tables and applied counts."""
+    from bullet_tpu.ops.packed import (
+        apply_flat_blocked,
+        apply_flat_packed,
+        chunk_block_ops,
+        reduce_flat_ops,
+    )
+
+    sorted_r = reduce_flat_ops(peer, slot, cls, khi, klo, vid)
+    want, want_applied = apply_flat_packed(
+        PackedTable(*(jnp.array(f) for f in base)),
+        *(jnp.asarray(a) for a in sorted_r),
+    )
+    blocked_r = reduce_flat_ops(peer, slot, cls, khi, klo, vid,
+                                block_shape=(p, n))
+    # same winner set, different order
+    assert len(blocked_r[0]) == len(sorted_r[0])
+    got, got_applied = apply_flat_blocked(
+        PackedTable(*(jnp.array(f) for f in base)),
+        *chunk_block_ops(*blocked_r, p, n),
+    )
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), (p, n))
+    assert int(want_applied) == int(got_applied), (p, n)
+    return got
+
+
 def test_blocked_apply_bitidentical_to_scatter():
-    """The blocked Pallas apply (fused win-select + one-hot scatter over
+    """The chunk-grid Pallas apply (fused win-select + one-hot scatter over
     op-occupied blocks) must produce the exact table and applied count of
     the winners+chunked-scatter path, across duplicate-free and
     multi-chunk-per-block batches."""
     from bullet_tpu.ops.packed import (
         apply_flat_blocked,
-        apply_flat_packed,
         block_apply_supported,
         chunk_block_ops,
         init_packed,
@@ -643,64 +671,38 @@ def test_blocked_apply_bitidentical_to_scatter():
         khi = rng.integers(-10**6, 10**6, k).astype(np.int32)
         klo = rng.integers(-10**6, 10**6, k).astype(np.int32)
         vid = rng.integers(0, 1 << 20, k).astype(np.int32)
+        _blocked_vs_scatter(p, n, peer, slot, cls, khi, klo, vid, base)
 
-        sorted_r = reduce_flat_ops(peer, slot, cls, khi, klo, vid)
-        want, want_applied = apply_flat_packed(
-            PackedTable(*(jnp.array(f) for f in base)),
-            *(jnp.asarray(a) for a in sorted_r),
-        )
-
-        blocked_r = reduce_flat_ops(peer, slot, cls, khi, klo, vid,
-                                    block_shape=(p, n))
-        # same winner set, different order
-        assert len(blocked_r[0]) == len(sorted_r[0])
-        chunked = chunk_block_ops(*blocked_r, p, n)
-        assert chunked is not None
-        got, got_applied = apply_flat_blocked(
-            PackedTable(*(jnp.array(f) for f in base)), *chunked
-        )
-        for a, b in zip(want, got):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
-                                          (p, n, k))
-        assert int(want_applied) == int(got_applied), (p, n, k)
-
-    # forced multi-chunk block: >16 ops into one (8, BN) block (40 ops =
-    # three chunks, still within the W=3 window)
+    # forced multi-chunk block: >16 ops into one (8, 128) block (40 ops =
+    # three consecutive grid steps read-modify-writing the resident block)
     p, n = 8, 256
     base = init_packed(p, n)
     k = 40
     peer = np.zeros(k, dtype=np.int32)
-    slot = np.arange(k, dtype=np.int32)  # all in block (0, 0) for BN>=128
+    slot = np.arange(k, dtype=np.int32)  # all in block (0, 0)
     cls = np.full(k, 2, dtype=np.int32)
     khi = np.arange(k, dtype=np.int32)
     klo = np.zeros(k, dtype=np.int32)
     vid = np.arange(k, dtype=np.int32)
     blocked_r = reduce_flat_ops(peer, slot, cls, khi, klo, vid,
                                 block_shape=(p, n))
-    chunked = chunk_block_ops(*blocked_r, p, n)
-    assert chunked is not None
-    w, meta_rc, meta_cnt, ops5 = chunked
-    assert len(ops5) > w  # must actually span multiple chunks (+W-1 pad)
+    meta_rc, meta_cf, ops5 = chunk_block_ops(*blocked_r, p, n)
+    assert len(ops5) == 3  # 40 ops in one block = 3 chunks
+    assert (meta_cf[0] >> 5) == 1 and (meta_cf[1] >> 5) == 0
     got, applied = apply_flat_blocked(
-        PackedTable(*(jnp.array(f) for f in base)), w, meta_rc, meta_cnt,
-        ops5
+        PackedTable(*(jnp.array(f) for f in base)), meta_rc, meta_cf, ops5
     )
     assert int(applied) == k
     g = np.asarray(got.khi)
     np.testing.assert_array_equal(g[0, :k], np.arange(k))
 
 
-def test_blocked_apply_dense_blocks_fall_back():
-    """Dense key ranges pack hundreds of ops per block — past the W=3
-    window the chunker refuses and the batch takes the scatter path."""
-    from bullet_tpu.ops.packed import (
-        apply_flat_blocked,
-        apply_flat_packed,
-        chunk_block_ops,
-        reduce_flat_ops,
-    )
-
-    p, n, k = 16, 4096, 600
+def test_blocked_apply_dense_batches():
+    """Dense key ranges pack hundreds of ops per block — the chunk-grid
+    apply has no per-block window ceiling (the previous design's W=3
+    refusal), so dense mega-batches ride the blocked path bit-identically
+    instead of falling back to the chunked scatter."""
+    p, n, k = 16, 4096, 6000
     rng = np.random.default_rng(23)
     peer = rng.integers(0, p, k).astype(np.int32)
     slot = rng.integers(0, 256, k).astype(np.int32)  # concentrated keys
@@ -709,15 +711,125 @@ def test_blocked_apply_dense_blocks_fall_back():
     klo = rng.integers(-10**6, 10**6, k).astype(np.int32)
     vid = rng.integers(0, 1 << 20, k).astype(np.int32)
     base = pack_table(random_dense(p, n, seed=77))
+    _blocked_vs_scatter(p, n, peer, slot, cls, khi, klo, vid, base)
 
-    sr = reduce_flat_ops(peer, slot, cls, khi, klo, vid)
-    want, wa = apply_flat_packed(
-        PackedTable(*(jnp.array(f) for f in base)),
-        *(jnp.asarray(a) for a in sr),
+    # FULL blocks: every (peer, slot) of the first two column blocks,
+    # beating everything (cls 5) — 2048 ops, 128 consecutive steps on one
+    # row band
+    full_p, full_n = 8, 512
+    peer2, slot2 = np.meshgrid(np.arange(8), np.arange(256), indexing="ij")
+    peer2 = peer2.ravel().astype(np.int32)
+    slot2 = slot2.ravel().astype(np.int32)
+    k2 = len(peer2)
+    base2 = pack_table(random_dense(full_p, full_n, seed=5))
+    _blocked_vs_scatter(
+        full_p, full_n, peer2, slot2, np.full(k2, 5, np.int32),
+        rng.integers(-10, 10, k2).astype(np.int32),
+        rng.integers(-10, 10, k2).astype(np.int32),
+        rng.integers(0, 1 << 20, k2).astype(np.int32), base2,
     )
-    br = reduce_flat_ops(peer, slot, cls, khi, klo, vid, block_shape=(p, n))
-    # hundreds of ops per block exceed the W=3 window: the chunker must
-    # refuse (callers fall back to the chunked scatter) rather than ship
-    # an unroll depth Mosaic/XLA:CPU cannot compile in reasonable time
-    assert chunk_block_ops(*br, p, n) is None
-    del want, wa, base  # the fallback path is covered by its own tests
+
+
+def _windowed_vs_scatter(p, n, peer, slot, cls, khi, klo, vid, base):
+    """Run the same raw batch through the MXU windowed apply and the
+    winners+scatter path; assert bit-identical tables and applied counts."""
+    from bullet_tpu.ops.packed import (
+        apply_flat_packed,
+        apply_flat_windowed,
+        reduce_flat_ops,
+        window_apply_supported,
+        window_block_ops,
+    )
+
+    assert window_apply_supported(p, n)
+    sorted_r = reduce_flat_ops(peer, slot, cls, khi, klo, vid)
+    want, want_applied = apply_flat_packed(
+        PackedTable(*(jnp.array(f) for f in base)),
+        *(jnp.asarray(a) for a in sorted_r),
+    )
+    blocked_r = reduce_flat_ops(peer, slot, cls, khi, klo, vid,
+                                block_shape=(p, n))
+    got, got_applied = apply_flat_windowed(
+        PackedTable(*(jnp.array(f) for f in base)),
+        *window_block_ops(*blocked_r, p, n),
+    )
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), (p, n))
+    assert int(want_applied) == int(got_applied), (p, n)
+    return got
+
+
+def test_windowed_apply_bitidentical_to_scatter():
+    """The MXU windowed apply (one-hot matmul densify + block lexmax) must
+    bit-match the winners+scatter path: random batches, full-range keys
+    (negative khi/klo exercise the 16-bit-half exactness), multi-window
+    blocks, and all-padding tails."""
+    rng = np.random.default_rng(41)
+    for p, n, k, slots_hi in ((16, 2048, 500, 2048), (8, 1024, 300, 1024),
+                              (64, 4096, 2000, 512)):
+        peer = rng.integers(0, p, k).astype(np.int32)
+        slot = rng.integers(0, min(n, slots_hi), k).astype(np.int32)
+        cls = rng.integers(0, 6, k).astype(np.int32)
+        khi = rng.integers(-(2**31), 2**31, k, dtype=np.int64).astype(np.int32)
+        klo = rng.integers(-(2**31), 2**31, k, dtype=np.int64).astype(np.int32)
+        vid = rng.integers(0, 1 << 28, k).astype(np.int32)
+        base = pack_table(random_dense(p, n, seed=p + 1))
+        _windowed_vs_scatter(p, n, peer, slot, cls, khi, klo, vid, base)
+
+    # >128 ops in one (8, 1024) block: multiple consecutive windows
+    # read-modify-write the resident block
+    p, n = 8, 1024
+    peer2, slot2 = np.meshgrid(np.arange(8), np.arange(40), indexing="ij")
+    k2 = peer2.size
+    _windowed_vs_scatter(
+        p, n, peer2.ravel().astype(np.int32), slot2.ravel().astype(np.int32),
+        np.full(k2, 5, np.int32),
+        rng.integers(-10, 10, k2).astype(np.int32),
+        rng.integers(-10, 10, k2).astype(np.int32),
+        rng.integers(0, 1 << 20, k2).astype(np.int32),
+        pack_table(random_dense(p, n, seed=3)),
+    )
+
+
+def test_windowed_apply_padding_cannot_clobber_origin():
+    """Window padding rows are all-zero and map to cell (0, 0) — the
+    one-hot sums there must still reproduce a real op targeting (0, 0)
+    exactly (zero halves contribute nothing)."""
+    p, n = 8, 1024
+    peer = np.array([0, 3], dtype=np.int32)
+    slot = np.array([0, 7], dtype=np.int32)  # a real op at (0, 0)
+    cls = np.array([4, 2], dtype=np.int32)
+    khi = np.array([-123456789, 77], dtype=np.int32)
+    klo = np.array([987654321, -9], dtype=np.int32)
+    vid = np.array([42, 11], dtype=np.int32)
+    from bullet_tpu.ops.packed import init_packed
+
+    got = _windowed_vs_scatter(p, n, peer, slot, cls, khi, klo, vid,
+                               init_packed(p, n))
+    assert int(np.asarray(got.khi)[0, 0]) == -123456789
+    assert int(np.asarray(got.cv)[3, 7]) == (2 << 28) | 11
+
+
+def test_blocked_apply_segmented():
+    """Batches past the per-call SMEM chunk budget split into sequential
+    segments at chunk granularity; a block straddling the boundary is
+    read-modified-written across two pallas calls (the forced first-bit
+    re-reads the updated HBM block)."""
+    import bullet_tpu.ops.packed as pk
+
+    p, n, k = 8, 1024, 900
+    rng = np.random.default_rng(3)
+    peer = rng.integers(0, p, k).astype(np.int32)
+    slot = rng.integers(0, n, k).astype(np.int32)
+    cls = rng.integers(1, 5, k).astype(np.int32)
+    khi = rng.integers(-10**6, 10**6, k).astype(np.int32)
+    klo = rng.integers(-10**6, 10**6, k).astype(np.int32)
+    vid = rng.integers(0, 1 << 20, k).astype(np.int32)
+    base = pack_table(random_dense(p, n, seed=9))
+
+    old = pk.MAX_BLOCK_CHUNKS
+    pk.MAX_BLOCK_CHUNKS = 8  # force many segments, incl. mid-block splits
+    try:
+        _blocked_vs_scatter(p, n, peer, slot, cls, khi, klo, vid, base)
+    finally:
+        pk.MAX_BLOCK_CHUNKS = old
