@@ -152,6 +152,18 @@ def main() -> None:
     out["verify_s"] = round(time.time() - t0, 3)
     out["tables_equal"] = bool(equal)
 
+    # scalar-put microbench (the reference's primary API shape): hot-cache
+    # rate through the fast path — host-side enqueue only, measured after
+    # the convergence verdict so the queued ops don't perturb it
+    sp_n = 200_000
+    sp_paths = [f"sp/u{i % 997}/f{i % 7}" for i in range(sp_n)]
+    for i in range(5000):  # warm the slot/encoding caches
+        sim.put(i % num_peers, sp_paths[i], float(i % 4096))
+    t0 = time.time()
+    for i in range(sp_n):
+        sim.put(i % num_peers, sp_paths[i], float(i % 4096))
+    out["scalar_put_ops_per_s"] = round(sp_n / max(time.time() - t0, 1e-9))
+
     total = out["ingest_s"] + out["converge_s"]
     out["e2e_ops_per_s"] = round(writes / total)
     # replica-entry merge work actually performed:

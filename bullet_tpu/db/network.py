@@ -108,7 +108,12 @@ class _PeerConnection:
         self.framing = framing  # "ndjson" | "ws-server" | "ws-client"
         self.connected_at = time.time()
         self.open = True
-        self._outbox: "queue.Queue[Optional[bytes]]" = queue.Queue()
+        # bounded: the cap is enforced atomically by the queue itself
+        # (a qsize() check-then-put would race between the app thread's
+        # broadcasts and the reader thread's ws control replies)
+        self._outbox: "queue.Queue[Optional[bytes]]" = queue.Queue(
+            maxsize=self.MAX_OUTBOX
+        )
         self._writer = threading.Thread(target=self._write_loop, daemon=True)
         self._writer.start()
 
@@ -118,11 +123,11 @@ class _PeerConnection:
             self._enqueue(data)
 
     def _enqueue(self, data: bytes) -> None:
-        if self._outbox.qsize() >= self.MAX_OUTBOX:
+        try:
+            self._outbox.put_nowait(data)
+        except queue.Full:
             # stalled reader on the far side: drop the link, don't leak
             self.close()
-            return
-        self._outbox.put(data)
 
     def send(self, message: dict) -> bool:
         if not self.open:
@@ -152,7 +157,12 @@ class _PeerConnection:
 
     def close(self) -> None:
         self.open = False
-        self._outbox.put(None)
+        try:
+            # wake the writer; on a full outbox the socket shutdown below
+            # unblocks it anyway (sendall raises, loop exits)
+            self._outbox.put_nowait(None)
+        except queue.Full:
+            pass
         try:
             self.socket.shutdown(socket.SHUT_RDWR)
         except OSError:

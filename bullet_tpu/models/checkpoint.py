@@ -35,13 +35,13 @@ def save_checkpoint(sim, directory: str, backend: str = "npz") -> None:
         import orbax.checkpoint as ocp
 
         state = {name: f for name, f in zip(fields, sim.table)}
-        state["clock"] = sim._clock
+        state["clock"] = sim._clock_snapshot()
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(os.path.join(os.path.abspath(directory), "orbax"), state)
             ckptr.wait_until_finished()
     else:
         arrays = {name: np.asarray(f) for name, f in zip(fields, sim.table)}
-        arrays["clock"] = sim._clock
+        arrays["clock"] = sim._clock_snapshot()
         np.savez_compressed(os.path.join(directory, "state.npz"), **arrays)
 
     host = sim.host
@@ -109,7 +109,7 @@ def load_checkpoint(directory: str, mesh_devices: Optional[int] = None):
         import orbax.checkpoint as ocp
 
         template = {name: np.asarray(f) for name, f in zip(fields, sim.table)}
-        template["clock"] = sim._clock
+        template["clock"] = sim._clock_snapshot()
         with ocp.StandardCheckpointer() as ckptr:
             data = ckptr.restore(
                 os.path.join(os.path.abspath(directory), "orbax"), template
@@ -122,6 +122,7 @@ def load_checkpoint(directory: str, mesh_devices: Optional[int] = None):
 
         sim.table = shard_table(sim.table, sim.mesh)
     sim._clock = data["clock"].copy()
+    sim._clock_list = sim._clock.tolist()
     sim.tick = meta["tick"]
     sim.stats.update(meta.get("stats", {}))
     return sim

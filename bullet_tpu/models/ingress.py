@@ -135,6 +135,8 @@ class EngineValidation:
         return self
 
     def apply_schema(self, base_path: str, schema_name: str) -> "EngineValidation":
+        if self.sim is not None:
+            self.sim._fast_put_ok = False  # scalar puts must validate now
         self.host.apply_schema(base_path, schema_name)
         self.sim.host.intern_path(base_path)
         self._rules_dirty = True
@@ -366,7 +368,15 @@ class EngineHooks:
 
     # ---------------------------------------------------------- registration
 
+    def _disable_fast_put(self) -> None:
+        # the sim's scalar fast path assumes no hooks and no validation;
+        # any registration permanently routes puts through the full path
+        # (conservative: un-registering never re-enables)
+        if self.sim is not None:
+            self.sim._fast_put_ok = False
+
     def use(self, operation: str, fn: Callable) -> "EngineHooks":
+        self._disable_fast_put()
         table = {
             "put": self._put,
             "afterPut": self._after_put,
@@ -383,6 +393,7 @@ class EngineHooks:
         return self
 
     def use_traced_put(self, fn: Callable) -> "EngineHooks":
+        self._disable_fast_put()
         """Register a PURE transform traced into the jitted step: called as
         ``fn(ops: OpBatch, struct: PathStruct) -> OpBatch`` on the whole
         dense batch. This is how a put-middleware runs at device line rate
@@ -394,6 +405,7 @@ class EngineHooks:
         return self
 
     def on_event(self, event: str, listener: Callable) -> "EngineHooks":
+        self._disable_fast_put()
         self._events.setdefault(event, []).append(listener)
         return self
 

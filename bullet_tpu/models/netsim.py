@@ -279,10 +279,21 @@ class PeerNetworkSim:
             self.table = shard_table(self.table, self.mesh)
         self.tick = 0
         self._clock = np.zeros(num_peers, dtype=np.int64)
+        # scalar-put hot path reads/writes this LIST shadow (plain list
+        # index ops beat np scalar indexing ~3x); the np array is
+        # materialized at every vectorized boundary (_clock_sync_np)
+        self._clock_list = [0] * num_peers
         self._pending: List[List[Tuple[int, int, int, int, int, int]]] = [
             [] for _ in range(num_peers)
         ]
         self._pending_bulk: List[Tuple[np.ndarray, ...]] = []
+        # scalar-put fast path: enabled until any hook or schema registers
+        self._fast_put_ok = True
+        # scalar-put fast-path memoization (see _put_scalar_fast)
+        self._slot_cache: Dict[str, int] = {}
+        self._enc_num_cache: Dict[Any, Tuple[int, int, int, int]] = {}
+        self._enc_str_cache: Dict[str, Tuple[int, int, int, int]] = {}
+        self._enc_str_epoch = -1
         self._subs: List[dict] = []
         from .ingress import EngineHooks, EngineValidation
 
@@ -312,6 +323,27 @@ class PeerNetworkSim:
         veto/mutate; schema-bound paths validate with typed errors (both
         mirror the reference write path, SURVEY §3.2). Returns False iff the
         put was vetoed/rejected."""
+        if self._fast_put_ok and type(value) is not dict:
+            # hot scalar path (the reference's primary API shape,
+            # bullet.js:700-703): memoized path->slot and numeric
+            # value->encoding, no hook/flatten machinery. The flag is
+            # cleared permanently by ANY hook/schema registration
+            # (ingress.py _disable_fast_put). The common numeric-hit case
+            # is inlined here; misses and other types take the helper.
+            enc = None
+            t = type(value)
+            if t is float or t is int:
+                enc = self._enc_num_cache.get(value)
+            if enc is not None:
+                slot = self._slot_cache.get(path)
+                if slot is not None:
+                    clock = self._clock_list
+                    c = clock[peer] + 1
+                    clock[peer] = c
+                    self._pending[peer].append((slot, *enc, c))
+                    self.stats["ops_enqueued"] += 1
+                    return True
+            return self._put_scalar_fast(peer, path, value)
         if self.hooks.active:
             cont, path, value = self.hooks.run_put(peer, path, value)
             if not cont:
@@ -342,12 +374,68 @@ class PeerNetworkSim:
             for leaf_path, leaf_value in leaves:
                 slot = self.host.intern_path(leaf_path)
                 cls, khi, klo, vid = self.host.encode_value(leaf_value)
-                self._clock[peer] += 1
+                c = self._clock_list[peer] + 1
+                self._clock_list[peer] = c
                 self._pending[peer].append(
-                    (slot, cls, khi, klo, vid, int(self._clock[peer]))
+                    (slot, cls, khi, klo, vid, c)
                 )
                 self.stats["ops_enqueued"] += 1
         self.hooks.queue_after_put(peer, path, value)
+        return True
+
+    # scalar-fast-path cache bound: keeps pathological workloads (e.g.
+    # NaN-keyed or unbounded-distinct values) from growing the dicts
+    # without limit; a clear only costs re-encoding
+    _FAST_CACHE_MAX = 1 << 20
+
+    def _put_scalar_fast(self, peer: int, path: str, value: Any) -> bool:
+        """Hot scalar ``put``: no hooks, no validation, non-dict value.
+
+        Two memoizations carry the speedup: path -> slot (the interner is
+        append-only, so slots are stable), and numeric value -> encoding
+        (number order keys never re-rank). String encodings re-rank when
+        the order-statistic tree rebalances, so the string cache is
+        validated against the interner epoch and flushed on change."""
+        if not path:
+            raise ValueError(
+                "cannot put a scalar at the root path (empty leaf path)"
+            )
+        slot = self._slot_cache.get(path)
+        if slot is None:
+            slot = self.host.intern_path(path)
+            if len(self._slot_cache) >= self._FAST_CACHE_MAX:
+                self._slot_cache.clear()
+            self._slot_cache[path] = slot
+        t = type(value)
+        if (t is float or t is int) and value == value:
+            enc = self._enc_num_cache.get(value)
+            if enc is None:
+                enc = self.host.encode_value(value)
+                if len(self._enc_num_cache) >= self._FAST_CACHE_MAX:
+                    self._enc_num_cache.clear()
+                self._enc_num_cache[value] = enc
+        elif t is str:
+            epoch = self.host.values.epoch
+            if epoch != self._enc_str_epoch:
+                self._enc_str_cache.clear()
+                self._enc_str_epoch = epoch
+            enc = self._enc_str_cache.get(value)
+            if enc is None:
+                enc = self.host.encode_value(value)
+                if self.host.values.epoch != epoch:
+                    # this very insert rebalanced: ranks just moved
+                    self._enc_str_cache.clear()
+                    self._enc_str_epoch = self.host.values.epoch
+                if len(self._enc_str_cache) >= self._FAST_CACHE_MAX:
+                    self._enc_str_cache.clear()
+                self._enc_str_cache[value] = enc
+        else:
+            enc = self.host.encode_value(value)
+        clock = self._clock_list
+        c = clock[peer] + 1
+        clock[peer] = c
+        self._pending[peer].append((slot, *enc, c))
+        self.stats["ops_enqueued"] += 1
         return True
 
     def put_bulk(self, peers, paths, values) -> None:
@@ -448,13 +536,23 @@ class PeerNetworkSim:
         # bullet-middleware.js:112-131). With schemas bound, each row
         # re-checks silently so rows the device mask will veto don't claim
         # a write happened (the device path owns their typed errors).
+        # NOTE: with listeners/hooks registered this pass is O(K) Python —
+        # per-row hook delivery is inherently host-side (the reference's
+        # afterPut receives (path, value) per write). Bulk loads that need
+        # max ingest rate should register listeners after loading; the
+        # vectorized device path is untouched either way. The path reverse
+        # lookups are batched per unique slot below.
         if not pre_interned and (self.hooks._after_put or self.hooks._events):
             check = (
                 self.validation.host.check_write
                 if self.validation.active else None
             )
+            upaths = {
+                int(s): self.host.paths.path(int(s))
+                for s in np.unique(slots)
+            }
             for i in range(k):
-                path = self.host.paths.path(int(slots[i]))
+                path = upaths[int(slots[i])]
                 val = float(raw_vals[i]) if numeric else raw_vals[i]
                 if check is not None and not check(path, val, report=False):
                     continue
@@ -467,10 +565,19 @@ class PeerNetworkSim:
         sequence) and queue one bulk chunk — the single enqueue point shared
         by ``put_bulk`` and batched tree ``put``s."""
         seq, counts = _group_positions(peers, self.num_peers)
+        self._clock_sync_np()
         ctr = (self._clock[peers] + seq + 1).astype(np.int32)
         self._clock += counts
+        self._clock_list = self._clock.tolist()
         self._pending_bulk.append((peers, slots, cls, khi, klo, vid, ctr))
         self.stats["ops_enqueued"] += len(peers)
+
+    def _clock_sync_np(self) -> None:
+        np.copyto(self._clock, self._clock_list)
+
+    def _clock_snapshot(self) -> np.ndarray:
+        self._clock_sync_np()
+        return self._clock.copy()
 
     def intern_path(self, path: str) -> int:
         """Pre-intern a path for slot-id based ``put_bulk`` ingestion."""
@@ -1025,7 +1132,9 @@ class PeerNetworkSim:
         if self.mode != "lww":
             return
         row_max = np.asarray(jnp.max(self.table.ctr, axis=1)).astype(np.int64)
+        self._clock_sync_np()
         np.maximum(self._clock, row_max, out=self._clock)
+        self._clock_list = self._clock.tolist()
 
     def _gossip_mesh(self):
         """Mesh for the explicit shard_map gossip path (opt-in)."""
@@ -1444,7 +1553,7 @@ class PeerNetworkSim:
         return {
             "table": [np.asarray(f) for f in self.table],
             "tick": self.tick,
-            "clock": self._clock.copy(),
+            "clock": self._clock_snapshot(),
             "capacity": self.capacity,
         }
 
@@ -1455,6 +1564,7 @@ class PeerNetworkSim:
             self.table = shard_table(self.table, self.mesh)
         self.tick = snap["tick"]
         self._clock = snap["clock"].copy()
+        self._clock_list = self._clock.tolist()
         self.capacity = snap["capacity"]
 
     def tables_equal(self) -> bool:

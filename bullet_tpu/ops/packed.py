@@ -1347,6 +1347,176 @@ def _frontier_halo_kernel_packed(wrap: bool, tile_p: int, num_peers: int,
                 ids_out[0, t_total + 1] += total
 
 
+# fused rounds per block-load on halo shapes: the 8-row boundary
+# snapshots support exactly 8 rounds of trapezoidal time-tiling (validity
+# shrinks one row per round from each snapshot edge, and the center tile
+# sits 8 rows in)
+HALO_FUSE = 8
+
+
+def _merge_ext_round(ext, wrap: bool, tile_p: int, num_peers: int, i):
+    """One ring/chain round on an EXTENDED halo tile (8 snapshot rows +
+    tile_p center rows + 8 snapshot rows). Rolls wrap inside the extended
+    block; rows entering from the block edges are garbage, but trapezoidal
+    validity keeps them at least (8 - round) rows away from the center.
+    The change count covers CENTER rows only (each tile owns its rows;
+    boundary-region changes are counted by the neighboring tile).
+    Returns (merged ext fields, center changed count)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, ext[0].shape, 0)
+    global_row = i * tile_p - 8 + row
+    center = (row >= 8) & (row < 8 + tile_p)
+
+    def shifted(direction: int):
+        out = []
+        for f in range(3):
+            rolled = jnp.roll(ext[f], direction, axis=0)
+            if not wrap:
+                edge = global_row == (
+                    0 if direction == +1 else num_peers - 1
+                )
+                rolled = jnp.where(edge, 0, rolled)
+            out.append(rolled)
+        return out
+
+    def lexmax(a_vals, b_vals):
+        gt = _lex_gt_packed(packed_keys(*b_vals), packed_keys(*a_vals))
+        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+
+    m1, gt1 = lexmax(ext, shifted(+1))
+    m2, gt2 = lexmax(m1, shifted(-1))
+    c = jnp.sum((gt1 & center).astype(jnp.int32)) + jnp.sum(
+        (gt2 & center).astype(jnp.int32)
+    )
+    return m2, c
+
+
+def _frontier_halo_multiround_kernel_packed(wrap: bool, tile_p: int,
+                                            num_peers: int, t_total: int,
+                                            tiles: int, m: int, *refs):
+    """Compacting halo frontier round with M=HALO_FUSE rounds fused per
+    block-load (P beyond the full-P stripe budget).
+
+    Each (tile_p, tile_n) center tile extends with its 8-row pre-round
+    boundary snapshots and runs M rounds entirely in VMEM (trapezoidal
+    time-tiling: after round k the extended rows [k, L-k) are exact, and
+    M ≤ 8 keeps the center exact through all M rounds). Per-ROUND center
+    change counts accumulate across a stripe's peer tiles in SMEM scratch;
+    after the last tile, the stripe's last-changing round reconstructs the
+    exact classic round count (ids layout [t_total + 3], see
+    _frontier_multiround_kernel_packed) and the stripe stays dirty IFF
+    round M still changed something."""
+    import jax.experimental.pallas as pl
+
+    ids_ref = refs[0]
+    c_refs = refs[1:4]
+    t_refs = refs[4:7]
+    b_refs = refs[7:10]
+    out_refs, ids_out = refs[10:13], refs[13]
+    acc = refs[14]  # SMEM (1, m): per-round center counts across tiles
+
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    count = ids_ref[t_total]
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        ids_out[0, t_total] = 0
+        ids_out[0, t_total + 1] = 0
+        ids_out[0, t_total + 2] = 0
+
+    @pl.when(j < count)
+    def _():
+        stripe = ids_ref[j]
+        ext = [
+            jnp.concatenate([t[...], c[...], b[...]], axis=0)
+            for t, c, b in zip(t_refs, c_refs, b_refs)
+        ]
+        counts = []
+        for _k in range(m):
+            ext, ck = _merge_ext_round(ext, wrap, tile_p, num_peers, i)
+            counts.append(ck)
+        for out, v in zip(out_refs, ext):
+            out[...] = v[8 : 8 + tile_p, :]
+
+        for k in range(m):
+
+            @pl.when(i == 0)
+            def _(k=k):
+                acc[0, k] = counts[k]
+
+            @pl.when(i > 0)
+            def _(k=k):
+                acc[0, k] += counts[k]
+
+        @pl.when(i == tiles - 1)
+        def _():
+            stripe_last = jnp.int32(0)
+            total = jnp.int32(0)
+            for k in range(m):
+                ck = acc[0, k]
+                stripe_last = jnp.where(ck > 0, jnp.int32(k + 1), stripe_last)
+                total += ck
+
+            @pl.when(stripe_last == m)
+            def _():
+                k_ = ids_out[0, t_total]
+                ids_out[0, k_] = stripe
+                ids_out[0, t_total] = k_ + 1
+
+            ids_out[0, t_total + 1] += total
+            ids_out[0, t_total + 2] = jnp.maximum(
+                ids_out[0, t_total + 2], stripe_last
+            )
+
+
+def frontier_halo_multiround_packed_traced(table, ids, wrap: bool,
+                                           interpret: bool):
+    """One HALO_FUSE-fused compacting frontier step on halo shapes; ``ids``
+    is a [t_total + 3] array (frontier_ids_compact layout plus the
+    max-last-change cell); returns (table, next ids)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p, n = table.khi.shape
+    tile_p, tile_n = _halo_tiles_packed(p, n)
+    tiles = p // tile_p
+    t_total = n // tile_n
+    tops, bottoms = _halo_boundary_snapshots(table, tiles, tile_p, n)
+    grid_j = jnp.maximum(ids[t_total], 1)
+
+    center_spec = pl.BlockSpec(
+        (tile_p, tile_n), lambda j, i, ids_: (i, ids_[j]),
+        memory_space=pltpu.VMEM,
+    )
+    halo_spec = pl.BlockSpec(
+        (8, tile_n), lambda j, i, ids_: (i, ids_[j]), memory_space=pltpu.VMEM
+    )
+    ids_spec = pl.BlockSpec(
+        (1, t_total + 3), lambda j, i, ids_: (0, 0), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid_j, tiles),  # dynamic: exactly the active stripes
+        in_specs=[center_spec] * 3 + [halo_spec] * 6,
+        out_specs=[center_spec] * 3 + [ids_spec],
+        scratch_shapes=[pltpu.SMEM((1, HALO_FUSE), jnp.int32)],
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _frontier_halo_multiround_kernel_packed, wrap, tile_p, p,
+            t_total, tiles, HALO_FUSE,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
+            jax.ShapeDtypeStruct((1, t_total + 3), jnp.int32),
+        ),
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+        interpret=interpret,
+    )(ids, *table, *tops, *bottoms)
+    return PackedTable(*outs[:3]), outs[3][0]
+
+
 def _halo_boundary_snapshots(table, tiles: int, tile_p: int, n: int):
     """(tops, bottoms) pre-round boundary snapshots for the halo kernels:
     each tile's adjacent 8-row blocks from the neighboring tiles,
@@ -1667,6 +1837,19 @@ def gossip_frontier_packed(
             ),
             lambda tbl, ids: frontier_multiround_packed_traced(
                 tbl, ids, wrap, fuse, interpret
+            ),
+        )
+    if fuse > 1 and packed_halo_supported(p, n):
+        # halo shapes fuse HALO_FUSE rounds per block-load via 8-deep
+        # trapezoidal time-tiling (the snapshot depth pins M=8, not the
+        # caller's fuse); same exact-round-count contract
+        return frontier_fused_loop(
+            table, dirty, t_total, max_rounds, HALO_FUSE,
+            lambda tbl, ids: frontier_halo_round_packed_traced(
+                tbl, ids, wrap, interpret
+            ),
+            lambda tbl, ids: frontier_halo_multiround_packed_traced(
+                tbl, ids, wrap, interpret
             ),
         )
 

@@ -519,6 +519,63 @@ def test_multiround_fused_matches_sequential(wrap):
         assert total == int(cb), (wrap, m)
 
 
+@pytest.mark.parametrize("wrap", [True, False])
+def test_frontier_halo_fused_round_parity(wrap):
+    """The fused halo frontier (HALO_FUSE=8 rounds per block-load via
+    trapezoidal time-tiling) must report the EXACT classic round count,
+    residual, and bit-identical state — across convergence lengths landing
+    inside and outside fuse blocks, and max_rounds cutoffs."""
+    from bullet_tpu.ops.packed import (
+        frontier_tile_n,
+        gossip_frontier_packed,
+        gossip_until_converged_packed,
+        packed_halo_supported,
+        packed_ring_supported,
+    )
+    from bullet_tpu.parallel import topology as topo2
+
+    p, n = 2560, 512  # halo territory (full-P stripe budget exceeded)
+    assert not packed_ring_supported(p, n) and packed_halo_supported(p, n)
+    t_total = n // frontier_tile_n(p, n)
+    assert t_total >= 2
+    kind = "ring" if wrap else "chain"
+    nb = jnp.asarray(
+        (topo2.ring(p) if wrap else topo2.chain(p)).neighbors
+    )
+
+    # quick-converging table: one superior row replicated everywhere, then
+    # a few INFERIOR rows — each heals from its neighbors in ~1-2 rounds,
+    # so true convergence lands inside the first fuse block
+    base = pack_table(random_dense(1, n, seed=11))
+    quick = PackedTable(*(np.repeat(np.asarray(f), p, axis=0) for f in base))
+    qarr = [np.array(f) for f in quick]
+    for f in qarr:
+        f[100:108] = 0
+        f[2000:2002] = 0
+    quick = PackedTable(*(jnp.asarray(f) for f in qarr))
+
+    rand = pack_table(random_dense(p, n, seed=42))  # long convergence
+
+    for tbl, max_rounds_list in (
+        (quick, (0, 2, 5, 9, 20)),
+        (rand, (3, 7)),  # cutoffs mid-fuse-block and mid-tail
+    ):
+        for max_rounds in max_rounds_list:
+            want, r_want, c_want = gossip_until_converged_packed(
+                PackedTable(*(jnp.array(f) for f in tbl)), nb, kind,
+                max_rounds, use_pallas=False)
+            got, r_got, c_got = gossip_frontier_packed(
+                PackedTable(*(jnp.array(f) for f in tbl)),
+                jnp.ones(t_total, dtype=jnp.bool_), wrap, max_rounds,
+                interpret=True, fuse=5)
+            for a, b in zip(want, got):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), (wrap, max_rounds))
+            assert int(r_want) == int(r_got), (
+                wrap, max_rounds, int(r_want), int(r_got))
+            assert int(c_want) == int(c_got), (wrap, max_rounds)
+
+
 def test_frontier_fused_round_parity():
     """The fuse>1 frontier loop must report the EXACT classic round count
     and bit-identical state — across convergence lengths that land at every
