@@ -195,6 +195,83 @@ def _reconcile_dense_jit(table: TableState, mode: str, lean: bool):
     return table._replace(cls=cls, khi=khi, klo=klo, vid=vid), jnp.int32(0)
 
 
+def _doubling_join_rows(rows, merge_one):
+    """Join a [K, N] row block to one row via roll-doubling: after
+    ceil(log2 K) steps every row holds the join of all K (row i absorbs
+    row i-2^k each step), so row 0 is the answer. K may be padded with
+    duplicate rows — the join is idempotent, so padding is free."""
+    k = rows[0].shape[0]
+    steps = (k - 1).bit_length()
+
+    def body(s, vals):
+        shift = jnp.left_shift(jnp.int32(1), s)
+        rolled = tuple(jnp.roll(f, shift, axis=0) for f in vals)
+        return merge_one(vals, rolled)
+
+    joined = jax.lax.fori_loop(0, steps, body, tuple(rows))
+    return tuple(f[0] for f in joined)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "lean"), donate_argnums=(0,)
+)
+def _closure_join_dense(
+    table: TableState, idx, members, mode: str, lean: bool
+) -> TableState:
+    """Join rows ``table[idx]`` under ``mode``'s priority order and write
+    the result to rows ``members`` — one step of the per-SCC reconcile DP
+    (see PeerNetworkSim._reconcile_weak). ``idx``/``members`` are padded
+    to powers of two with duplicate entries (bounds jit variants to
+    log2(P)^2) — duplicates are free: the join is idempotent and scatter
+    duplicates write identical rows. Lean sims join the four value-key
+    arrays only; writer/ctr/tick stay local (the lean gossip contract)."""
+    from ..ops.merge import lex_gt, priority_keys
+
+    if lean:
+        fields = (table.cls, table.khi, table.klo, table.vid)
+
+        def merge_lean(a, b):
+            gt = lex_gt(b, a)
+            return tuple(jnp.where(gt, fb, fa) for fa, fb in zip(a, b))
+
+        cls, khi, klo, vid = _doubling_join_rows(
+            tuple(f[idx] for f in fields), merge_lean
+        )
+        return table._replace(
+            cls=table.cls.at[members].set(cls),
+            khi=table.khi.at[members].set(khi),
+            klo=table.klo.at[members].set(klo),
+            vid=table.vid.at[members].set(vid),
+        )
+
+    def merge_full(a, b):
+        ta, tb = TableState(*a), TableState(*b)
+        gt = lex_gt(priority_keys(tb, mode), priority_keys(ta, mode))
+        return tuple(jnp.where(gt, fb, fa) for fa, fb in zip(a, b))
+
+    row = _doubling_join_rows(tuple(f[idx] for f in table), merge_full)
+    return TableState(
+        *(f.at[members].set(r) for f, r in zip(table, row))
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _closure_join_packed(table, idx, members):
+    """Packed-layout twin of _closure_join_dense (reference mode only —
+    the packed key chain (cls, khi, klo, vid) is the packed merge
+    order)."""
+    from ..ops.packed import PackedTable, merge_packed_xla
+
+    def merge_one(a, b):
+        merged, _ = merge_packed_xla(PackedTable(*a), PackedTable(*b))
+        return tuple(merged)
+
+    row = _doubling_join_rows(tuple(f[idx] for f in table), merge_one)
+    return PackedTable(
+        *(f.at[members].set(r) for f, r in zip(table, row))
+    )
+
+
 @jax.jit
 def _gather_watch_dense(table, peers, slots):
     return table.cls[peers, slots], table.vid[peers, slots]
@@ -1071,30 +1148,33 @@ class PeerNetworkSim:
 
     def reconcile(self) -> None:
         """Directly reconcile every replica to the gossip fixed point —
-        the per-slot lattice join of all peers, broadcast everywhere —
-        WITHOUT simulating protocol rounds.
+        WITHOUT simulating protocol rounds — on ANY topology.
 
-        For any CONNECTED topology, run_until_converged reaches exactly
-        this state (the merge is a commutative/associative/idempotent
-        join, so the fixed point is topology-independent — a tested
-        invariant); reconcile() jumps straight to it in ceil(log2 P)
-        doubling merges, one table pass on the stripe kernel. This is the
+        Gossip is pull-based, so peer p's fixed point is the lattice join
+        over every peer p can REACH along neighbor edges (the merge is a
+        commutative/associative/idempotent join, so the fixed point is
+        delivery-order-independent — a tested invariant). On a STRONGLY
+        connected topology every reachable set is all of P and reconcile
+        jumps there in ceil(log2 P) doubling merges, one table pass on
+        the stripe kernel. Otherwise (directed / partitioned topologies)
+        it runs a dynamic program over the SCC condensation: components
+        in ascending id order (= reverse topological order, see
+        Topology.strong_components) join their member rows plus one
+        representative row per successor component — already holding ITS
+        closure — and broadcast to members. Either way the result is
+        bit-identical to run_until_converged's fixed point. This is the
         production anti-entropy path: use it when you want the reconciled
         state, and run_until_converged when the simulation itself (round
-        counts, per-round residuals) is the result. Raises ValueError on
-        partitioned topologies, whose fixed point depends on the
-        partition. Pending ops apply first; subscriptions fire as usual."""
-        if not self.topology.is_connected():
-            raise ValueError(
-                "reconcile() requires a connected topology; "
-                "run_until_converged() handles partitions"
-            )
+        counts, per-round residuals) is the result. Pending ops apply
+        first; subscriptions fire as usual."""
         self._ensure_capacity()
         self._maybe_rekey()
         self.tick += 1
         self.stats["ops_applied"] += self._apply_pending()
         self.hooks.fire_after_puts()
-        if self.layout == "packed":
+        if not self.topology.is_connected():
+            self._reconcile_weak()
+        elif self.layout == "packed":
             from ..ops.packed import (
                 _reconcile_packed_jit,
                 packed_ring_supported,
@@ -1124,6 +1204,51 @@ class PeerNetworkSim:
             self._frontier_dirty = np.zeros(width // tile_n, dtype=bool)
         self._sync_clocks()
         self._fire_subscriptions()
+
+    def _reconcile_weak(self) -> None:
+        """Reconcile a non-strongly-connected topology: per-SCC-closure
+        joins over the condensation. Components are processed in
+        ascending id order, which Topology.strong_components guarantees
+        is reverse topological order of the condensation — every
+        component this one pulls from is already at ITS closure, so one
+        representative row per successor suffices (all rows of a
+        finalized component are identical). Index lists are padded to
+        powers of two with duplicates, bounding compile variants to
+        O(log^2 P) for any topology."""
+        comp = self.topology.strong_components()
+        n_comp = int(comp.max()) + 1
+        members = [np.flatnonzero(comp == c) for c in range(n_comp)]
+        succs: List[set] = [set() for _ in range(n_comp)]
+        for p in range(self.num_peers):
+            cp = int(comp[p])
+            for q in self.topology.neighbors[p]:
+                if q >= 0 and comp[q] != cp:
+                    succs[cp].add(int(comp[q]))
+        for c in range(n_comp):
+            idx = [
+                *members[c].tolist(),
+                *(int(members[s][0]) for s in sorted(succs[c])),
+            ]
+            if len(idx) == 1:
+                continue  # singleton with no pulls: already its closure
+            k = 1 << (len(idx) - 1).bit_length()
+            idx_arr = jnp.asarray(
+                np.asarray(idx + [idx[0]] * (k - len(idx)), np.int32)
+            )
+            mem = members[c].tolist()
+            m = 1 << (len(mem) - 1).bit_length()
+            mem_arr = jnp.asarray(
+                np.asarray(mem + [mem[0]] * (m - len(mem)), np.int32)
+            )
+            if self.layout == "packed":
+                self.table = _closure_join_packed(
+                    self.table, idx_arr, mem_arr
+                )
+            else:
+                self.table = _closure_join_dense(
+                    self.table, idx_arr, mem_arr, self.mode,
+                    self.lean_gossip,
+                )
 
     def _sync_clocks(self) -> None:
         """Lamport clock advance: after gossip every peer's clock must exceed

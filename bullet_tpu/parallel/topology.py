@@ -46,6 +46,64 @@ class Topology:
         adj = self.adjacency()
         return bool((adj == adj.T).all())
 
+    def strong_components(self) -> np.ndarray:
+        """Per-peer strongly-connected-component ids (iterative Tarjan).
+
+        Ids ascend in REVERSE topological order of the condensation: every
+        pull edge u→v (v ∈ neighbors[u]) that crosses components satisfies
+        comp[v] < comp[u] — so processing components by ascending id
+        visits each component after everything it pulls from, exactly the
+        order the general reconcile's dynamic program needs."""
+        n = self.num_peers
+        adj = [
+            [int(q) for q in self.neighbors[p] if q >= 0] for p in range(n)
+        ]
+        index = [-1] * n
+        low = [0] * n
+        on_stack = [False] * n
+        comp = np.full(n, -1, dtype=np.int32)
+        tarjan_stack: list = []
+        counter = 0
+        cid = 0
+        for root in range(n):
+            if index[root] != -1:
+                continue
+            work = [(root, 0)]
+            while work:
+                v, pi = work[-1]
+                if pi == 0:
+                    index[v] = low[v] = counter
+                    counter += 1
+                    tarjan_stack.append(v)
+                    on_stack[v] = True
+                descended = False
+                i = pi
+                while i < len(adj[v]):
+                    w = adj[v][i]
+                    if index[w] == -1:
+                        work[-1] = (v, i + 1)
+                        work.append((w, 0))
+                        descended = True
+                        break
+                    if on_stack[w]:
+                        low[v] = min(low[v], index[w])
+                    i += 1
+                if descended:
+                    continue
+                if low[v] == index[v]:
+                    while True:
+                        w = tarjan_stack.pop()
+                        on_stack[w] = False
+                        comp[w] = cid
+                        if w == v:
+                            break
+                    cid += 1
+                work.pop()
+                if work:
+                    u, _ = work[-1]
+                    low[u] = min(low[u], low[v])
+        return comp
+
     def is_connected(self) -> bool:
         """True iff the topology is STRONGLY connected (every peer reaches
         every peer along neighbor edges). Gossip is pull-based — peer p

@@ -351,17 +351,27 @@ def test_reconcile_matches_converged_state():
         assert b.last_residual == 0
 
 
-def test_reconcile_rejects_partitions():
+def test_reconcile_handles_partitions():
+    """reconcile() on a partitioned ring lands each component on its own
+    join — the same fixed point run_until_converged reaches (deeper fuzz
+    coverage in test_reconcile_weak.py)."""
     from bullet_tpu.parallel import topology as topo2
 
     t = topo2.ring(8).drop_links([(0, 1), (4, 5)])  # two components
     assert not t.is_connected()
     sim = PeerNetworkSim(8, capacity=256, topology=t, layout="packed")
-    sim.put(0, "x", 1)
-    with pytest.raises(ValueError):
-        sim.reconcile()
-    # run_until_converged still handles the partition
-    sim.run_until_converged()
+    ref = PeerNetworkSim(8, capacity=256, topology=t, layout="packed")
+    for s in (sim, ref):
+        s.put(0, "x", 1)
+        s.put(5, "x", 7)
+    sim.reconcile()
+    ref.run_until_converged()
+    for x, y in zip(sim.table, ref.table):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # components are {1,2,3,4} and {5,6,7,0}: the writes (peers 0 and 5)
+    # both sit in the second, which joins to 7; the first saw neither
+    assert sim.get(6, "x") == 7 and sim.get(0, "x") == 7
+    assert sim.get(2, "x") is None
 
 
 def test_reconcile_applies_pending_and_notifies():
