@@ -1887,18 +1887,74 @@ def frontier_tile_n_sharded(p: int, n: int, n_devices: int) -> int:
     return _stripe_tile_n(per_dev, n)
 
 
-def frontier_shard_round_packed(block, tops, bottoms, dirty, interpret: bool,
-                                vma=None):
+def _compact_counts_kernel(t_total: int, counts_ref, ids_ref):
+    """One-grid-step SMEM scan: per-stripe change counts → the next
+    round's compacted prefetch ids array ([t_total + 2]: dirty stripe ids
+    ascending, count, round change total). Replaces the per-round XLA
+    nonzero/cumsum/concat chain in the shard_map frontier loop — the
+    multi-device twin of the single-chip kernels' in-kernel appending
+    (which cannot apply across devices: the frontier must be psum-agreed
+    first, so compaction runs on the REDUCED counts)."""
+    import jax.experimental.pallas as pl
+
+    def body(t, carry):
+        k, total = carry
+        c = counts_ref[0, t]
+
+        @pl.when(c > 0)
+        def _():
+            ids_ref[0, k] = t
+
+        return k + jnp.where(c > 0, 1, 0).astype(jnp.int32), total + c
+
+    k, total = jax.lax.fori_loop(
+        0, t_total, body, (jnp.int32(0), jnp.int32(0))
+    )
+    ids_ref[0, t_total] = k
+    ids_ref[0, t_total + 1] = total
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compact_counts_packed(counts, interpret: bool = False):
+    """Compact [t_total] per-stripe counts into the [t_total + 2] ids
+    layout (see frontier_ids_compact) with one tiny Pallas call. Entries
+    past the count are unwritten (never read). Runs on replicated data in
+    the global view of the shard_map frontier loop."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_total = counts.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_compact_counts_kernel, t_total),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, t_total), lambda i: (0, 0), memory_space=pltpu.SMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_total + 2), lambda i: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, t_total + 2), jnp.int32),
+        interpret=interpret,
+    )(counts[None, :])
+    return out[0]
+
+
+def frontier_shard_round_packed(block, tops, bottoms, ids_full,
+                                interpret: bool, vma=None):
     """Per-device frontier ring/chain round body (called inside shard_map).
 
     ``block`` is the device-local [b, n] peer block; ``tops``/``bottoms``
     are [8, n] snapshots whose row 7 / row 0 hold the neighbor devices'
     ppermuted boundary rows (already zero-masked for the chain's global
-    edges — the same convention as ``_ring_exchange``). Only dirty stripes
-    are processed, via the same prefetched grid remapping as
-    ``frontier_round_packed_traced``; returns (block, per-stripe change
-    counts) — the caller psums counts across devices to agree on the next
-    round's frontier."""
+    edges — the same convention as ``_ring_exchange``). Only the stripes
+    listed in the prefetched ``ids_full`` array ([t_total + 2], see
+    frontier_ids_compact — psum-agreed across devices, rebuilt per round
+    by compact_counts_packed) are processed, via the same grid remapping
+    as ``frontier_round_packed_traced``; returns (block, per-stripe
+    change counts) — the caller psums counts across devices to agree on
+    the next round's frontier."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1906,7 +1962,7 @@ def frontier_shard_round_packed(block, tops, bottoms, dirty, interpret: bool,
     tile_n = _stripe_tile_n(b, n)
     t_total = n // tile_n
 
-    ids_full, grid_j = frontier_ids(dirty, t_total)
+    grid_j = jnp.maximum(ids_full[t_total], 1)
     counts_in = jnp.zeros((1, t_total), jnp.int32)
 
     center_spec = pl.BlockSpec(
@@ -1944,10 +2000,9 @@ def frontier_shard_round_packed(block, tops, bottoms, dirty, interpret: bool,
         input_output_aliases={1: 0, 2: 1, 3: 2, 10: 3},
         interpret=interpret,
     )(ids_full, *block, *tops, *bottoms, counts_in)
-    # processed stripes == the dirty set (dynamic grid runs exactly
+    # processed stripes == ids[0, count) (dynamic grid runs exactly
     # those); unwritten SMEM entries keep the aliased input's zeros
-    counts = jnp.where(dirty, outs[3][0, :], 0)
-    return PackedTable(*outs[:3]), counts
+    return PackedTable(*outs[:3]), outs[3][0, :]
 
 
 # ------------------------------------------------------------ halo (big P)

@@ -345,10 +345,11 @@ def ring_round_shardmap_packed(table, mesh, wrap: bool = True):
     return PackedTable(*fields), changed
 
 
-def _frontier_ring_block_packed(wrap: bool, interpret: bool, dirty, *fields):
+def _frontier_ring_block_packed(wrap: bool, interpret: bool, ids, *fields):
     """Per-device frontier ring/chain body: ppermute the boundary rows,
-    then a local Pallas frontier round over only the dirty stripes; counts
-    psum across devices so every shard agrees on the next frontier."""
+    then a local Pallas frontier round over only the stripes in the
+    prefetched ``ids`` array; counts psum across devices so every shard
+    agrees on the next frontier."""
     from ..ops.packed import PackedTable, frontier_shard_round_packed
 
     block = PackedTable(*fields)
@@ -376,7 +377,7 @@ def _frontier_ring_block_packed(wrap: bool, interpret: bool, dirty, *fields):
     tops = tuple(jnp.concatenate([pad7, fp], axis=0) for fp in from_prev)
     bottoms = tuple(jnp.concatenate([fn, pad7], axis=0) for fn in from_next)
     new_block, counts = frontier_shard_round_packed(
-        block, tops, bottoms, dirty, interpret, vma={PEER_AXIS}
+        block, tops, bottoms, ids, interpret, vma={PEER_AXIS}
     )
     return (*new_block, jax.lax.psum(counts, PEER_AXIS))
 
@@ -392,12 +393,23 @@ def gossip_frontier_shardmap_packed(
 ):
     """Frontier convergence over the device mesh (packed ring/chain): each
     round ppermutes one boundary row per direction and runs the local
-    frontier kernel over only the stripes still changing anywhere. Dirty
-    flags stay replicated (psum-OR of per-device counts), so settled
-    stripes cost no DMA or compute on ANY device. Bit-identical final
-    state and round count to the unsharded loops (same one-round-per-
-    iteration lattice advance)."""
-    from ..ops.packed import PackedTable
+    frontier kernel over only the stripes still changing anywhere. The
+    loop carries the COMPACTED prefetch ids array, not per-stripe flags:
+    the round kernel emits per-stripe change counts, a psum agrees them
+    across devices, and one grid-step compaction kernel
+    (compact_counts_packed) rebuilds the next round's ids — the body is
+    two pallas_calls plus collectives, with no per-round XLA
+    nonzero/cumsum/concat chain (the multi-chip twin of the single-chip
+    in-kernel compaction, ops/packed.py _frontier_round_kernel_packed).
+    Settled stripes cost no DMA or compute on ANY device. Bit-identical
+    final state and round count to the unsharded loops (same
+    one-round-per-iteration lattice advance)."""
+    from ..ops.packed import (
+        PackedTable,
+        _stripe_tile_n,
+        compact_counts_packed,
+        frontier_ids_compact,
+    )
 
     fn = jax.shard_map(
         functools.partial(_frontier_ring_block_packed, wrap, interpret),
@@ -405,23 +417,31 @@ def gossip_frontier_shardmap_packed(
         in_specs=(P(), *[P(PEER_AXIS, None)] * 3),
         out_specs=(*[P(PEER_AXIS, None)] * 3, P()),
     )
+    n = table.khi.shape[1]
+    block_p = table.khi.shape[0] // mesh.devices.size
+    t_total = n // _stripe_tile_n(block_p, n)
 
     def cond(state):
-        _, dirty_f, rounds, _ = state
-        return jnp.any(dirty_f) & (rounds < max_rounds)
+        _, ids, rounds, _ = state
+        return (ids[t_total] > 0) & (rounds < max_rounds)
 
     def body(state):
-        tbl, dirty_f, rounds, _ = state
-        *fields, counts = fn(dirty_f, *tbl)
-        return PackedTable(*fields), counts > 0, rounds + 1, jnp.sum(counts)
+        tbl, ids, rounds, _ = state
+        *fields, counts = fn(ids, *tbl)
+        ids_next = compact_counts_packed(counts, interpret=interpret)
+        return (
+            PackedTable(*fields), ids_next, rounds + 1,
+            ids_next[t_total + 1],
+        )
 
-    table, dirty_f, rounds, last_changed = jax.lax.while_loop(
-        cond, body, (table, dirty, jnp.int32(0), jnp.int32(1))
+    ids0 = frontier_ids_compact(dirty, t_total)
+    table, ids_f, rounds, last_changed = jax.lax.while_loop(
+        cond, body, (table, ids0, jnp.int32(0), jnp.int32(1))
     )
     # honest residual, matching the unsharded loops: 0 IFF the frontier is
     # empty at exit (covers the nothing-dirty-at-entry case, where the
     # init sentinel 1 would otherwise leak out as last_residual)
-    last_changed = jnp.where(jnp.any(dirty_f), last_changed, 0)
+    last_changed = jnp.where(ids_f[t_total] > 0, last_changed, 0)
     return table, rounds, last_changed
 
 

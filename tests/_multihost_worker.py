@@ -2,9 +2,11 @@
 tests/test_multihost_smoke.py, one OS process per simulated host).
 
 Each process brings 2 virtual CPU devices; jax.distributed stitches them
-into one 4-device global mesh. The worker builds a globally-sharded table,
-runs one explicit shard_map ring round over it, and checks its addressable
-shards bit-match the unsharded round computed locally.
+into one 4-device global mesh. The worker covers THREE multi-chip paths
+across the real process boundary, each bit-checked against the unsharded
+twin computed locally: a dense shard_map ring round, the packed frontier
+shard_map convergence loop (final state AND round count), and the packed
+doubling-join reconcile.
 """
 
 import os
@@ -79,13 +81,88 @@ def main() -> None:
         TableState(*(jnp.asarray(f) for f in host_table)), "reference"
     )
     assert int(changed) == int(c_ref), (int(changed), int(c_ref))
-    for name, got_f, exp_f in zip(TableState._fields, merged, expected):
-        exp_np = np.asarray(exp_f)
-        for shard in got_f.addressable_shards:
-            rows = shard.index[0]
-            np.testing.assert_array_equal(
-                np.asarray(shard.data), exp_np[rows], err_msg=name
+
+    def check_shards(got, exp, names):
+        for name, got_f, exp_f in zip(names, got, exp):
+            exp_np = np.asarray(exp_f)
+            for shard in got_f.addressable_shards:
+                rows = shard.index[0]
+                np.testing.assert_array_equal(
+                    np.asarray(shard.data), exp_np[rows], err_msg=name
+                )
+
+    check_shards(merged, expected, TableState._fields)
+
+    # ---- packed frontier convergence loop across the process boundary ----
+    from bullet_tpu.ops.packed import (
+        PackedTable,
+        _stripe_tile_n,
+        frontier_tile_n,
+        gossip_frontier_packed,
+        pack_cv,
+        reconcile_packed_xla,
+    )
+    from bullet_tpu.parallel.shardmap_gossip import (
+        gossip_frontier_shardmap_packed,
+    )
+
+    pp, nn = 32, 256  # per-device block 8 rows: the sharded stripe tiles
+    cls = rng.integers(0, 4, (pp, nn), dtype=np.int32)
+    present = cls > 0
+    khi = np.where(present, rng.integers(-50, 50, (pp, nn)), 0).astype(np.int32)
+    klo = np.where(present, rng.integers(-50, 50, (pp, nn)), 0).astype(np.int32)
+    vid = np.where(present, rng.integers(1, 1 << 16, (pp, nn)), 0).astype(np.int32)
+    host_packed = [khi, klo]
+
+    psharding = NamedSharding(mesh, PartitionSpec(PEER_AXIS, None))
+    local_packed = PackedTable(
+        jnp.asarray(khi), jnp.asarray(klo),
+        pack_cv(jnp.asarray(cls), jnp.asarray(vid)),
+    )
+    cv_np = np.asarray(local_packed.cv)
+    host_packed.append(cv_np)
+    global_packed = PackedTable(
+        *(
+            jax.make_array_from_callback(
+                (pp, nn), psharding, lambda idx, f=f: f[idx]
             )
+            for f in host_packed
+        )
+    )
+
+    t_sh = nn // _stripe_tile_n(pp // 4, nn)
+    got_tbl, got_rounds, got_changed = gossip_frontier_shardmap_packed(
+        global_packed, jnp.ones(t_sh, jnp.bool_), mesh, True, 64,
+        interpret=True,
+    )
+    t_loc = nn // frontier_tile_n(pp, nn)
+    exp_tbl, exp_rounds, exp_changed = gossip_frontier_packed(
+        local_packed, jnp.ones(t_loc, jnp.bool_), True, 64,
+        interpret=True, fuse=1,
+    )
+    assert int(got_rounds) == int(exp_rounds), (
+        int(got_rounds), int(exp_rounds))
+    assert int(got_changed) == int(exp_changed) == 0
+    check_shards(got_tbl, exp_tbl, PackedTable._fields)
+
+    # ---- packed reconcile (doubling join) across the process boundary ----
+    rebuilt_global = PackedTable(
+        *(
+            jax.make_array_from_callback(
+                (pp, nn), psharding, lambda idx, f=f: f[idx]
+            )
+            for f in host_packed
+        )
+    )
+    got_rec = reconcile_packed_xla(rebuilt_global)
+    exp_rec = reconcile_packed_xla(
+        PackedTable(
+            jnp.asarray(khi), jnp.asarray(klo), jnp.asarray(cv_np)
+        )
+    )
+    check_shards(got_rec, exp_rec, PackedTable._fields)
+    # reconcile and the converged frontier loop agree (all-reachable ring)
+    check_shards(got_tbl, exp_rec, PackedTable._fields)
 
     print(f"worker {process_id}: OK", flush=True)
 
