@@ -1,0 +1,112 @@
+"""Fused-depth (M) sweep for the full-P stripe multi-round kernel.
+
+VERDICT r2 #3: M=5 was chosen from first principles (DMA ~3.8 us vs
+~2.4 us compute per block-round, docs/tpu-performance.md) but never swept.
+This measures M in {1, 5, 8, 10, 12, 16} at the north-star shape on real
+hardware: per-round throughput (the steady-state metric the bench reports)
+plus compile wall time (Mosaic unrolls M rounds per kernel, so compile cost
+grows with M and gates how big M can reasonably be).
+
+Run: BULLET_SWEEP_SHAPE=1024x1048576 python benchmarks/fuse_sweep.py
+Tunnel notes (CLAUDE.md): block_until_ready is unreliable here — completion
+is forced by a scalar readback; per-dispatch ~10 ms is amortized by fusing
+all rounds into one jit fori_loop.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+ROUNDS = 240  # divisible by every swept M
+
+
+def build_packed(num_peers, capacity):
+    from bullet_tpu.ops.packed import PackedTable
+
+    @jax.jit
+    def build():
+        row = jax.lax.broadcasted_iota(jnp.int32, (num_peers, capacity), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (num_peers, capacity), 1)
+        h = (row * 1103515245 + col * 40503) & 0x7FFFFFFF
+
+        def mix(salt, mod):
+            return ((h ^ salt) * 1664525 & 0x7FFFFFFF) % mod
+
+        cv = (mix(1, 4) << 28) | mix(4, 1 << 20)
+        return PackedTable(
+            khi=mix(2, 2000) - 1000, klo=mix(3, 2000) - 1000, cv=cv
+        )
+
+    return build
+
+
+def time_fuse(num_peers, capacity, fuse):
+    from bullet_tpu.ops.packed import (
+        ring_multiround_packed_traced,
+        ring_round_packed_traced,
+    )
+
+    def packed_round(_, t):
+        if fuse == 1:
+            t2, _c = ring_round_packed_traced(t, True, False)
+        else:
+            t2, _c = ring_multiround_packed_traced(t, True, fuse, False)
+        return t2
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(t):
+        out = jax.lax.fori_loop(0, ROUNDS // fuse, packed_round, t)
+        return jnp.sum(out.cv), out
+
+    build = build_packed(num_peers, capacity)
+    t0 = time.perf_counter()
+    s, warm = run(build())  # compile + warm
+    int(s)
+    compile_s = time.perf_counter() - t0
+    del warm
+    table = build()
+    int(jnp.sum(table.cv[:1, :128]))  # force build before timing
+    best = float("inf")
+    for _ in range(2):
+        table = build()
+        int(jnp.sum(table.cv[:1, :128]))
+        t0 = time.perf_counter()
+        s, out = run(table)
+        int(s)  # scalar readback = real completion on the tunnel
+        best = min(best, time.perf_counter() - t0)
+        table = out
+        del out
+    del table
+    merges_per_s = 2 * num_peers * capacity * ROUNDS / best
+    return merges_per_s, best, compile_s
+
+
+def main():
+    shape = os.environ.get("BULLET_SWEEP_SHAPE", "1024x1048576")
+    num_peers, capacity = (int(x) for x in shape.split("x"))
+    sweep = [int(m) for m in os.environ.get(
+        "BULLET_SWEEP_M", "1,5,8,10,12,16").split(",")]
+    print(f"# shape P={num_peers} N={capacity} rounds={ROUNDS} "
+          f"backend={jax.default_backend()}", flush=True)
+    results = []
+    for m in sweep:
+        assert ROUNDS % m == 0, m
+        merges, dt, compile_s = time_fuse(num_peers, capacity, m)
+        row = {"M": m, "merges_per_s": merges, "run_s": round(dt, 3),
+               "compile_s": round(compile_s, 1),
+               "us_per_round": round(dt / ROUNDS * 1e6, 2)}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    best = max(results, key=lambda r: r["merges_per_s"])
+    print(f"# best: M={best['M']} at {best['merges_per_s']/1e9:.1f}B merges/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1046,14 +1046,21 @@ class PeerNetworkSim:
     def _converge_frontier_spmd(self, max_rounds: int) -> int:
         """Packed frontier loop under shard_map: per-device Pallas rounds
         (interpret mode on the virtual CPU mesh), frontier psum-agreed
-        across devices."""
+        across devices. On hardware, HALO_FUSE=8 rounds fuse per
+        collective round-trip (8-row boundary ppermute + trapezoidal
+        time-tiling) — same total boundary bytes, 8x fewer collective
+        latencies; exact classic round counts (fused parity test). On CPU
+        interpret the fusion only multiplies compute, so it stays
+        hardware-only, like the local fused loops."""
+        from ..ops.packed import HALO_FUSE
         from ..parallel.shardmap_gossip import gossip_frontier_shardmap_packed
 
+        interp = jax.default_backend() != "tpu"
         t_total = self.table.khi.shape[1] // self._frontier_tile()
         self.table, rounds, final_changed = gossip_frontier_shardmap_packed(
             self.table, self._frontier_seed(t_total), self._gossip_mesh(),
             self.topology.kind == "ring", max_rounds,
-            interpret=jax.default_backend() != "tpu",
+            interpret=interp, fuse=1 if interp else HALO_FUSE,
         )
         self._finish_frontier(t_total, rounds, final_changed, max_rounds)
         return self._finish_converge(rounds, final_changed, sync_clocks=False)

@@ -2005,6 +2005,157 @@ def frontier_shard_round_packed(block, tops, bottoms, ids_full,
     return PackedTable(*outs[:3]), outs[3][0, :]
 
 
+def _frontier_shard_multiround_kernel_packed(m: int, b: int, t_total: int,
+                                             *refs):
+    """Per-device FUSED frontier body: M rounds per block-load on the
+    device-local [b, tile] stripe via the same trapezoidal time-tiling as
+    the halo fused kernel — the ppermuted 8-row neighbor snapshots buy
+    exactly 8 rounds of shrinking ext validity (ext rows [k, L-k) exact
+    after round k; the center sits 8 rows in, so M ≤ 8 keeps it exact).
+    Chain edges arrive as ZEROED snapshots, which is exact: cls=0 is the
+    join identity, so a zero row contributes nothing in any round — the
+    same absent-neighbor semantics as the classic loop's edge masking.
+    Emits per-ROUND per-stripe center change counts ([m, t_total] SMEM,
+    tiles=1 so no cross-tile accumulation) for the caller to psum; the
+    compaction into the next fused ids array happens on the REDUCED counts
+    (compact_counts_multiround_packed)."""
+    import jax.experimental.pallas as pl
+
+    ids_ref = refs[0]
+    c_refs = refs[1:4]
+    t_refs = refs[4:7]
+    b_refs = refs[7:10]
+    out_refs, cnt_out = refs[11:14], refs[14]
+
+    j = pl.program_id(0)
+    count = ids_ref[t_total]
+
+    @pl.when(j < count)
+    def _():
+        stripe = ids_ref[j]
+        ext = [
+            jnp.concatenate([t[...], c[...], bo[...]], axis=0)
+            for t, c, bo in zip(t_refs, c_refs, b_refs)
+        ]
+        for k in range(m):
+            # wrap=True always: global chain edges ride the zeroed
+            # snapshots, and ext-edge wraparound garbage stays outside
+            # the validity trapezoid
+            ext, ck = _merge_ext_round(ext, True, b, b, 0)
+            cnt_out[k, stripe] = ck
+        for out, v in zip(out_refs, ext):
+            out[...] = v[8 : 8 + b, :]
+
+
+def frontier_shard_multiround_packed(block, tops, bottoms, ids_full,
+                                     interpret: bool, vma=None):
+    """HALO_FUSE-round fused twin of frontier_shard_round_packed: ``tops``
+    / ``bottoms`` are the FULL 8-row ppermuted neighbor boundary blocks
+    (pre-fused-step snapshots), not 1-row pads. Returns (block, per-round
+    per-stripe counts [HALO_FUSE, t_total]) for the caller to psum."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n = block.khi.shape
+    tile_n = _stripe_tile_n(b, n)
+    t_total = n // tile_n
+
+    grid_j = jnp.maximum(ids_full[t_total], 1)
+    counts_in = jnp.zeros((HALO_FUSE, t_total), jnp.int32)
+
+    center_spec = pl.BlockSpec(
+        (b, tile_n), lambda j, ids: (0, ids[j]), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec(
+        (8, tile_n), lambda j, ids: (0, ids[j]), memory_space=pltpu.VMEM
+    )
+    cnt_spec = pl.BlockSpec(
+        (HALO_FUSE, t_total), lambda j, ids: (0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid_j,),  # dynamic: exactly the active stripes
+        in_specs=[center_spec] * 3 + [halo_spec] * 6 + [cnt_spec],
+        out_specs=[center_spec] * 3 + [cnt_spec],
+    )
+    kw = {} if vma is None else {"vma": frozenset(vma)}
+    outs = pl.pallas_call(
+        functools.partial(
+            _frontier_shard_multiround_kernel_packed, HALO_FUSE, b, t_total
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            *(jax.ShapeDtypeStruct((b, n), jnp.int32, **kw) for _ in range(3)),
+            jax.ShapeDtypeStruct((HALO_FUSE, t_total), jnp.int32, **kw),
+        ),
+        input_output_aliases={1: 0, 2: 1, 3: 2, 10: 3},
+        interpret=interpret,
+    )(ids_full, *block, *tops, *bottoms, counts_in)
+    return PackedTable(*outs[:3]), outs[3]
+
+
+def _compact_counts_multiround_kernel(m: int, t_total: int, counts_ref,
+                                      ids_ref):
+    """Psum-reduced [m, t_total] per-round counts → the [t_total + 3]
+    fused ids layout: a stripe stays dirty IFF round m still changed it
+    somewhere (counts[m-1] > 0); [t_total+1] accumulates the block total
+    and [t_total+2] the max last-changing round across stripes — exactly
+    what frontier_fused_loop reconstructs classic round counts from."""
+    import jax.experimental.pallas as pl
+
+    def body(t, carry):
+        k, total, max_last = carry
+        stripe_total = jnp.int32(0)
+        last = jnp.int32(0)
+        for r in range(m):
+            c = counts_ref[r, t]
+            stripe_total = stripe_total + c
+            last = jnp.where(c > 0, jnp.int32(r + 1), last)
+
+        @pl.when(last == m)
+        def _():
+            ids_ref[0, k] = t
+
+        return (
+            k + jnp.where(last == m, 1, 0).astype(jnp.int32),
+            total + stripe_total,
+            jnp.maximum(max_last, last),
+        )
+
+    k, total, max_last = jax.lax.fori_loop(
+        0, t_total, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    )
+    ids_ref[0, t_total] = k
+    ids_ref[0, t_total + 1] = total
+    ids_ref[0, t_total + 2] = max_last
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compact_counts_multiround_packed(counts, interpret: bool = False):
+    """[m, t_total] psum'd per-round counts → [t_total + 3] fused ids
+    array, one tiny Pallas call (fused twin of compact_counts_packed)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, t_total = counts.shape
+    out = pl.pallas_call(
+        functools.partial(_compact_counts_multiround_kernel, m, t_total),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(
+                (m, t_total), lambda i: (0, 0), memory_space=pltpu.SMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_total + 3), lambda i: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, t_total + 3), jnp.int32),
+        interpret=interpret,
+    )(counts)
+    return out[0]
+
+
 # ------------------------------------------------------------ halo (big P)
 
 

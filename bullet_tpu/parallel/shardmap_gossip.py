@@ -382,14 +382,53 @@ def _frontier_ring_block_packed(wrap: bool, interpret: bool, ids, *fields):
     return (*new_block, jax.lax.psum(counts, PEER_AXIS))
 
 
+def _frontier_ring_block_multiround_packed(wrap: bool, interpret: bool, ids,
+                                           *fields):
+    """FUSED per-device frontier body: ppermute the FULL 8-row boundary
+    blocks once, then run HALO_FUSE rounds entirely in VMEM (trapezoidal
+    time-tiling — the 8-row snapshots buy exactly 8 exact rounds for the
+    center). One collective round-trip per 8 gossip rounds instead of per
+    round: same total boundary bytes, 8x fewer collective latencies and
+    block DMAs. Per-round per-stripe counts psum across devices."""
+    from ..ops.packed import PackedTable, frontier_shard_multiround_packed
+
+    block = PackedTable(*fields)
+    axis_size = jax.lax.axis_size(PEER_AXIS)
+    idx = jax.lax.axis_index(PEER_AXIS)
+    fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+    from_prev = [
+        jax.lax.ppermute(f[-8:, :], PEER_AXIS, fwd) for f in block
+    ]
+    from_next = [
+        jax.lax.ppermute(f[:8, :], PEER_AXIS, bwd) for f in block
+    ]
+    if not wrap:
+        # zeroed snapshots are exact absent-neighbor semantics: cls=0 is
+        # the join identity through every fused round
+        is_first = idx == 0
+        is_last = idx == axis_size - 1
+        from_prev = [
+            jnp.where(is_first, jnp.zeros_like(f), f) for f in from_prev
+        ]
+        from_next = [
+            jnp.where(is_last, jnp.zeros_like(f), f) for f in from_next
+        ]
+    new_block, counts = frontier_shard_multiround_packed(
+        block, tuple(from_prev), tuple(from_next), ids, interpret,
+        vma={PEER_AXIS},
+    )
+    return (*new_block, jax.lax.psum(counts, PEER_AXIS))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "wrap", "max_rounds", "interpret"),
+    static_argnames=("mesh", "wrap", "max_rounds", "interpret", "fuse"),
     donate_argnums=(0,),
 )
 def gossip_frontier_shardmap_packed(
     table, dirty: jax.Array, mesh, wrap: bool, max_rounds: int,
-    interpret: bool = False,
+    interpret: bool = False, fuse: int = 1,
 ):
     """Frontier convergence over the device mesh (packed ring/chain): each
     round ppermutes one boundary row per direction and runs the local
@@ -403,11 +442,22 @@ def gossip_frontier_shardmap_packed(
     in-kernel compaction, ops/packed.py _frontier_round_kernel_packed).
     Settled stripes cost no DMA or compute on ANY device. Bit-identical
     final state and round count to the unsharded loops (same
-    one-round-per-iteration lattice advance)."""
+    one-round-per-iteration lattice advance).
+
+    ``fuse`` > 1 (must be HALO_FUSE) runs 8 gossip rounds per collective
+    round-trip: the body ppermutes the FULL 8-row boundary blocks and the
+    per-device kernel time-tiles 8 rounds in VMEM
+    (_frontier_shard_multiround_kernel_packed). Exact classic round counts
+    and last-round residuals are reconstructed via the shared
+    frontier_fused_loop driver (fused phase stops strictly before
+    max_rounds; a single-round tail finishes)."""
     from ..ops.packed import (
+        HALO_FUSE,
         PackedTable,
         _stripe_tile_n,
+        compact_counts_multiround_packed,
         compact_counts_packed,
+        frontier_fused_loop,
         frontier_ids_compact,
     )
 
@@ -421,18 +471,47 @@ def gossip_frontier_shardmap_packed(
     block_p = table.khi.shape[0] // mesh.devices.size
     t_total = n // _stripe_tile_n(block_p, n)
 
+    def round1(tbl, ids):
+        *fields, counts = fn(ids, *tbl)
+        return (
+            PackedTable(*fields),
+            compact_counts_packed(counts, interpret=interpret),
+        )
+
+    if fuse > 1:
+        assert fuse == HALO_FUSE, (
+            "the 8-row boundary exchange pins the spmd fuse depth"
+        )
+        fn_m = jax.shard_map(
+            functools.partial(
+                _frontier_ring_block_multiround_packed, wrap, interpret
+            ),
+            mesh=mesh,
+            in_specs=(P(), *[P(PEER_AXIS, None)] * 3),
+            out_specs=(*[P(PEER_AXIS, None)] * 3, P()),
+        )
+
+        def roundm(tbl, ids):
+            *fields, counts = fn_m(ids, *tbl)
+            return (
+                PackedTable(*fields),
+                compact_counts_multiround_packed(
+                    counts, interpret=interpret
+                ),
+            )
+
+        return frontier_fused_loop(
+            table, dirty, t_total, max_rounds, HALO_FUSE, round1, roundm
+        )
+
     def cond(state):
         _, ids, rounds, _ = state
         return (ids[t_total] > 0) & (rounds < max_rounds)
 
     def body(state):
         tbl, ids, rounds, _ = state
-        *fields, counts = fn(ids, *tbl)
-        ids_next = compact_counts_packed(counts, interpret=interpret)
-        return (
-            PackedTable(*fields), ids_next, rounds + 1,
-            ids_next[t_total + 1],
-        )
+        tbl, ids_next = round1(tbl, ids)
+        return tbl, ids_next, rounds + 1, ids_next[t_total + 1]
 
     ids0 = frontier_ids_compact(dirty, t_total)
     table, ids_f, rounds, last_changed = jax.lax.while_loop(

@@ -389,18 +389,22 @@ def test_reconcile_applies_pending_and_notifies():
     assert sim.tables_equal() and sim.get(0, "a/b") == 99
 
 
-def test_reconcile_rejects_directed_topologies():
+def test_reconcile_directed_topology_respects_reachability():
     """Gossip is pull-based: on a weakly-connected directed graph the
-    fixed point is NOT the global join, so reconcile must refuse (review
-    session-2 finding: is_connected now checks STRONG connectivity)."""
+    fixed point is NOT the global join — each peer's is the join over its
+    reachable set, which reconcile now computes via the SCC condensation
+    (round-3 generalization; fuzz coverage in test_reconcile_weak.py)."""
     adj = np.zeros((4, 4), dtype=bool)
     for p in range(3):
-        adj[p, p + 1] = True  # p pulls from p+1 only; nothing reaches 0's
+        adj[p, p + 1] = True  # p pulls from p+1 only; nothing reaches 3's
     t = topo.from_adjacency(adj, name="directed-chain")
     assert not t.is_connected()
     sim = PeerNetworkSim(4, capacity=64, topology=t, layout="dense")
     sim.put(0, "y", 5)
-    with pytest.raises(ValueError):
-        sim.reconcile()
+    sim.put(3, "z", 9)
+    sim.reconcile()
+    assert sim.get(0, "z") == 9  # 0 reaches 3
+    assert sim.get(3, "y") is None  # nothing reaches back up
+    assert sim.last_residual == 0
     # and the symmetric chain still counts as connected
     assert topo.chain(4).is_connected()

@@ -325,3 +325,77 @@ def test_sim_packed_shardmap_frontier_with_seeding():
     assert sharded.get(0, "k/v3") == 10_000
     for f_a, f_b in zip(plain.table, sharded.table):
         np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))
+
+
+@needs_devices
+@pytest.mark.parametrize("wrap", [True, False])
+def test_frontier_shardmap_fused_parity(wrap):
+    """The FUSED spmd frontier (HALO_FUSE=8 rounds per collective via
+    8-row boundary ppermute + trapezoidal time-tiling) must bit-match the
+    unsharded classic loop in state, round count, and residual — including
+    max_rounds cutoffs landing mid-fuse-block and mid-tail."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bullet_tpu.ops.packed import (
+        HALO_FUSE,
+        PackedTable,
+        frontier_tile_n_sharded,
+        gossip_until_converged_packed,
+    )
+    from bullet_tpu.parallel.mesh import PEER_AXIS
+    from bullet_tpu.parallel.shardmap_gossip import (
+        gossip_frontier_shardmap_packed,
+    )
+
+    p, n, d = 32, 32768, 4
+    tile = frontier_tile_n_sharded(p, n, d)
+    t_total = n // tile
+    assert t_total >= 2
+
+    rng = np.random.default_rng(99)
+    khi = rng.integers(-1000, 1000, size=(p, n)).astype(np.int32)
+    klo = rng.integers(-1000, 1000, size=(p, n)).astype(np.int32)
+    cls = rng.integers(0, 4, size=(p, n)).astype(np.int32)
+    cv = ((cls << 28) | rng.integers(0, 100, size=(p, n))).astype(np.int32)
+    absent = cls == 0
+    khi[absent] = 0
+    klo[absent] = 0
+    cv[absent] = 0
+
+    kind = "ring" if wrap else "chain"
+    nb = jnp.asarray(getattr(topo, kind)(p).neighbors)
+    mesh = make_mesh(d)
+    shard = NamedSharding(mesh, P(PEER_AXIS, None))
+
+    # p+2 converges; 7 cuts mid-first-fuse-block; 12 cuts mid-tail
+    for max_rounds in (p + 2, 7, 12):
+        want, r_want, c_want = gossip_until_converged_packed(
+            PackedTable(*(jnp.array(f) for f in (khi, klo, cv))), nb, kind,
+            max_rounds,
+        )
+        tbl = PackedTable(
+            *(jax.device_put(jnp.array(f), shard) for f in (khi, klo, cv))
+        )
+        got, r_got, c_got = gossip_frontier_shardmap_packed(
+            tbl, jnp.ones(t_total, dtype=jnp.bool_), mesh, wrap, max_rounds,
+            interpret=True, fuse=HALO_FUSE,
+        )
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), (wrap, max_rounds))
+        assert int(r_want) == int(r_got), (
+            wrap, max_rounds, int(r_want), int(r_got))
+        assert int(c_want) == int(c_got), (
+            wrap, max_rounds, int(c_want), int(c_got))
+
+    # empty frontier: zero rounds, zero residual, untouched table
+    tbl = PackedTable(
+        *(jax.device_put(jnp.array(f), shard) for f in (khi, klo, cv))
+    )
+    got, r, c = gossip_frontier_shardmap_packed(
+        tbl, jnp.zeros(t_total, dtype=jnp.bool_), mesh, True, p + 2,
+        interpret=True, fuse=HALO_FUSE,
+    )
+    assert int(r) == 0 and int(c) == 0
+    for a, b in zip((khi, klo, cv), got):
+        np.testing.assert_array_equal(a, np.asarray(b))
