@@ -1086,8 +1086,9 @@ class PeerNetworkSim:
         return self._finish_converge(rounds, final_changed, sync_clocks=False)
 
     def _converge_packed_loop(self, max_rounds: int) -> int:
-        """Packed whole-table while_loop: shard_map ring/chain on a mesh,
-        stripe/halo Pallas rounds on one chip, XLA otherwise."""
+        """Packed whole-table while_loop: per-topology shard_map
+        collectives on a mesh, stripe/halo Pallas rounds on one chip, XLA
+        otherwise."""
         from ..ops.packed import gossip_until_converged_packed
 
         spmd_mesh = self._gossip_mesh()
@@ -1101,11 +1102,17 @@ class PeerNetworkSim:
                 and self._frontier_tile() > 0
             )
         )
+        hub = (
+            int(np.argmax(self.topology.degree()))
+            if self.topology.name == "star"
+            else 0
+        )
         self.table, rounds, final_changed = gossip_until_converged_packed(
             self.table, jnp.asarray(self.topology.neighbors),
             self.topology.kind, max_rounds,
             use_pallas=bool(use_pallas) and spmd_mesh is None,
             spmd_mesh=spmd_mesh,
+            topo_name=self.topology.name, hub=hub,
         )
         return self._finish_converge(rounds, final_changed, sync_clocks=False)
 

@@ -2331,7 +2331,9 @@ def gossip_round_packed(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "max_rounds", "use_pallas", "spmd_mesh"),
+    static_argnames=(
+        "kind", "max_rounds", "use_pallas", "spmd_mesh", "topo_name", "hub"
+    ),
     donate_argnums=(0,),
 )
 def gossip_until_converged_packed(
@@ -2341,17 +2343,32 @@ def gossip_until_converged_packed(
     max_rounds: int,
     use_pallas: bool = False,
     spmd_mesh=None,
+    topo_name: str = "",
+    hub: int = 0,
 ) -> Tuple[PackedTable, jax.Array]:
     """Packed convergence loop: compiled while_loop, donated carry — the
     north-star shape runs with a single table-sized HBM allocation. With
-    ``spmd_mesh`` the body is the explicit shard_map ring/chain round."""
+    ``spmd_mesh`` the body is the explicit shard_map collective for the
+    topology family (ppermute ring/chain, recursive-doubling mesh,
+    lattice+hub star when ``topo_name`` says so, masked all_gather
+    otherwise) — the packed twin of the dense dispatch."""
 
     def round_fn(tbl):
-        if spmd_mesh is not None and kind in ("ring", "chain"):
-            from ..parallel.shardmap_gossip import ring_round_shardmap_packed
+        if spmd_mesh is not None:
+            from ..parallel import shardmap_gossip as smg
 
-            return ring_round_shardmap_packed(
-                tbl, spmd_mesh, wrap=kind == "ring"
+            if kind in ("ring", "chain"):
+                return smg.ring_round_shardmap_packed(
+                    tbl, spmd_mesh, wrap=kind == "ring"
+                )
+            if kind == "mesh":
+                return smg.mesh_round_shardmap_packed(tbl, spmd_mesh)
+            if topo_name == "star":
+                return smg.star_round_shardmap_packed(
+                    tbl, spmd_mesh, hub=hub
+                )
+            return smg.generic_round_shardmap_packed(
+                tbl, neighbors, spmd_mesh
             )
         if use_pallas and kind in ("ring", "chain"):
             p, n = tbl.khi.shape

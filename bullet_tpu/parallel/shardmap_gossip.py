@@ -113,18 +113,18 @@ def ring_round_shardmap(
 # ---------------------------------------------------------------- full mesh
 
 
-def _global_roll(block: TableState, s: int, axis_size: int, b: int) -> TableState:
+def _global_roll(block, s: int, axis_size: int, b: int, ctor=TableState):
     """Global ``jnp.roll(·, s, axis=0)`` over the sharded peer axis: rows hop
     ``s // b`` whole devices by ppermute, the ``s % b`` remainder splices the
     boundary between two permuted blocks."""
     s %= axis_size * b
     d, r = divmod(s, b)
 
-    def permute(tbl: TableState, hops: int) -> TableState:
+    def permute(tbl, hops: int):
         if hops % axis_size == 0:
             return tbl
         perm = [(i, (i + hops) % axis_size) for i in range(axis_size)]
-        return TableState(
+        return ctor(
             *(jax.lax.ppermute(f, PEER_AXIS, perm) for f in tbl)
         )
 
@@ -132,7 +132,7 @@ def _global_roll(block: TableState, s: int, axis_size: int, b: int) -> TableStat
     if r == 0:
         return from_d
     from_d1 = permute(block, d + 1)
-    return TableState(
+    return ctor(
         *(
             jnp.concatenate([f1[b - r :], f0[: b - r]], axis=0)
             for f0, f1 in zip(from_d, from_d1)
@@ -140,18 +140,24 @@ def _global_roll(block: TableState, s: int, axis_size: int, b: int) -> TableStat
     )
 
 
-def _mesh_block(mode: str, steps: int, axis_size: int, *fields):
+def _mesh_exchange(ctor, merge, steps: int, axis_size: int, block):
     """Recursive doubling (matches gossip_round_mesh exactly): merge with the
     current table rolled by 2^k, k = 0..steps-1. The loop is a static unroll
     because each step's ppermute permutation differs (log2(P) steps)."""
-    block = TableState(*fields)
-    b = block.cls.shape[0]
+    b = block[0].shape[0]
     total = jnp.int32(0)
     for k in range(steps):
-        rolled = _global_roll(block, 1 << k, axis_size, b)
-        block, c = _lexmax(block, rolled, mode)
+        rolled = _global_roll(block, 1 << k, axis_size, b, ctor)
+        block, c = merge(block, rolled)
         total = total + c
     return (*block, jax.lax.psum(total, PEER_AXIS))
+
+
+def _mesh_block(mode: str, steps: int, axis_size: int, *fields):
+    return _mesh_exchange(
+        TableState, lambda a, b: _lexmax(a, b, mode), steps, axis_size,
+        TableState(*fields),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "mode"))
@@ -175,41 +181,40 @@ def mesh_round_shardmap(
 # --------------------------------------------------------------------- star
 
 
-def _star_block(mode: str, hub_dev: int, hub_row: int, *fields):
+def _star_exchange(ctor, merge, hub_dev: int, hub_row: int, block):
     """Hub = lattice max of all rows (local reduce → all_gather of one row
     per device → device reduce); spokes merge the hub's PRE-round row."""
-    block = TableState(*fields)
-    b = block.cls.shape[0]
+    b = block[0].shape[0]
     idx = jax.lax.axis_index(PEER_AXIS)
     on_hub_dev = idx == hub_dev
 
     # hub's pre-round row: every device contributes its local hub_row
     # candidate; the all_gather stack is indexed at the owning device
-    cand = TableState(*(f[hub_row : hub_row + 1] for f in block))
-    stack = TableState(
+    cand = ctor(*(f[hub_row : hub_row + 1] for f in block))
+    stack = ctor(
         *(
             jax.lax.all_gather(f, PEER_AXIS, axis=0, tiled=True)
             for f in cand
         )
     )  # [D, N]
-    hub_old = TableState(*(f[hub_dev : hub_dev + 1] for f in stack))
+    hub_old = ctor(*(f[hub_dev : hub_dev + 1] for f in stack))
 
     # spokes merge hub_old (the hub row merging itself is an idempotent
     # no-op contributing zero to the change count)
-    bcast = TableState(
+    bcast = ctor(
         *(jnp.broadcast_to(f, (b, f.shape[1])) for f in hub_old)
     )
-    merged, c_spokes = _lexmax(block, bcast, mode)
+    merged, c_spokes = merge(block, bcast)
 
     # hub's new row: lattice max over ALL peer rows (includes hub itself)
     def row_reduce(k, acc):
-        row = TableState(*(jax.lax.dynamic_slice_in_dim(f, k, 1) for f in block))
-        m, _ = _lexmax(acc, row, mode)
+        row = ctor(*(jax.lax.dynamic_slice_in_dim(f, k, 1) for f in block))
+        m, _ = merge(acc, row)
         return m
 
-    local_max = TableState(*(f[0:1] for f in block))
+    local_max = ctor(*(f[0:1] for f in block))
     local_max = jax.lax.fori_loop(1, b, row_reduce, local_max)
-    gstack = TableState(
+    gstack = ctor(
         *(
             jax.lax.all_gather(f, PEER_AXIS, axis=0, tiled=True)
             for f in local_max
@@ -217,17 +222,17 @@ def _star_block(mode: str, hub_dev: int, hub_row: int, *fields):
     )  # [D, N]
 
     def dev_reduce(k, acc):
-        row = TableState(*(jax.lax.dynamic_slice_in_dim(f, k, 1) for f in gstack))
-        m, _ = _lexmax(acc, row, mode)
+        row = ctor(*(jax.lax.dynamic_slice_in_dim(f, k, 1) for f in gstack))
+        m, _ = merge(acc, row)
         return m
 
-    gmax = TableState(*(f[0:1] for f in gstack))
-    gmax = jax.lax.fori_loop(1, gstack.cls.shape[0], dev_reduce, gmax)
-    new_hub, c_hub = _lexmax(hub_old, gmax, mode)
+    gmax = ctor(*(f[0:1] for f in gstack))
+    gmax = jax.lax.fori_loop(1, gstack[0].shape[0], dev_reduce, gmax)
+    new_hub, c_hub = merge(hub_old, gmax)
 
     rows = jnp.arange(b)[:, None]
     sel = on_hub_dev & (rows == hub_row)
-    out = TableState(
+    out = ctor(
         *(
             jnp.where(sel, jnp.broadcast_to(nh, f.shape), f)
             for f, nh in zip(merged, new_hub)
@@ -237,6 +242,13 @@ def _star_block(mode: str, hub_dev: int, hub_row: int, *fields):
         c_spokes + jnp.where(on_hub_dev, c_hub, 0), PEER_AXIS
     )
     return (*out, changed)
+
+
+def _star_block(mode: str, hub_dev: int, hub_row: int, *fields):
+    return _star_exchange(
+        TableState, lambda a, b: _lexmax(a, b, mode), hub_dev, hub_row,
+        TableState(*fields),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "mode", "hub"))
@@ -262,21 +274,19 @@ def star_round_shardmap(
 # ---------------------------------------------------- generic (masked AG)
 
 
-def _generic_block(mode: str, *args):
+def _generic_exchange(ctor, merge, neighbors, block):
     """Masked all_gather: per neighbor column, gather the CURRENT full table
     (so within-round propagation through already-merged rows matches
     ``gossip_round_generic`` bit-exactly) and merge under the adjacency
     mask. Padded (-1) neighbors are masked to ABSENT and cannot win."""
-    neighbors, fields = args[0], args[1:]
-    block = TableState(*fields)
-    b = block.cls.shape[0]
+    b = block[0].shape[0]
     idx = jax.lax.axis_index(PEER_AXIS)
     my_rows = idx * b + jnp.arange(b)
     my_nbrs = neighbors[my_rows]  # [b, max_deg]
 
     def body(k, carry):
         blk, total = carry
-        full = TableState(
+        full = ctor(
             *(
                 jax.lax.all_gather(f, PEER_AXIS, axis=0, tiled=True)
                 for f in blk
@@ -285,10 +295,10 @@ def _generic_block(mode: str, *args):
         col = jax.lax.dynamic_index_in_dim(my_nbrs, k, axis=1, keepdims=False)
         valid = (col >= 0)[:, None]
         safe = jnp.where(col >= 0, col, 0)
-        gathered = TableState(
+        gathered = ctor(
             *(jnp.where(valid, f[safe], jnp.zeros_like(f[safe])) for f in full)
         )
-        blk, c = _lexmax(blk, gathered, mode)
+        blk, c = merge(blk, gathered)
         return blk, total + c
 
     # the count carry must enter the loop already device-varying, or the
@@ -296,6 +306,14 @@ def _generic_block(mode: str, *args):
     zero = jax.lax.pcast(jnp.int32(0), PEER_AXIS, to="varying")
     block, total = jax.lax.fori_loop(0, my_nbrs.shape[1], body, (block, zero))
     return (*block, jax.lax.psum(total, PEER_AXIS))
+
+
+def _generic_block(mode: str, *args):
+    neighbors, fields = args[0], args[1:]
+    return _generic_exchange(
+        TableState, lambda a, b: _lexmax(a, b, mode), neighbors,
+        TableState(*fields),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "mode"))
@@ -343,6 +361,108 @@ def ring_round_shardmap_packed(table, mesh, wrap: bool = True):
     )
     *fields, changed = fn(*table)
     return PackedTable(*fields), changed
+
+
+def _mesh_block_packed(steps: int, axis_size: int, *fields):
+    from ..ops.packed import PackedTable, merge_packed_xla
+
+    return _mesh_exchange(
+        PackedTable, merge_packed_xla, steps, axis_size,
+        PackedTable(*fields),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def mesh_round_shardmap_packed(table, mesh):
+    """One full-mesh round on the packed layout, explicitly SPMD
+    (recursive-doubling ppermute; bit-identical to the unsharded packed
+    mesh round, change counts included)."""
+    from ..ops.packed import PackedTable
+
+    num_peers = table.khi.shape[0]
+    steps = max(1, (num_peers - 1).bit_length())
+    fn = jax.shard_map(
+        functools.partial(_mesh_block_packed, steps, mesh.devices.size),
+        mesh=mesh,
+        in_specs=tuple(P(PEER_AXIS, None) for _ in range(3)),
+        out_specs=(*[P(PEER_AXIS, None)] * 3, P()),
+    )
+    *fields, changed = fn(*table)
+    return PackedTable(*fields), changed
+
+
+def _star_block_packed(hub_dev: int, hub_row: int, *fields):
+    from ..ops.packed import PackedTable, merge_packed_xla
+
+    return _star_exchange(
+        PackedTable, merge_packed_xla, hub_dev, hub_row,
+        PackedTable(*fields),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "hub"))
+def star_round_shardmap_packed(table, mesh, hub: int = 0):
+    """One star round on the packed layout (lattice all-reduce hub + one-row
+    hub broadcast), explicitly SPMD; same change-count convention as the
+    dense star collective."""
+    from ..ops.packed import PackedTable
+
+    b = table.khi.shape[0] // mesh.devices.size
+    hub_dev, hub_row = divmod(hub, b)
+    fn = jax.shard_map(
+        functools.partial(_star_block_packed, hub_dev, hub_row),
+        mesh=mesh,
+        in_specs=tuple(P(PEER_AXIS, None) for _ in range(3)),
+        out_specs=(*[P(PEER_AXIS, None)] * 3, P()),
+    )
+    *fields, changed = fn(*table)
+    return PackedTable(*fields), changed
+
+
+def _generic_block_packed(*args):
+    from ..ops.packed import PackedTable, merge_packed_xla
+
+    neighbors, fields = args[0], args[1:]
+    return _generic_exchange(
+        PackedTable, merge_packed_xla, neighbors, PackedTable(*fields)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def generic_round_shardmap_packed(table, neighbors: jax.Array, mesh):
+    """One round over an arbitrary adjacency on the packed layout (masked
+    all_gather); bit-identical to the unsharded generic packed round."""
+    from ..ops.packed import PackedTable
+
+    fn = jax.shard_map(
+        _generic_block_packed,
+        mesh=mesh,
+        in_specs=(P(), *[P(PEER_AXIS, None)] * 3),
+        out_specs=(*[P(PEER_AXIS, None)] * 3, P()),
+    )
+    *fields, changed = fn(neighbors, *table)
+    return PackedTable(*fields), changed
+
+
+def shardmap_round_packed(table, topology, mesh):
+    """Dispatch one explicit-SPMD round for any topology on the packed
+    layout — the packed twin of ``shardmap_round`` (ppermute ring/chain,
+    recursive-doubling mesh, lattice+hub star, masked all_gather
+    otherwise)."""
+    import numpy as np
+
+    if topology.kind in ("ring", "chain"):
+        return ring_round_shardmap_packed(
+            table, mesh, wrap=topology.kind == "ring"
+        )
+    if topology.kind == "mesh":
+        return mesh_round_shardmap_packed(table, mesh)
+    if topology.name == "star":
+        hub = int(np.argmax(topology.degree()))
+        return star_round_shardmap_packed(table, mesh, hub=hub)
+    return generic_round_shardmap_packed(
+        table, jnp.asarray(topology.neighbors), mesh
+    )
 
 
 def _frontier_ring_block_packed(wrap: bool, interpret: bool, ids, *fields):

@@ -399,3 +399,122 @@ def test_frontier_shardmap_fused_parity(wrap):
     assert int(r) == 0 and int(c) == 0
     for a, b in zip((khi, klo, cv), got):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+# -------------------- packed mesh / star / generic collectives (round 3)
+
+
+def random_packed(p, n, seed=0):
+    from bullet_tpu.ops.packed import PackedTable
+
+    rng = np.random.default_rng(seed)
+    cls = rng.integers(0, 4, size=(p, n)).astype(np.int32)
+    present = cls > 0
+    khi = np.where(present, rng.integers(-1000, 1000, (p, n)), 0)
+    klo = np.where(present, rng.integers(-1000, 1000, (p, n)), 0)
+    cv = np.where(present, (cls << 28) | rng.integers(0, 100, (p, n)), 0)
+    return PackedTable(
+        jnp.asarray(khi.astype(np.int32)),
+        jnp.asarray(klo.astype(np.int32)),
+        jnp.asarray(cv.astype(np.int32)),
+    )
+
+
+def shard_packed(t, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bullet_tpu.ops.packed import PackedTable
+    from bullet_tpu.parallel.mesh import PEER_AXIS
+
+    s = NamedSharding(mesh, P(PEER_AXIS, None))
+    return PackedTable(*(jax.device_put(f, s) for f in t))
+
+
+@needs_devices
+def test_shardmap_mesh_packed_matches_xla():
+    from bullet_tpu.ops.packed import gossip_round_mesh_packed
+    from bullet_tpu.parallel.shardmap_gossip import mesh_round_shardmap_packed
+
+    t = random_packed(16, 128, seed=21)
+    mesh = make_mesh()
+    expected, c_ref = gossip_round_mesh_packed(t)
+    got, c_got = mesh_round_shardmap_packed(shard_packed(t, mesh), mesh)
+    for a, b in zip(expected, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(c_ref) == int(c_got)
+
+
+@needs_devices
+@pytest.mark.parametrize("hub", [0, 5, 15])
+def test_shardmap_star_packed_matches_generic(hub):
+    from bullet_tpu.ops.packed import gossip_round_generic_packed
+    from bullet_tpu.parallel.shardmap_gossip import star_round_shardmap_packed
+
+    t = random_packed(16, 128, seed=23 + hub)
+    star = topo.star(16, hub=hub)
+    mesh = make_mesh()
+    expected, c_ref = gossip_round_generic_packed(
+        t, jnp.asarray(star.neighbors)
+    )
+    got, c_got = star_round_shardmap_packed(
+        shard_packed(t, mesh), mesh, hub=hub
+    )
+    for a, b in zip(expected, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # star count convention: zero/nonzero must agree (drives the loop)
+    assert (int(c_ref) > 0) == (int(c_got) > 0)
+
+
+@needs_devices
+@pytest.mark.parametrize("make_topo", [
+    lambda: topo.bridge((3, 4), 1),
+    lambda: topo.random_graph(16, 3, seed=31),
+    lambda: topo.ring(16).drop_links([(3, 4)]),
+])
+def test_shardmap_generic_packed_matches_xla(make_topo):
+    from bullet_tpu.ops.packed import gossip_round_generic_packed
+    from bullet_tpu.parallel.shardmap_gossip import (
+        generic_round_shardmap_packed,
+    )
+
+    t_opo = make_topo()
+    p = t_opo.num_peers
+    if p % 8:
+        pad = 8 - p % 8
+        arr = np.full((p + pad, t_opo.neighbors.shape[1]), -1, dtype=np.int32)
+        arr[:p] = t_opo.neighbors
+        neighbors = arr
+        p += pad
+    else:
+        neighbors = t_opo.neighbors
+    t = random_packed(p, 128, seed=33)
+    mesh = make_mesh()
+    nb = jnp.asarray(neighbors)
+    expected, c_ref = gossip_round_generic_packed(t, nb)
+    got, c_got = generic_round_shardmap_packed(shard_packed(t, mesh), nb, mesh)
+    for a, b in zip(expected, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(c_ref) == int(c_got)
+
+
+@needs_devices
+@pytest.mark.parametrize("topology", ["mesh", "star", "bridge"])
+def test_sim_packed_shardmap_all_topologies(topology):
+    """Sim-level: the packed sharded sim's per-topology collectives reach
+    the same fixed point as the unsharded packed sim."""
+    def run(**kw):
+        sim = PeerNetworkSim(
+            16, capacity=64, topology=topology, layout="packed", **kw
+        )
+        rng = np.random.default_rng(37)
+        for _ in range(40):
+            sim.put(int(rng.integers(sim.num_peers)),
+                    f"k/v{int(rng.integers(6))}", int(rng.integers(1000)))
+        sim.run_until_converged()
+        assert sim.tables_equal()
+        return [np.asarray(f) for f in sim.table]
+
+    plain = run()
+    spmd = run(mesh_devices=8, use_shard_map=True)
+    for a, b in zip(plain, spmd):
+        np.testing.assert_array_equal(a, b)
