@@ -42,6 +42,15 @@ def main() -> None:
     assert all(sim.get(p, "during_partition/from_a") is None for p in cluster_b)
     print("Clusters converge internally but not across the partition")
 
+    # reconcile() understands partitions too: it lands each component on
+    # its own fixed point directly (SCC condensation), without simulating
+    # rounds — same states the loop above reached
+    sim.put(3, "during_partition/more_a", 7)
+    sim.reconcile()
+    assert all(sim.get(p, "during_partition/more_a") == 7 for p in cluster_a)
+    assert all(sim.get(p, "during_partition/more_a") is None for p in cluster_b)
+    print("Direct reconcile() respects the partition (per-component joins)")
+
     print("Healing the bridge...")
     sim.topology = healthy
     rounds = sim.run_until_converged()
