@@ -46,12 +46,18 @@ def test_engine_matches_networked_db_pair(seed):
         floor[(who, key)] = value
         ops.append((who, key, value))
 
-    # --- real networked pair
+    # --- real networked pair. connect_sync_delay is LARGE on purpose: the
+    # automatic post-connect sync must not race the op loop below — a sync
+    # landing mid-sequence exchanges clocks early, after which a later
+    # write's clock can DOMINATE the other peer's larger value (legitimate
+    # reference semantics, but timing-dependent). Deferring all anti-entropy
+    # until after the writes keeps the session deterministic: final clocks
+    # are concurrent, so resolution is by value — the engine's order.
     p1 = bt.create({"storage": False, "host": "127.0.0.1", "port": 0,
-                    "connect_sync_delay": 0.05})
+                    "connect_sync_delay": 600})
     p2 = bt.create({"storage": False, "host": "127.0.0.1", "port": 0,
                     "peers": [f"tcp://127.0.0.1:{p1.network.port}"],
-                    "connect_sync_delay": 0.05})
+                    "connect_sync_delay": 600})
     try:
         assert wait_for(lambda: p1.network.peers and p2.network.peers)
         peers = (p1, p2)
