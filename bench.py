@@ -108,11 +108,14 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
 
         from bullet_tpu.ops.packed import ring_multiround_packed_traced
 
-        # M=5 rounds fuse per block-load: the full-P stripe holds every
-        # peer in VMEM, so consecutive rounds amortize the block's HBM
-        # read+write (DMA-bound 54 B/s -> compute-bound ~89 B/s on v5e);
-        # states stay bit-identical to M sequential rounds (tested)
-        fuse = 5
+        # STRIPE_FUSE rounds fuse per block-load: the full-P stripe holds
+        # every peer in VMEM, so consecutive rounds amortize the block's
+        # HBM read+write (DMA-bound ~55 B/s -> compute-bound ~94 B/s on
+        # v5e; swept in benchmarks/fuse_sweep.py); states stay
+        # bit-identical to M sequential rounds (tested)
+        from bullet_tpu.ops.packed import STRIPE_FUSE
+
+        fuse = STRIPE_FUSE
         while rounds % fuse:
             fuse -= 1
 
@@ -177,10 +180,13 @@ def main() -> None:
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     if on_tpu:
-        num_peers, capacity, rounds = 256, 1 << 18, 30
+        # rounds must be a multiple of STRIPE_FUSE=8 so the packed impl
+        # runs the tuned fuse depth (the while loop would silently degrade
+        # an indivisible count)
+        num_peers, capacity, rounds = 256, 1 << 18, 32
         # ordered best-first; the rest are FALLBACKS only (each impl costs
         # minutes of compile through the tunnel, and the measured order is
-        # stable: packed+fused 88.8B > lean 17.6B > fused 9.7B > xla 5.1B)
+        # stable: packed+fused 93.7B > lean 17.6B > fused 9.7B > xla 5.1B)
         impls = ["packed", "lean", "fused", "xla"]
     else:  # CPU smoke sizing
         num_peers, capacity, rounds = 16, 1 << 14, 5

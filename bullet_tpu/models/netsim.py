@@ -75,6 +75,12 @@ CONVERGENCE_STRATEGIES: Tuple[Tuple[str, Callable, str], ...] = (
         "_converge_packed_loop",
     ),
     (
+        "dense-frontier-spmd",  # dense shard_map frontier loop
+        lambda c: c.layout == "dense" and c.spmd and c.frontier
+        and c.ring_chain and c.pallas,
+        "_converge_dense_frontier_spmd",
+    ),
+    (
         "dense-frontier",  # dense-layout compacting frontier (full/lean)
         lambda c: not c.spmd and not c.data_mesh and c.frontier
         and c.ring_chain and c.pallas,
@@ -931,12 +937,19 @@ class PeerNetworkSim:
             if mesh is not None:
                 return frontier_tile_n_sharded(p, n, mesh.devices.size)
             return frontier_tile_n(p, n)
-        # dense: full-P stripe frontier, unsharded only
-        if self.mesh is not None:
-            return 0
-        from ..ops.ring_kernel import frontier_tile_n_dense
+        from ..ops.ring_kernel import (
+            frontier_tile_n_dense,
+            frontier_tile_n_dense_sharded,
+        )
 
         p, n = self.table.cls.shape
+        mesh = self._gossip_mesh()
+        if mesh is not None:
+            return frontier_tile_n_dense_sharded(
+                p, n, mesh.devices.size, self.lean_gossip
+            )
+        if self.mesh is not None:
+            return 0  # data-sharded without shard_map: whole-table loops
         return frontier_tile_n_dense(p, n, self.lean_gossip)
 
     def _one_round(self):
@@ -1073,14 +1086,14 @@ class PeerNetworkSim:
         interpret the fusion has no DMA to amortize and only multiplies
         compute, so it stays hardware-only (the fused paths are covered by
         dedicated parity tests in interpret mode)."""
-        from ..ops.packed import gossip_frontier_packed
+        from ..ops.packed import STRIPE_FUSE, gossip_frontier_packed
 
         t_total = self.table.khi.shape[1] // self._frontier_tile()
         interp = jax.default_backend() != "tpu"
         self.table, rounds, final_changed = gossip_frontier_packed(
             self.table, self._frontier_seed(t_total),
             self.topology.kind == "ring", max_rounds, interpret=interp,
-            fuse=1 if interp else 5,
+            fuse=1 if interp else STRIPE_FUSE,
         )
         self._finish_frontier(t_total, rounds, final_changed, max_rounds)
         return self._finish_converge(rounds, final_changed, sync_clocks=False)
@@ -1116,8 +1129,24 @@ class PeerNetworkSim:
         )
         return self._finish_converge(rounds, final_changed, sync_clocks=False)
 
+    def _converge_dense_frontier_spmd(self, max_rounds: int) -> int:
+        """Dense-layout frontier loop under shard_map: per-device dense
+        frontier kernel + boundary ppermute + psum'd counts, compacted
+        into the next prefetch ids by the shared one-grid-step kernel."""
+        from ..parallel.shardmap_gossip import gossip_frontier_shardmap_dense
+
+        t_total = self.table.cls.shape[1] // self._frontier_tile()
+        self.table, rounds, final_changed = gossip_frontier_shardmap_dense(
+            self.table, self._frontier_seed(t_total), self._gossip_mesh(),
+            self.topology.kind == "ring", self.mode, self.lean_gossip,
+            max_rounds, interpret=jax.default_backend() != "tpu",
+        )
+        self._finish_frontier(t_total, rounds, final_changed, max_rounds)
+        return self._finish_converge(rounds, final_changed, sync_clocks=True)
+
     def _converge_dense_frontier(self, max_rounds: int) -> int:
         """Dense-layout compacting frontier (full-metadata or lean)."""
+        from ..ops.packed import STRIPE_FUSE
         from ..ops.ring_kernel import gossip_frontier_dense
 
         t_total = self.table.cls.shape[1] // self._frontier_tile()
@@ -1125,7 +1154,7 @@ class PeerNetworkSim:
         self.table, rounds, final_changed = gossip_frontier_dense(
             self.table, self._frontier_seed(t_total),
             self.topology.kind == "ring", self.mode, self.lean_gossip,
-            max_rounds, interpret=interp, fuse=1 if interp else 5,
+            max_rounds, interpret=interp, fuse=1 if interp else STRIPE_FUSE,
         )
         self._finish_frontier(t_total, rounds, final_changed, max_rounds)
         return self._finish_converge(rounds, final_changed, sync_clocks=True)

@@ -1353,6 +1353,14 @@ def _frontier_halo_kernel_packed(wrap: bool, tile_p: int, num_peers: int,
 # sits 8 rows in)
 HALO_FUSE = 8
 
+# fused rounds per block-load on full-P stripe shapes. Swept on v5e at the
+# north-star shape (benchmarks/fuse_sweep.py, P=1024 N=1M, 240 rounds):
+# M=1 55.8 B merges/s, M=5 93.1, M=8 93.7 (best), M=10 91.2, M=12 91.1,
+# M=16 76.6 — a flat compute-bound plateau across 5-12 (the DMA is fully
+# amortized by M=5; past M=12 Mosaic's schedule degrades). 8 edges out 5
+# and matches the halo fuse depth.
+STRIPE_FUSE = 8
+
 
 def _merge_ext_round(ext, wrap: bool, tile_p: int, num_peers: int, i):
     """One ring/chain round on an EXTENDED halo tile (8 snapshot rows +

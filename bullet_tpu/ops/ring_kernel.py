@@ -549,6 +549,136 @@ def _frontier_fullp_kernel_dense(nf: int, mode: str, wrap: bool,
             )
 
 
+def _frontier_shard_kernel_dense(nf: int, mode: str, b: int, t_total: int,
+                                 *refs):
+    """Per-device dense frontier ring/chain round (shard_map body twin of
+    ops.packed._frontier_halo_kernel_counts with tiles=1): boundary rows
+    come from the ppermuted 8-row snapshots (row 7 above / row 0 below,
+    already zero-masked at the chain's global edges — all-zero rows are
+    the bottom of both priority orders, so they never win), only stripes
+    in the prefetched ids array are processed, and per-stripe change
+    counts are emitted for the caller to psum across devices."""
+    import jax.experimental.pallas as pl
+
+    ids_ref = refs[0]
+    c_refs = refs[1 : 1 + nf]
+    t_refs = refs[1 + nf : 1 + 2 * nf]
+    b_refs = refs[1 + 2 * nf : 1 + 3 * nf]
+    out_refs = refs[2 + 3 * nf : 2 + 4 * nf]
+    cnt_out = refs[2 + 4 * nf]
+
+    j = pl.program_id(0)
+    count = ids_ref[t_total]
+
+    @pl.when(j < count)
+    def _():
+        stripe = ids_ref[j]
+        center = [r[...] for r in c_refs]
+        row_in_block = jax.lax.broadcasted_iota(
+            jnp.int32, center[0].shape, 0
+        )
+
+        def shifted(direction: int):
+            out = []
+            for f in range(nf):
+                c = center[f]
+                if direction == +1:
+                    rolled = jnp.roll(c, 1, axis=0)
+                    fixed = jnp.where(
+                        row_in_block == 0, t_refs[f][_HALO - 1 : _HALO, :],
+                        rolled,
+                    )
+                else:
+                    rolled = jnp.roll(c, -1, axis=0)
+                    fixed = jnp.where(
+                        row_in_block == b - 1, b_refs[f][0:1, :], rolled
+                    )
+                out.append(fixed)
+            return out
+
+        def keys_of(vals):
+            if nf == 4:
+                return vals
+            return _keys(vals[:4], vals[4], vals[5], mode)
+
+        def lexmax(a_vals, b_vals):
+            return _lexmax_vals(
+                keys_of(a_vals), keys_of(b_vals), a_vals, b_vals
+            )
+
+        m1, gt1 = lexmax(center, shifted(+1))
+        m2, gt2 = lexmax(m1, shifted(-1))
+        for out, v in zip(out_refs, m2):
+            out[...] = v
+        cnt_out[0, stripe] = jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(
+            gt2.astype(jnp.int32)
+        )
+
+
+def frontier_shard_round_dense(fields, tops, bottoms, ids_full, mode: str,
+                               interpret: bool, vma=None):
+    """Per-device dense frontier round body (called inside shard_map).
+    ``fields`` is the nf-tuple of device-local [b, n] arrays (nf=4 lean,
+    nf=7 full metadata); ``tops``/``bottoms`` are [8, n] ppermuted
+    boundary snapshots. Returns (fields, per-stripe change counts)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nf = len(fields)
+    b, n = fields[0].shape
+    tile_n = frontier_tile_n_dense(b, n, nf == 4)
+    t_total = n // tile_n
+
+    grid_j = jnp.maximum(ids_full[t_total], 1)
+    counts_in = jnp.zeros((1, t_total), jnp.int32)
+
+    center_spec = pl.BlockSpec(
+        (b, tile_n), lambda j, ids: (0, ids[j]), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec(
+        (_HALO, tile_n), lambda j, ids: (0, ids[j]), memory_space=pltpu.VMEM
+    )
+    cnt_spec = pl.BlockSpec(
+        (1, t_total), lambda j, ids: (0, 0), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid_j,),  # dynamic: exactly the active stripes
+        in_specs=[center_spec] * nf + [halo_spec] * 2 * nf + [cnt_spec],
+        out_specs=[center_spec] * nf + [cnt_spec],
+    )
+    kw = {} if vma is None else {"vma": frozenset(vma)}
+    aliases = {i + 1: i for i in range(nf)}
+    aliases[1 + 3 * nf] = nf  # counts_in -> counts_out (zeros for skipped)
+    outs = pl.pallas_call(
+        functools.partial(
+            _frontier_shard_kernel_dense, nf, mode, b, t_total
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            *(jax.ShapeDtypeStruct((b, n), jnp.int32, **kw)
+              for _ in range(nf)),
+            jax.ShapeDtypeStruct((1, t_total), jnp.int32, **kw),
+        ),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(ids_full, *fields, *tops, *bottoms, counts_in)
+    return outs[:nf], outs[nf][0, :]
+
+
+def frontier_tile_n_dense_sharded(p: int, n: int, n_devices: int,
+                                  lean: bool) -> int:
+    """Per-device stripe width for the dense shard_map frontier (0 when
+    the local block can't tile) — the dense twin of
+    ops.packed.frontier_tile_n_sharded."""
+    if n_devices <= 0 or p % n_devices:
+        return 0
+    per_dev = p // n_devices
+    if per_dev % _HALO or per_dev < _HALO or n % 128:
+        return 0
+    return frontier_tile_n_dense(per_dev, n, lean)
+
+
 def frontier_tile_n_dense(p: int, n: int, lean: bool) -> int:
     """Stripe width for the dense frontier loop (0 when no full-P stripe
     fits): the lean variant carries 8 buffers so it gets twice the budget

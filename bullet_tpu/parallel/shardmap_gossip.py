@@ -502,6 +502,106 @@ def _frontier_ring_block_packed(wrap: bool, interpret: bool, ids, *fields):
     return (*new_block, jax.lax.psum(counts, PEER_AXIS))
 
 
+def _frontier_ring_block_dense(wrap: bool, mode: str, interpret: bool, ids,
+                               *fields):
+    """Per-device DENSE frontier ring/chain body (nf=4 lean or nf=7 full
+    metadata): ppermute one boundary row per direction (padded into 8-row
+    snapshots), run the local dense frontier kernel over the stripes in
+    ``ids``, psum per-stripe counts."""
+    from ..ops.ring_kernel import frontier_shard_round_dense
+
+    nf = len(fields)
+    axis_size = jax.lax.axis_size(PEER_AXIS)
+    idx = jax.lax.axis_index(PEER_AXIS)
+    fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+    from_prev = [
+        jax.lax.ppermute(f[-1:, :], PEER_AXIS, fwd) for f in fields
+    ]
+    from_next = [
+        jax.lax.ppermute(f[:1, :], PEER_AXIS, bwd) for f in fields
+    ]
+    if not wrap:
+        is_first = idx == 0
+        is_last = idx == axis_size - 1
+        from_prev = [
+            jnp.where(is_first, jnp.zeros_like(f), f) for f in from_prev
+        ]
+        from_next = [
+            jnp.where(is_last, jnp.zeros_like(f), f) for f in from_next
+        ]
+    n = fields[0].shape[1]
+    pad7 = jnp.zeros((7, n), jnp.int32)
+    tops = tuple(jnp.concatenate([pad7, fp], axis=0) for fp in from_prev)
+    bottoms = tuple(jnp.concatenate([fn, pad7], axis=0) for fn in from_next)
+    new_fields, counts = frontier_shard_round_dense(
+        fields, tops, bottoms, ids, mode, interpret, vma={PEER_AXIS}
+    )
+    return (*new_fields, jax.lax.psum(counts, PEER_AXIS))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "wrap", "mode", "lean", "max_rounds",
+                     "interpret"),
+    donate_argnums=(0,),
+)
+def gossip_frontier_shardmap_dense(
+    table: TableState, dirty: jax.Array, mesh, wrap: bool, mode: str,
+    lean: bool, max_rounds: int, interpret: bool = False,
+):
+    """Dense-layout frontier convergence over the device mesh (ring/chain)
+    — the dense twin of gossip_frontier_shardmap_packed's single-round
+    loop: compacted prefetch ids carried across rounds, per-stripe counts
+    psum'd, one-grid-step compaction kernel, no per-round XLA
+    nonzero/cumsum/concat chain. Lean sims exchange only the four
+    value-key arrays; writer/ctr/tick stay device-local and untouched
+    (the lean gossip contract)."""
+    from ..ops.packed import compact_counts_packed, frontier_ids_compact
+    from ..ops.ring_kernel import frontier_tile_n_dense_sharded
+
+    fields = (
+        (table.cls, table.khi, table.klo, table.vid)
+        if lean else tuple(table)
+    )
+    nf = len(fields)
+    fn = jax.shard_map(
+        functools.partial(_frontier_ring_block_dense, wrap, mode, interpret),
+        mesh=mesh,
+        in_specs=(P(), *[P(PEER_AXIS, None)] * nf),
+        out_specs=(*[P(PEER_AXIS, None)] * nf, P()),
+    )
+    p, n = table.cls.shape
+    t_total = n // frontier_tile_n_dense_sharded(
+        p, n, mesh.devices.size, lean
+    )
+
+    def cond(state):
+        _, ids, rounds, _ = state
+        return (ids[t_total] > 0) & (rounds < max_rounds)
+
+    def body(state):
+        flds, ids, rounds, _ = state
+        *new_fields, counts = fn(ids, *flds)
+        ids_next = compact_counts_packed(counts, interpret=interpret)
+        return (
+            tuple(new_fields), ids_next, rounds + 1, ids_next[t_total + 1]
+        )
+
+    ids0 = frontier_ids_compact(dirty, t_total)
+    fields, ids_f, rounds, last_changed = jax.lax.while_loop(
+        cond, body, (fields, ids0, jnp.int32(0), jnp.int32(1))
+    )
+    last_changed = jnp.where(ids_f[t_total] > 0, last_changed, 0)
+    if lean:
+        table = table._replace(
+            cls=fields[0], khi=fields[1], klo=fields[2], vid=fields[3]
+        )
+    else:
+        table = TableState(*fields)
+    return table, rounds, last_changed
+
+
 def _frontier_ring_block_multiround_packed(wrap: bool, interpret: bool, ids,
                                            *fields):
     """FUSED per-device frontier body: ppermute the FULL 8-row boundary

@@ -44,7 +44,9 @@ def test_every_cell_resolves_to_documented_row():
             else:
                 assert name == "packed-loop", cell
         else:
-            if pallas and rc and frontier and not spmd and not data_mesh:
+            if pallas and rc and frontier and spmd:
+                assert name == "dense-frontier-spmd", cell
+            elif pallas and rc and frontier and not spmd and not data_mesh:
                 assert name == "dense-frontier", cell
             else:
                 assert name == "dense-loop", cell
@@ -86,18 +88,22 @@ def test_live_sims_pick_expected_rows(layout, topology, want):
     assert sim.tables_equal()
 
 
-def test_live_sim_mesh_spmd_row():
+@pytest.mark.parametrize(
+    "layout,want",
+    [("packed", "packed-frontier-spmd"), ("dense", "dense-frontier-spmd")],
+)
+def test_live_sim_mesh_spmd_row(layout, want):
     import jax
 
     if len(jax.devices()) < 2:
         pytest.skip("needs the virtual multi-device mesh")
     # per-device peer block must be >= 8 rows for the sharded frontier tile
     sim = PeerNetworkSim(
-        64, capacity=256, topology="ring", layout="packed",
+        64, capacity=256, topology="ring", layout=layout,
         mesh_devices=len(jax.devices()), use_shard_map=True, use_pallas=True,
     )
     name, _ = sim._convergence_strategy()
-    assert name == "packed-frontier-spmd"
+    assert name == want
     sim.put(0, "a/b", 1)
     sim.run_until_converged()
     assert sim.tables_equal()

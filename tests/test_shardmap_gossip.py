@@ -518,3 +518,81 @@ def test_sim_packed_shardmap_all_topologies(topology):
     spmd = run(mesh_devices=8, use_shard_map=True)
     for a, b in zip(plain, spmd):
         np.testing.assert_array_equal(a, b)
+
+
+# --------------------------- dense spmd frontier (round 3)
+
+
+@needs_devices
+@pytest.mark.parametrize("wrap", [True, False])
+@pytest.mark.parametrize("mode,lean", [
+    ("reference", False), ("lww", False), ("reference", True),
+])
+def test_frontier_shardmap_dense_bitidentical(wrap, mode, lean):
+    """Dense sharded frontier loop (per-device dense frontier kernel +
+    boundary ppermute + psum'd counts + compaction kernel) reaches the
+    exact fixed point in the exact round count of the unsharded classic
+    dense loop, for full-metadata reference/lww and lean."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bullet_tpu.ops.ring_kernel import frontier_tile_n_dense_sharded
+    from bullet_tpu.parallel.gossip import gossip_until_converged_device
+    from bullet_tpu.parallel.mesh import PEER_AXIS
+    from bullet_tpu.parallel.shardmap_gossip import (
+        gossip_frontier_shardmap_dense,
+    )
+
+    p, n, d = 32, 16384, 4
+    tile = frontier_tile_n_dense_sharded(p, n, d, lean)
+    assert tile > 0
+    t_total = n // tile
+
+    t = random_table(p, n, seed=55)
+    kind = "ring" if wrap else "chain"
+    nb = jnp.asarray(getattr(topo, kind)(p).neighbors)
+    want, r_want, c_want = gossip_until_converged_device(
+        TableState(*(jnp.array(f) for f in t)), nb, kind, mode, p + 2,
+        use_pallas=False, lean=lean,
+    )
+    mesh = make_mesh(d)
+    shard = NamedSharding(mesh, P(PEER_AXIS, None))
+    tbl = TableState(*(jax.device_put(jnp.array(f), shard) for f in t))
+    got, r_got, c_got = gossip_frontier_shardmap_dense(
+        tbl, jnp.ones(t_total, dtype=jnp.bool_), mesh, wrap, mode, lean,
+        p + 2, interpret=True,
+    )
+    cmp_want = want[:4] if lean else tuple(want)
+    cmp_got = got[:4] if lean else tuple(got)
+    for name, a, b in zip(TableState._fields, cmp_want, cmp_got):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), (name, wrap, mode, lean))
+    assert int(r_want) == int(r_got), (wrap, mode, lean)
+    assert int(c_got) == 0
+    if lean:
+        # lean contract: writer/ctr/tick stay device-local and untouched
+        for a, b in zip(t[4:], got[4:]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@needs_devices
+def test_sim_dense_shardmap_frontier_matches_unsharded():
+    """Sim-level: the dense sharded frontier sim converges identically to
+    an unsharded dense sim (lww mode exercises clock sync too)."""
+    def build(**kw):
+        sim = PeerNetworkSim(
+            32, capacity=16384, topology="ring", mode="lww", **kw
+        )
+        rng = np.random.default_rng(41)
+        for _ in range(60):
+            sim.put(int(rng.integers(32)), f"k/v{int(rng.integers(8))}",
+                    int(rng.integers(1000)))
+        return sim
+
+    plain = build(use_pallas=False)
+    plain.run_until_converged()
+    sharded = build(mesh_devices=4, use_shard_map=True, use_pallas=True)
+    assert sharded._convergence_strategy()[0] == "dense-frontier-spmd"
+    sharded.run_until_converged()
+    assert sharded.tables_equal()
+    for f_a, f_b in zip(plain.table, sharded.table):
+        np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))
