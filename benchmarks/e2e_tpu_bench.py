@@ -121,6 +121,15 @@ def main() -> None:
         _ = int(np.asarray(sim.table.cv[0, 0]))
         out["reconcile_s"] = round(time.time() - t0, 3)
         print("# reconciled", out["reconcile_s"], flush=True)
+
+        # pure-join cost: reconcile again with no pending ops — isolates
+        # the ceil(log2 P) doubling-join table pass from the 1M-op apply
+        # that the timed run above also pays
+        t0 = time.time()
+        sim.reconcile()
+        _ = int(np.asarray(sim.table.cv[0, 0]))
+        out["reconcile_join_s"] = round(time.time() - t0, 3)
+        print("# reconcile join only", out["reconcile_join_s"], flush=True)
     else:
         # warm the convergence program on a scratch copy so the timed run is
         # steady-state (the one-time Pallas compile costs ~2 min via the

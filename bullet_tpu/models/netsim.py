@@ -1132,14 +1132,20 @@ class PeerNetworkSim:
     def _converge_dense_frontier_spmd(self, max_rounds: int) -> int:
         """Dense-layout frontier loop under shard_map: per-device dense
         frontier kernel + boundary ppermute + psum'd counts, compacted
-        into the next prefetch ids by the shared one-grid-step kernel."""
+        into the next prefetch ids by the shared one-grid-step kernel.
+        On hardware, HALO_FUSE=8 rounds fuse per collective round-trip
+        (full 8-row boundary ppermute + trapezoidal time-tiling), the
+        dense twin of the packed spmd fusion; on CPU interpret the fusion
+        only multiplies compute, so it stays hardware-only."""
+        from ..ops.packed import HALO_FUSE
         from ..parallel.shardmap_gossip import gossip_frontier_shardmap_dense
 
+        interp = jax.default_backend() != "tpu"
         t_total = self.table.cls.shape[1] // self._frontier_tile()
         self.table, rounds, final_changed = gossip_frontier_shardmap_dense(
             self.table, self._frontier_seed(t_total), self._gossip_mesh(),
             self.topology.kind == "ring", self.mode, self.lean_gossip,
-            max_rounds, interpret=jax.default_backend() != "tpu",
+            max_rounds, interpret=interp, fuse=1 if interp else HALO_FUSE,
         )
         self._finish_frontier(t_total, rounds, final_changed, max_rounds)
         return self._finish_converge(rounds, final_changed, sync_clocks=True)

@@ -666,6 +666,135 @@ def frontier_shard_round_dense(fields, tops, bottoms, ids_full, mode: str,
     return outs[:nf], outs[nf][0, :]
 
 
+def _merge_ext_round_dense(ext, nf: int, mode: str, b: int):
+    """One ring round on an EXTENDED dense tile (8 snapshot rows + b
+    center rows + 8 snapshot rows), rolling with wrap INSIDE the extended
+    block; returns (merged ext fields, center-only change count). The
+    dense twin of ops.packed._merge_ext_round with wrap=True: global chain
+    edges arrive as ZEROED snapshots, which is exact because an all-zero
+    row is the bottom of both priority orders (cls=0 / ctr=0 never
+    strictly wins — the same absent-neighbor semantics as the classic
+    dense loops' edge masking), and ext-edge wraparound garbage stays
+    outside the trapezoidal validity region for up to 8 fused rounds."""
+    row = jax.lax.broadcasted_iota(jnp.int32, ext[0].shape, 0)
+    center = (row >= _HALO) & (row < _HALO + b)
+
+    def shifted(direction: int):
+        return [jnp.roll(f, direction, axis=0) for f in ext]
+
+    def keys_of(vals):
+        if nf == 4:
+            return vals
+        return _keys(vals[:4], vals[4], vals[5], mode)
+
+    def lexmax(a_vals, b_vals):
+        return _lexmax_vals(keys_of(a_vals), keys_of(b_vals), a_vals,
+                            b_vals)
+
+    m1, gt1 = lexmax(ext, shifted(+1))
+    m2, gt2 = lexmax(m1, shifted(-1))
+    c = jnp.sum((gt1 & center).astype(jnp.int32)) + jnp.sum(
+        (gt2 & center).astype(jnp.int32)
+    )
+    return m2, c
+
+
+def _frontier_shard_multiround_kernel_dense(nf: int, mode: str, m: int,
+                                            b: int, t_total: int, *refs):
+    """Per-device FUSED dense frontier body: M rounds per block-load on
+    the device-local [b, tile] stripe via the same trapezoidal time-tiling
+    as the packed shard multiround kernel
+    (ops.packed._frontier_shard_multiround_kernel_packed) — the ppermuted
+    8-row neighbor snapshots buy exactly 8 exact rounds for the center.
+    Emits per-ROUND per-stripe center change counts ([m, t_total] SMEM)
+    for the caller to psum across devices."""
+    import jax.experimental.pallas as pl
+
+    ids_ref = refs[0]
+    c_refs = refs[1 : 1 + nf]
+    t_refs = refs[1 + nf : 1 + 2 * nf]
+    b_refs = refs[1 + 2 * nf : 1 + 3 * nf]
+    out_refs = refs[2 + 3 * nf : 2 + 4 * nf]
+    cnt_out = refs[2 + 4 * nf]
+
+    j = pl.program_id(0)
+    count = ids_ref[t_total]
+
+    @pl.when(j < count)
+    def _():
+        stripe = ids_ref[j]
+        ext = [
+            jnp.concatenate([t[...], c[...], bo[...]], axis=0)
+            for t, c, bo in zip(t_refs, c_refs, b_refs)
+        ]
+
+        # fori_loop, not a Python unroll: the nf=7 six-key compare chain
+        # makes an unrolled m-round body blow up XLA:CPU compile time
+        # (the packed twin unrolls, but carries only 3 fields)
+        def round_body(k, ext_t):
+            new_ext, ck = _merge_ext_round_dense(list(ext_t), nf, mode, b)
+            cnt_out[k, stripe] = ck
+            return tuple(new_ext)
+
+        ext = jax.lax.fori_loop(0, m, round_body, tuple(ext))
+        for out, v in zip(out_refs, ext):
+            out[...] = v[_HALO : _HALO + b, :]
+
+
+def frontier_shard_multiround_dense(fields, tops, bottoms, ids_full,
+                                    mode: str, interpret: bool, vma=None):
+    """HALO_FUSE-round fused twin of frontier_shard_round_dense: ``tops``
+    / ``bottoms`` are the FULL 8-row ppermuted neighbor boundary blocks
+    (pre-fused-step snapshots), not 1-row pads. Returns (fields, per-round
+    per-stripe counts [HALO_FUSE, t_total]) for the caller to psum."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .packed import HALO_FUSE
+
+    nf = len(fields)
+    b, n = fields[0].shape
+    tile_n = frontier_tile_n_dense(b, n, nf == 4)
+    t_total = n // tile_n
+
+    grid_j = jnp.maximum(ids_full[t_total], 1)
+    counts_in = jnp.zeros((HALO_FUSE, t_total), jnp.int32)
+
+    center_spec = pl.BlockSpec(
+        (b, tile_n), lambda j, ids: (0, ids[j]), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec(
+        (_HALO, tile_n), lambda j, ids: (0, ids[j]), memory_space=pltpu.VMEM
+    )
+    cnt_spec = pl.BlockSpec(
+        (HALO_FUSE, t_total), lambda j, ids: (0, 0), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid_j,),  # dynamic: exactly the active stripes
+        in_specs=[center_spec] * nf + [halo_spec] * 2 * nf + [cnt_spec],
+        out_specs=[center_spec] * nf + [cnt_spec],
+    )
+    kw = {} if vma is None else {"vma": frozenset(vma)}
+    aliases = {i + 1: i for i in range(nf)}
+    aliases[1 + 3 * nf] = nf  # counts_in -> counts_out (zeros for skipped)
+    outs = pl.pallas_call(
+        functools.partial(
+            _frontier_shard_multiround_kernel_dense, nf, mode, HALO_FUSE,
+            b, t_total
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            *(jax.ShapeDtypeStruct((b, n), jnp.int32, **kw)
+              for _ in range(nf)),
+            jax.ShapeDtypeStruct((HALO_FUSE, t_total), jnp.int32, **kw),
+        ),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(ids_full, *fields, *tops, *bottoms, counts_in)
+    return outs[:nf], outs[nf]
+
+
 def frontier_tile_n_dense_sharded(p: int, n: int, n_devices: int,
                                   lean: bool) -> int:
     """Per-device stripe width for the dense shard_map frontier (0 when

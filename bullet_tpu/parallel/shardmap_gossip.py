@@ -540,15 +540,54 @@ def _frontier_ring_block_dense(wrap: bool, mode: str, interpret: bool, ids,
     return (*new_fields, jax.lax.psum(counts, PEER_AXIS))
 
 
+def _frontier_ring_block_multiround_dense(wrap: bool, mode: str,
+                                          interpret: bool, ids, *fields):
+    """FUSED per-device DENSE frontier body: ppermute the FULL 8-row
+    boundary blocks once, then run HALO_FUSE rounds entirely in VMEM
+    (trapezoidal time-tiling — the dense twin of
+    _frontier_ring_block_multiround_packed). One collective round-trip
+    per 8 gossip rounds; per-round per-stripe counts psum across
+    devices."""
+    from ..ops.ring_kernel import frontier_shard_multiround_dense
+
+    axis_size = jax.lax.axis_size(PEER_AXIS)
+    idx = jax.lax.axis_index(PEER_AXIS)
+    fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+    from_prev = [
+        jax.lax.ppermute(f[-8:, :], PEER_AXIS, fwd) for f in fields
+    ]
+    from_next = [
+        jax.lax.ppermute(f[:8, :], PEER_AXIS, bwd) for f in fields
+    ]
+    if not wrap:
+        # zeroed snapshots are exact absent-neighbor semantics: an
+        # all-zero row is the bottom of both priority orders through
+        # every fused round
+        is_first = idx == 0
+        is_last = idx == axis_size - 1
+        from_prev = [
+            jnp.where(is_first, jnp.zeros_like(f), f) for f in from_prev
+        ]
+        from_next = [
+            jnp.where(is_last, jnp.zeros_like(f), f) for f in from_next
+        ]
+    new_fields, counts = frontier_shard_multiround_dense(
+        fields, tuple(from_prev), tuple(from_next), ids, mode, interpret,
+        vma={PEER_AXIS},
+    )
+    return (*new_fields, jax.lax.psum(counts, PEER_AXIS))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "wrap", "mode", "lean", "max_rounds",
-                     "interpret"),
+                     "interpret", "fuse"),
     donate_argnums=(0,),
 )
 def gossip_frontier_shardmap_dense(
     table: TableState, dirty: jax.Array, mesh, wrap: bool, mode: str,
-    lean: bool, max_rounds: int, interpret: bool = False,
+    lean: bool, max_rounds: int, interpret: bool = False, fuse: int = 1,
 ):
     """Dense-layout frontier convergence over the device mesh (ring/chain)
     — the dense twin of gossip_frontier_shardmap_packed's single-round
@@ -556,8 +595,20 @@ def gossip_frontier_shardmap_dense(
     psum'd, one-grid-step compaction kernel, no per-round XLA
     nonzero/cumsum/concat chain. Lean sims exchange only the four
     value-key arrays; writer/ctr/tick stay device-local and untouched
-    (the lean gossip contract)."""
-    from ..ops.packed import compact_counts_packed, frontier_ids_compact
+    (the lean gossip contract).
+
+    ``fuse`` > 1 (must be HALO_FUSE) runs 8 gossip rounds per collective
+    round-trip, exactly like the packed spmd loop: the body ppermutes the
+    FULL 8-row boundary blocks and the per-device kernel time-tiles 8
+    rounds in VMEM; exact classic round counts and last-round residuals
+    via the shared frontier_fused_loop driver."""
+    from ..ops.packed import (
+        HALO_FUSE,
+        compact_counts_multiround_packed,
+        compact_counts_packed,
+        frontier_fused_loop,
+        frontier_ids_compact,
+    )
     from ..ops.ring_kernel import frontier_tile_n_dense_sharded
 
     fields = (
@@ -576,30 +627,61 @@ def gossip_frontier_shardmap_dense(
         p, n, mesh.devices.size, lean
     )
 
+    def round1(flds, ids):
+        *new_fields, counts = fn(ids, *flds)
+        return (
+            tuple(new_fields),
+            compact_counts_packed(counts, interpret=interpret),
+        )
+
+    def finish(fields, rounds, last_changed):
+        if lean:
+            tbl = table._replace(
+                cls=fields[0], khi=fields[1], klo=fields[2], vid=fields[3]
+            )
+        else:
+            tbl = TableState(*fields)
+        return tbl, rounds, last_changed
+
+    if fuse > 1:
+        assert fuse == HALO_FUSE, (
+            "the 8-row boundary exchange pins the spmd fuse depth"
+        )
+        fn_m = jax.shard_map(
+            functools.partial(
+                _frontier_ring_block_multiround_dense, wrap, mode, interpret
+            ),
+            mesh=mesh,
+            in_specs=(P(), *[P(PEER_AXIS, None)] * nf),
+            out_specs=(*[P(PEER_AXIS, None)] * nf, P()),
+        )
+
+        def roundm(flds, ids):
+            *new_fields, counts = fn_m(ids, *flds)
+            return (
+                tuple(new_fields),
+                compact_counts_multiround_packed(counts, interpret=interpret),
+            )
+
+        return finish(*frontier_fused_loop(
+            fields, dirty, t_total, max_rounds, HALO_FUSE, round1, roundm
+        ))
+
     def cond(state):
         _, ids, rounds, _ = state
         return (ids[t_total] > 0) & (rounds < max_rounds)
 
     def body(state):
         flds, ids, rounds, _ = state
-        *new_fields, counts = fn(ids, *flds)
-        ids_next = compact_counts_packed(counts, interpret=interpret)
-        return (
-            tuple(new_fields), ids_next, rounds + 1, ids_next[t_total + 1]
-        )
+        flds, ids_next = round1(flds, ids)
+        return flds, ids_next, rounds + 1, ids_next[t_total + 1]
 
     ids0 = frontier_ids_compact(dirty, t_total)
     fields, ids_f, rounds, last_changed = jax.lax.while_loop(
         cond, body, (fields, ids0, jnp.int32(0), jnp.int32(1))
     )
     last_changed = jnp.where(ids_f[t_total] > 0, last_changed, 0)
-    if lean:
-        table = table._replace(
-            cls=fields[0], khi=fields[1], klo=fields[2], vid=fields[3]
-        )
-    else:
-        table = TableState(*fields)
-    return table, rounds, last_changed
+    return finish(fields, rounds, last_changed)
 
 
 def _frontier_ring_block_multiround_packed(wrap: bool, interpret: bool, ids,

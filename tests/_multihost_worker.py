@@ -2,11 +2,12 @@
 tests/test_multihost_smoke.py, one OS process per simulated host).
 
 Each process brings 2 virtual CPU devices; jax.distributed stitches them
-into one 4-device global mesh. The worker covers THREE multi-chip paths
+into one 4-device global mesh. The worker covers FOUR multi-chip paths
 across the real process boundary, each bit-checked against the unsharded
 twin computed locally: a dense shard_map ring round, the packed frontier
-shard_map convergence loop (final state AND round count), and the packed
-doubling-join reconcile.
+shard_map convergence loop (final state AND round count), the packed
+doubling-join reconcile, and the FUSED dense frontier shard_map loop
+(HALO_FUSE rounds per collective; state AND round count).
 """
 
 import os
@@ -163,6 +164,49 @@ def main() -> None:
     check_shards(got_rec, exp_rec, PackedTable._fields)
     # reconcile and the converged frontier loop agree (all-reachable ring)
     check_shards(got_tbl, exp_rec, PackedTable._fields)
+
+    # ---- FUSED dense spmd frontier loop across the process boundary ----
+    # (full-metadata reference mode, HALO_FUSE=8 rounds per collective)
+    from bullet_tpu.ops.packed import HALO_FUSE
+    from bullet_tpu.ops.ring_kernel import frontier_tile_n_dense_sharded
+    from bullet_tpu.parallel import topology as topo
+    from bullet_tpu.parallel.gossip import gossip_until_converged_device
+    from bullet_tpu.parallel.shardmap_gossip import (
+        gossip_frontier_shardmap_dense,
+    )
+
+    pd, nd = 32, 256
+    cls = rng.integers(0, 4, (pd, nd), dtype=np.int32)
+    dense_fields = [cls]
+    for lo, hi in ((-50, 50), (-50, 50), (0, 30), (0, pd), (0, 9), (0, 5)):
+        dense_fields.append(
+            np.where(cls > 0, rng.integers(lo, hi, (pd, nd)), 0).astype(
+                np.int32
+            )
+        )
+    dsharding = NamedSharding(mesh, PartitionSpec(PEER_AXIS, None))
+    global_dense = TableState(
+        *(
+            jax.make_array_from_callback(
+                (pd, nd), dsharding, lambda idx, f=f: f[idx]
+            )
+            for f in dense_fields
+        )
+    )
+    t_d = nd // frontier_tile_n_dense_sharded(pd, nd, 4, False)
+    got_dtbl, got_drounds, got_dchanged = gossip_frontier_shardmap_dense(
+        global_dense, jnp.ones(t_d, jnp.bool_), mesh, True, "reference",
+        False, 64, interpret=True, fuse=HALO_FUSE,
+    )
+    exp_dtbl, exp_drounds, exp_dchanged = gossip_until_converged_device(
+        TableState(*(jnp.asarray(f) for f in dense_fields)),
+        jnp.asarray(topo.ring(pd).neighbors), "ring", "reference", 64,
+        use_pallas=False, lean=False,
+    )
+    assert int(got_drounds) == int(exp_drounds), (
+        int(got_drounds), int(exp_drounds))
+    assert int(got_dchanged) == int(exp_dchanged) == 0
+    check_shards(got_dtbl, exp_dtbl, TableState._fields)
 
     print(f"worker {process_id}: OK", flush=True)
 

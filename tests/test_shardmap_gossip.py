@@ -596,3 +596,77 @@ def test_sim_dense_shardmap_frontier_matches_unsharded():
     assert sharded.tables_equal()
     for f_a, f_b in zip(plain.table, sharded.table):
         np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))
+
+
+@needs_devices
+@pytest.mark.parametrize("wrap", [True, False])
+@pytest.mark.parametrize("mode,lean", [
+    ("reference", False), ("lww", False), ("reference", True),
+])
+def test_frontier_shardmap_dense_fused_parity(wrap, mode, lean):
+    """The FUSED dense spmd frontier (HALO_FUSE=8 rounds per collective
+    via full 8-row boundary ppermute + trapezoidal time-tiling) must
+    bit-match the unsharded classic dense loop in state, round count, and
+    residual — including max_rounds cutoffs landing mid-fuse-block and
+    mid-tail (the dense twin of test_frontier_shardmap_fused_parity)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bullet_tpu.ops.packed import HALO_FUSE
+    from bullet_tpu.ops.ring_kernel import frontier_tile_n_dense_sharded
+    from bullet_tpu.parallel.gossip import gossip_until_converged_device
+    from bullet_tpu.parallel.mesh import PEER_AXIS
+    from bullet_tpu.parallel.shardmap_gossip import (
+        gossip_frontier_shardmap_dense,
+    )
+
+    p, n, d = 32, 16384, 4
+    tile = frontier_tile_n_dense_sharded(p, n, d, lean)
+    assert tile > 0
+    t_total = n // tile
+
+    t = random_table(p, n, seed=71)
+    kind = "ring" if wrap else "chain"
+    nb = jnp.asarray(getattr(topo, kind)(p).neighbors)
+    mesh = make_mesh(d)
+    shard = NamedSharding(mesh, P(PEER_AXIS, None))
+
+    # p+2 converges; 7 cuts mid-first-fuse-block; 12 cuts mid-tail.
+    # Lean's baseline is the lean Pallas loop (use_pallas=lean): the XLA
+    # loop always merges metadata, so its cutoff residuals count 6-key
+    # wins the 4-key lean merge doesn't see (test_dense_frontier.py
+    # convention).
+    for max_rounds in (p + 2, 7, 12):
+        want, r_want, c_want = gossip_until_converged_device(
+            TableState(*(jnp.array(f) for f in t)), nb, kind, mode,
+            max_rounds, use_pallas=lean, lean=lean,
+        )
+        tbl = TableState(
+            *(jax.device_put(jnp.array(f), shard) for f in t)
+        )
+        got, r_got, c_got = gossip_frontier_shardmap_dense(
+            tbl, jnp.ones(t_total, dtype=jnp.bool_), mesh, wrap, mode,
+            lean, max_rounds, interpret=True, fuse=HALO_FUSE,
+        )
+        cmp_want = want[:4] if lean else tuple(want)
+        cmp_got = got[:4] if lean else tuple(got)
+        for name, a, b in zip(TableState._fields, cmp_want, cmp_got):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                (name, wrap, mode, lean, max_rounds))
+        assert int(r_want) == int(r_got), (
+            wrap, mode, lean, max_rounds, int(r_want), int(r_got))
+        assert int(c_want) == int(c_got), (
+            wrap, mode, lean, max_rounds, int(c_want), int(c_got))
+        if lean:
+            for a, b in zip(t[4:], got[4:]):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # empty frontier: zero rounds, zero residual, untouched table
+    tbl = TableState(*(jax.device_put(jnp.array(f), shard) for f in t))
+    got, r, c = gossip_frontier_shardmap_dense(
+        tbl, jnp.zeros(t_total, dtype=jnp.bool_), mesh, True, mode, lean,
+        p + 2, interpret=True, fuse=HALO_FUSE,
+    )
+    assert int(r) == 0 and int(c) == 0
+    for a, b in zip(t, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
