@@ -161,6 +161,28 @@ def main() -> None:
     out["verify_s"] = round(time.time() - t0, 3)
     out["tables_equal"] = bool(equal)
 
+    # vectorized query scans over the converged table (leaf form: direct
+    # children of "g"): one jit-compiled compare+mask over the peer row,
+    # then host path reconstruction for the hits
+    probe = sim.get(0, "g/k0")
+    sim.equals(0, "g", probe)  # warm the compiled mask
+    t0 = time.time()
+    eq_hits = sim.equals(0, "g", probe)
+    out["equals_s"] = round(time.time() - t0, 4)
+    out["equals_hits"] = len(eq_hits)
+    if isinstance(probe, (int, float)):
+        sim.range(0, "g", 0, 1)  # warm
+        # converged values are per-key maxima of ~writes/keys draws from
+        # [0, 2^30): nearly every key lands in [2^29, 2^30), so this
+        # window returns ~all keys — measuring the host path
+        # reconstruction cost, the query path's worst case
+        lo, hi = 1 << 29, 1 << 31
+        t0 = time.time()
+        rg_hits = sim.range(0, "g", lo, hi)
+        out["range_s"] = round(time.time() - t0, 4)
+        out["range_hits"] = len(rg_hits)
+    print("# queried", out["equals_s"], out.get("range_s"), flush=True)
+
     # scalar-put microbench (the reference's primary API shape): hot-cache
     # rate through the fast path — host-side enqueue only, measured after
     # the convergence verdict so the queued ops don't perturb it

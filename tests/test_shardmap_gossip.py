@@ -289,6 +289,17 @@ def test_frontier_shardmap_sparse_seed():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(rounds) >= 1
 
+    # FUSED loop from the same sparse seed: same state, same round count
+    from bullet_tpu.ops.packed import HALO_FUSE
+
+    tbl2 = PackedTable(*(jax.device_put(jnp.array(f), shard) for f in upd))
+    got_f, rounds_f, _ = gossip_frontier_shardmap_packed(
+        tbl2, dirty, mesh, True, p + 2, interpret=True, fuse=HALO_FUSE
+    )
+    for a, b in zip(want, got_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(rounds_f) == int(rounds)
+
 
 @needs_devices
 def test_sim_packed_shardmap_frontier_with_seeding():
@@ -670,3 +681,57 @@ def test_frontier_shardmap_dense_fused_parity(wrap, mode, lean):
     assert int(r) == 0 and int(c) == 0
     for a, b in zip(t, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@needs_devices
+def test_frontier_shardmap_dense_fused_sparse_seed():
+    """Dense FUSED spmd loop from a converged table + one dirtied stripe:
+    lands on the classic loop's state with only that frontier marked, and
+    reports the same round count as the single-round spmd loop."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from bullet_tpu.ops.packed import HALO_FUSE
+    from bullet_tpu.ops.ring_kernel import frontier_tile_n_dense_sharded
+    from bullet_tpu.parallel.gossip import gossip_until_converged_device
+    from bullet_tpu.parallel.mesh import PEER_AXIS
+    from bullet_tpu.parallel.shardmap_gossip import (
+        gossip_frontier_shardmap_dense,
+    )
+
+    p, n, d = 32, 16384, 4
+    tile = frontier_tile_n_dense_sharded(p, n, d, False)
+    t_total = n // tile
+    assert t_total >= 2
+    nb = jnp.asarray(topo.ring(p).neighbors)
+    t = random_table(p, n, seed=83)
+    base, _, _ = gossip_until_converged_device(
+        TableState(*(jnp.array(f) for f in t)), nb, "ring", "reference",
+        p + 2, use_pallas=False,
+    )
+    upd = base._replace(
+        cls=base.cls.at[3, tile + 9].set(3),
+        khi=base.khi.at[3, tile + 9].set(10**9),
+    )
+    want, _, _ = gossip_until_converged_device(
+        TableState(*(jnp.array(f) for f in upd)), nb, "ring", "reference",
+        p + 2, use_pallas=False,
+    )
+    mesh = make_mesh(d)
+    shard = NamedSharding(mesh, P(PEER_AXIS, None))
+    dirty = jnp.zeros(t_total, dtype=jnp.bool_).at[1].set(True)
+
+    results = []
+    for fuse in (1, HALO_FUSE):
+        tbl = TableState(
+            *(jax.device_put(jnp.array(f), shard) for f in upd)
+        )
+        got, rounds, _ = gossip_frontier_shardmap_dense(
+            tbl, dirty, mesh, True, "reference", False, p + 2,
+            interpret=True, fuse=fuse,
+        )
+        for a, b in zip(want, got):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), fuse)
+        assert int(rounds) >= 1
+        results.append(int(rounds))
+    assert results[0] == results[1], results

@@ -16,6 +16,9 @@ Derivations:
 * put flood with ``__vectorClock``:      bullet-network.js:332-346, 404-418
                                           + bullet-crt.js:343-375
 * sync request/response/chunk/complete:   bullet-network-sync.js:93-198
+* partial sync (whole-subtree entries):   bullet-network-sync.js:673-705
+* ``since``-incremental sync:             bullet-network-sync.js:592-604
+* sync-progress cadence (>10 chunks):     bullet-network-sync.js:176-188
 """
 
 import json
@@ -275,5 +278,177 @@ def test_golden_sync_transcript(server):
             "requestId": "golden-sync-req",
             "timestamp": int,
         })
+    finally:
+        sock.close()
+
+
+def test_golden_partial_sync_transcript(server):
+    """Partial sync returns ONLY the requested subtrees
+    (bullet-network-sync.js:101-117 request shape, :500-527 collection)."""
+    server.get("greet/msg").put({"text": "hi"})
+    server.get("nums/x").put(7)
+    server.get("other/y").put(1)
+
+    sock, reader = connect_golden(server)
+    try:
+        sock.sendall(client_text_frame(json.dumps({
+            "type": "handshake", "id": "golden-msg-1",
+            "peerId": "golden-js-peer",
+        }).encode()))
+        read_server_message(reader)
+
+        # partial request, exactly bullet-network-sync.js:101-117
+        sock.sendall(client_text_frame(json.dumps({
+            "type": "sync-request",
+            "id": "golden-partial-req",
+            "since": 0,
+            "partial": True,
+            "paths": ["greet"],
+        }).encode()))
+
+        response = read_server_message(reader)
+        assert_shape(response, {
+            "type": "sync-response",
+            "id": str,
+            "requestId": "golden-partial-req",
+            "totalChunks": 1,
+            "totalEntries": 1,      # ONE subtree entry for "greet"
+            "timestamp": int,
+        })
+        # unlike full sync's leaf decomposition, the reference's partial
+        # collection emits the WHOLE requested subtree as a single entry
+        # (bullet-network-sync.js:676-698: _getData(path) wholesale)
+        chunk = read_server_message(reader)
+        assert [e["path"] for e in chunk["entries"]] == ["greet"]
+        entry = chunk["entries"][0]
+        assert set(entry) == {
+            "path", "data", "vectorClock", "lastModified", "deleted"
+        }, sorted(entry)
+        assert entry["data"] == {"msg": {"text": "hi"}}
+        assert entry["deleted"] is False
+        complete = read_server_message(reader)
+        assert complete["type"] == "sync-complete"
+    finally:
+        sock.close()
+
+
+def test_golden_incremental_since_transcript(server):
+    """``since`` filters out entries older than the watermark
+    (bullet-network-sync.js:602-604: lastModified < since is skipped)."""
+    server.get("old/a").put(1)
+    time.sleep(0.05)  # strictly separate the ms timestamps
+
+    sock, reader = connect_golden(server)
+    try:
+        sock.sendall(client_text_frame(json.dumps({
+            "type": "handshake", "id": "golden-msg-1",
+            "peerId": "golden-js-peer",
+        }).encode()))
+        read_server_message(reader)
+
+        # first full sync: harvest the responder's collection-start
+        # watermark from the sync-response timestamp
+        sock.sendall(client_text_frame(json.dumps({
+            "type": "sync-request", "id": "golden-sync-1",
+            "since": 0, "partial": False, "paths": [],
+        }).encode()))
+        response = read_server_message(reader)
+        watermark = response["timestamp"]
+        chunk = read_server_message(reader)
+        assert {e["path"] for e in chunk["entries"]} == {"old/a"}
+        assert read_server_message(reader)["type"] == "sync-complete"
+
+        time.sleep(0.05)
+        server.get("new/b").put(2)
+        # connected peers receive the flooded put first
+        # (bullet-network.js:404-418)
+        flood = read_server_message(reader)
+        assert_shape(flood, {
+            "id": str, "type": "put", "path": "new/b", "data": int,
+            "ttl": 32,
+        })
+        assert flood["data"] == 2
+
+        # incremental sync from the watermark: only the newer write
+        sock.sendall(client_text_frame(json.dumps({
+            "type": "sync-request", "id": "golden-sync-2",
+            "since": watermark, "partial": False, "paths": [],
+        }).encode()))
+        response = read_server_message(reader)
+        assert_shape(response, {
+            "type": "sync-response",
+            "id": str,
+            "requestId": "golden-sync-2",
+            "totalChunks": 1,
+            "totalEntries": 1,
+            "timestamp": int,
+        })
+        chunk = read_server_message(reader)
+        assert [e["path"] for e in chunk["entries"]] == ["new/b"]
+        assert chunk["entries"][0]["data"] == 2
+        assert read_server_message(reader)["type"] == "sync-complete"
+    finally:
+        sock.close()
+
+
+def test_golden_sync_progress_cadence(server):
+    """>10 chunks triggers sync-progress after every 10th chunk, with the
+    exact reference field set and Math.floor percentages
+    (bullet-network-sync.js:176-188): progress after chunk 0 (0%) and
+    chunk 10 (90%) for an 11-chunk transfer, nowhere else."""
+    for i in range(520):  # 520 leaves -> 11 chunks of <=50
+        server.get(f"bulk/k{i}").put(i)
+
+    sock, reader = connect_golden(server)
+    try:
+        sock.sendall(client_text_frame(json.dumps({
+            "type": "handshake", "id": "golden-msg-1",
+            "peerId": "golden-js-peer",
+        }).encode()))
+        read_server_message(reader)
+
+        sock.sendall(client_text_frame(json.dumps({
+            "type": "sync-request", "id": "golden-big-req",
+            "since": 0, "partial": False, "paths": [],
+        }).encode()))
+
+        response = read_server_message(reader)
+        assert_shape(response, {
+            "type": "sync-response",
+            "id": str,
+            "requestId": "golden-big-req",
+            "totalChunks": 11,
+            "totalEntries": 520,
+            "timestamp": int,
+        })
+
+        seq = []  # (type, chunkIndex) in arrival order until sync-complete
+        entries_seen = 0
+        while True:
+            msg = read_server_message(reader)
+            if msg["type"] == "sync-complete":
+                seq.append(("complete", None))
+                break
+            if msg["type"] == "sync-chunk":
+                seq.append(("chunk", msg["chunkIndex"]))
+                entries_seen += len(msg["entries"])
+                assert msg["isLastChunk"] == (msg["chunkIndex"] == 10)
+            else:
+                assert_shape(msg, {
+                    "type": "sync-progress",
+                    "id": str,
+                    "requestId": "golden-big-req",
+                    "chunkIndex": int,
+                    "totalChunks": 11,
+                    "progress": int,
+                })
+                seq.append(("progress", msg["chunkIndex"]))
+                assert msg["progress"] == msg["chunkIndex"] * 100 // 11
+
+        assert entries_seen == 520
+        want = [("chunk", 0), ("progress", 0)]
+        want += [("chunk", i) for i in range(1, 10)]
+        want += [("chunk", 10), ("progress", 10), ("complete", None)]
+        assert seq == want, seq
     finally:
         sock.close()
