@@ -1471,7 +1471,29 @@ class PeerNetworkSim:
         return sorted(self._mask_paths_row(mask))
 
     def count(self, peer: int, base: str, field, value: Any = MISSING) -> int:
-        return len(self.equals(peer, base, field, value))
+        """Device-side match count (reference: bullet-query.js:293-313) —
+        the fused mask+sum program returns ONE scalar, skipping the [N]
+        mask readback and host path reconstruction ``equals`` pays."""
+        if value is MISSING:
+            field, value = None, field
+        base_pid = self.host.paths.lookup(base)
+        if base_pid is None:
+            return 0
+        _, _, _, vid = self.host.encode_value(value)
+        self._sync_device_state()
+        struct = self.host.struct()
+        row = self._peer_row(peer)
+        if field is not None:
+            fid = self.host.seg_lookup(field)
+            if fid < 0:
+                return 0
+            return int(scans.equals_field_count_row(
+                row, struct, jnp.int32(base_pid), jnp.int32(fid),
+                jnp.int32(vid)
+            ))
+        return int(scans.equals_leaf_count_row(
+            row, struct, jnp.int32(base_pid), jnp.int32(vid)
+        ))
 
     def filter(self, peer: int, base: str, fn: Callable) -> List[str]:
         """Host-predicate child scan (reference: bullet-query.js:270-283)."""

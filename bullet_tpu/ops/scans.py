@@ -144,6 +144,24 @@ def range_leaf_mask_row(row: RowView, struct: PathStruct, base,
 
 
 @jax.jit
+def equals_field_count_row(row: RowView, struct: PathStruct, base, field,
+                           vid):
+    """Scalar match count: mask + sum fused into one program, so ``count``
+    pays a single scalar readback instead of the [N] mask transfer + host
+    path reconstruction that ``equals`` needs."""
+    return jnp.sum(
+        equals_field_mask_row(row, struct, base, field, vid).astype(jnp.int32)
+    )
+
+
+@jax.jit
+def equals_leaf_count_row(row: RowView, struct: PathStruct, base, vid):
+    return jnp.sum(
+        equals_leaf_mask_row(row, struct, base, vid).astype(jnp.int32)
+    )
+
+
+@jax.jit
 def subtree_leaf_mask(table: TableState, member: jax.Array) -> jax.Array:
     """[P, N] mask of present leaves restricted to a precomputed membership
     mask [N] (host-computed descendants of a path)."""

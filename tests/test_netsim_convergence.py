@@ -197,6 +197,17 @@ def test_engine_queries():
     assert sim.equals(2, "users", "role", "user") == ["users/u2", "users/u3"]
     assert sim.range(1, "users", "age", 30, 45) == ["users/u2", "users/u3"]
     assert sim.count(3, "users", "role", "admin") == 1
+    # count is a device-side mask+sum (one scalar readback): it must agree
+    # with len(equals) on every form, including misses
+    assert sim.count(3, "users", "role", "user") == 2
+    assert sim.count(3, "users", "role", "nobody") == 0
+    assert sim.count(3, "nosuch", "role", "user") == 0
+    assert sim.count(3, "users", "nofield", "user") == 0
+    sim.put(0, "scores/a", 10)
+    sim.put(0, "scores/b", 10)
+    sim.run_until_converged()
+    assert sim.count(2, "scores", 10) == 2  # leaf form
+    assert sim.count(2, "scores", 11) == 0
     assert sim.filter(0, "users", lambda v, k: v.get("age", 0) > 40) == ["users/u3"]
     assert sim.find(0, "users", lambda v, k: v.get("name") == "Bob") == "users/u2"
     names = sim.map(0, "users", lambda v, k: v.get("name"))
