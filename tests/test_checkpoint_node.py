@@ -115,3 +115,30 @@ def test_checkpoint_pending_rekey_preserved(tmp_path):
     # string order keys must still sort correctly after restore
     hits = loaded.equals(0, "s", "v00003")
     assert hits == ["s/k003"], hits
+
+
+def test_checkpoint_roundtrip_packed(tmp_path):
+    """Packed 3-array layout round-trips through a checkpoint (the field
+    set follows the sim's table layout) and the restored sim keeps
+    working on the packed paths."""
+    sim = PeerNetworkSim(8, capacity=256, topology="ring", layout="packed")
+    sim.put(0, "users/a", {"name": "Ann"})
+    sim.put(3, "metrics/count", 42)
+    sim.put(5, "s", "hello")
+    sim.run_until_converged()
+    ckpt = str(tmp_path / "ckpt_packed")
+    sim.save_checkpoint(ckpt)
+
+    restored = PeerNetworkSim.load_checkpoint(ckpt)
+    assert restored.layout == "packed"
+    assert restored.get(7, "users/a") == {"name": "Ann"}
+    assert restored.get(2, "metrics/count") == 42
+    assert restored.get(1, "s") == "hello"
+    assert restored.table._fields == sim.table._fields  # 3-array packed
+    for a, b in zip(sim.table, restored.table):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    restored.put(1, "metrics/count", 50)
+    restored.run_until_converged()
+    assert restored.get(4, "metrics/count") == 50
+    assert restored.tables_equal()
