@@ -195,6 +195,18 @@ def main() -> None:
         sim.put(i % num_peers, sp_paths[i], float(i % 4096))
     out["scalar_put_ops_per_s"] = round(sp_n / max(time.time() - t0, 1e-9))
 
+    # batched point reads (the serving read path): ONE device gather for
+    # all (peer, slot) pairs + columnar decode of unique values
+    rp = 100_000
+    r_peers = rng.integers(0, num_peers, rp).astype(np.int32)
+    r_slots = slots[rng.integers(0, keys, rp)]
+    sim.get_bulk(r_peers[:128], r_slots[:128])  # warm
+    t0 = time.time()
+    vals = sim.get_bulk(r_peers, r_slots)
+    out["get_bulk_s"] = round(time.time() - t0, 4)
+    out["get_bulk_reads_per_s"] = round(rp / max(time.time() - t0, 1e-9))
+    assert len(vals) == rp
+
     total = out["ingest_s"] + out["converge_s"]
     out["e2e_ops_per_s"] = round(writes / total)
     # replica-entry merge work actually performed:

@@ -150,6 +150,19 @@ def _gather_entries_packed(table, peer, slots):
 
 
 @jax.jit
+def _gather_pairs(table: TableState, peers, slots):
+    return table.cls[peers, slots], table.vid[peers, slots]
+
+
+@jax.jit
+def _gather_pairs_packed(table, peers, slots):
+    from ..ops.packed import CV_SHIFT, VID_MASK
+
+    cv = table.cv[peers, slots]
+    return cv >> CV_SHIFT, cv & VID_MASK
+
+
+@jax.jit
 def _rekey(table: TableState, cls_map, khi_map, klo_map):
     """Refresh (cls, khi, klo) from vid after a string-rank rebalance."""
     return table._replace(
@@ -1383,6 +1396,63 @@ class PeerNetworkSim:
                 peer, path, self._get_raw(peer, path)
             )
         return self._get_raw(peer, path)
+
+    def get_bulk(self, peers, paths) -> List[Any]:
+        """Batched point reads — the read twin of ``put_bulk``: ONE device
+        gather for all K (peer, path) pairs, then a columnar host decode
+        (unique vids decode once). ``peers`` is an int array [K] or a
+        single int broadcast over all paths; ``paths`` is a list of K path
+        strings or an int32 array of pre-interned slot ids. Returns K leaf
+        values (None for null, absent, unknown, or interior paths — use
+        ``get`` for subtree materialization). Get hooks (path rewrite +
+        afterGet data rewrite) apply per pair when registered."""
+        if isinstance(paths, np.ndarray) and paths.dtype.kind == "i":
+            slots = paths.astype(np.int32)
+            valid = slots >= 0
+            path_strs = None
+        else:
+            paths = list(paths)
+            if self.hooks.active:
+                prow = np.broadcast_to(
+                    np.asarray(peers, dtype=np.int32), (len(paths),)
+                )
+                paths = [
+                    self.hooks.rewrite_get(int(pr), p)
+                    for pr, p in zip(prow, paths)
+                ]
+            slots = np.empty(len(paths), dtype=np.int32)
+            valid = np.empty(len(paths), dtype=bool)
+            for i, p in enumerate(paths):
+                pid = self.host.paths.lookup(p)
+                valid[i] = pid is not None
+                slots[i] = pid if pid is not None else 0
+            path_strs = paths
+        k = len(slots)
+        peers_arr = np.broadcast_to(
+            np.asarray(peers, dtype=np.int32), (k,)
+        ).astype(np.int32)
+        self._sync_device_state()
+        gather = (
+            _gather_pairs_packed if self.layout == "packed" else _gather_pairs
+        )
+        cls, vid = gather(
+            self.table, jnp.asarray(peers_arr), jnp.asarray(slots)
+        )
+        cls = np.asarray(cls)
+        vid = np.asarray(vid)
+        present = valid & (cls != CLS_ABSENT) & (vid != VID_NULL)
+        out: List[Any] = [None] * k
+        if present.any():
+            uniq, inverse = np.unique(vid[present], return_inverse=True)
+            decoded = [self.host.values.decode(int(v)) for v in uniq]
+            for pos, inv in zip(np.nonzero(present)[0], inverse):
+                out[int(pos)] = decoded[int(inv)]
+        if self.hooks.active and path_strs is not None:
+            out = [
+                self.hooks.rewrite_after_get(int(pr), p, v)
+                for pr, p, v in zip(peers_arr, path_strs, out)
+            ]
+        return out
 
     def _get_raw(self, peer: int, path: str = "") -> Any:
         if path:

@@ -419,3 +419,51 @@ def test_reconcile_directed_topology_respects_reachability():
     assert sim.last_residual == 0
     # and the symmetric chain still counts as connected
     assert topo.chain(4).is_connected()
+
+
+def test_get_bulk_matches_get():
+    """get_bulk: one gather for K (peer, path) pairs — values must match
+    per-pair get() across layouts, including absent/unknown/null paths,
+    interior nodes (None), int-slot form, and single-int peer broadcast."""
+    for layout in ("dense", "packed"):
+        sim = PeerNetworkSim(4, capacity=256, topology="ring", layout=layout)
+        sim.put(0, "a/x", 1)
+        sim.put(1, "a/y", 2.5)
+        sim.put(2, "b/s", "str")
+        sim.put(3, "b/n", None)
+        sim.run_until_converged()
+
+        peers = [0, 1, 2, 3, 0]
+        paths = ["a/x", "a/y", "b/s", "b/n", "nosuch/p"]
+        got = sim.get_bulk(peers, paths)
+        want = [sim.get(p, q) for p, q in zip(peers, paths)]
+        assert got == want == [1, 2.5, "str", None, None], (layout, got)
+
+        # interior node -> None from get_bulk (point reads only)
+        assert sim.get_bulk([0], ["a"]) == [None]
+        # single-int peer broadcasts; repeated values decode once
+        assert sim.get_bulk(2, ["a/x", "a/x", "b/s"]) == [1, 1, "str"]
+        # pre-interned slot-id form
+        import numpy as np_
+
+        slots = np_.asarray(
+            [sim.host.paths.lookup("a/x"), sim.host.paths.lookup("b/s")],
+            dtype=np_.int32,
+        )
+        assert sim.get_bulk(1, slots) == [1, "str"]
+
+
+def test_get_bulk_hooks():
+    """Get hooks apply per pair: path rewrite feeds the gather, afterGet
+    rewrites each value."""
+    sim = PeerNetworkSim(2, capacity=128, topology="ring")
+    sim.put(0, "real/v", 10)
+    sim.run_until_converged()
+    sim.hooks.use(
+        "get", lambda path, data: "real/v" if path == "alias" else path
+    )
+    sim.hooks.use(
+        "afterGet",
+        lambda path, data: data * 2 if isinstance(data, int) else data,
+    )
+    assert sim.get_bulk(0, ["alias", "real/v"]) == [20, 20]
