@@ -1441,12 +1441,14 @@ class PeerNetworkSim:
         cls = np.asarray(cls)
         vid = np.asarray(vid)
         present = valid & (cls != CLS_ABSENT) & (vid != VID_NULL)
-        out: List[Any] = [None] * k
+        out_arr = np.full(k, None, dtype=object)
         if present.any():
             uniq, inverse = np.unique(vid[present], return_inverse=True)
-            decoded = [self.host.values.decode(int(v)) for v in uniq]
-            for pos, inv in zip(np.nonzero(present)[0], inverse):
-                out[int(pos)] = decoded[int(inv)]
+            decoded = np.empty(len(uniq), dtype=object)
+            decode = self.host.values.decode
+            decoded[:] = [decode(int(v)) for v in uniq]
+            out_arr[present] = decoded[inverse]
+        out: List[Any] = out_arr.tolist()
         if self.hooks.active and path_strs is not None:
             out = [
                 self.hooks.rewrite_after_get(int(pr), p, v)
