@@ -735,3 +735,25 @@ def test_frontier_shardmap_dense_fused_sparse_seed():
         assert int(rounds) >= 1
         results.append(int(rounds))
     assert results[0] == results[1], results
+
+
+@needs_devices
+def test_sim_shardmap_partition_and_heal():
+    """Fault injection on the sharded sim: a dropped bridge peer blocks
+    cross-cluster convergence under the generic shard_map collective;
+    healing the topology converges — matching the unsharded twin."""
+    t = topo.bridge((4, 3), 1)
+    sim = PeerNetworkSim(t.num_peers, capacity=64, topology=t,
+                         mesh_devices=8, use_shard_map=True)
+    bridge_peer = t.num_peers - 1
+    sim.topology = t.drop_peer(bridge_peer)
+    sim.put(0, "left", 1)
+    sim.put(4, "right", 2)
+    sim.run_until_converged(max_rounds=10)
+    assert sim.get(4, "left") is None  # did not cross the partition
+    assert sim.get(0, "right") is None
+    sim.topology = t  # heal
+    sim.run_until_converged()
+    assert sim.tables_equal()
+    assert sim.get(4, "left") == 1
+    assert sim.get(0, "right") == 2
