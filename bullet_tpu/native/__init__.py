@@ -18,6 +18,7 @@ _HERE = os.path.dirname(__file__)
 _SRCS = [
     os.path.join(_HERE, "strindex.cpp"),
     os.path.join(_HERE, "pathintern.cpp"),
+    os.path.join(_HERE, "bulkops.cpp"),
 ]
 _LIB = os.path.join(_HERE, "libbulletnative.so")
 
@@ -61,14 +62,14 @@ def load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB)
             # a stale library (e.g. preserved timestamps hiding a source
             # change) lacks newer symbols: probe one and rebuild once
-            getattr(lib, "pin_subtree")
+            getattr(lib, "bk_number_keys")
         except (OSError, AttributeError):
             if not _build():
                 _load_failed = True
                 return None
             try:
                 lib = ctypes.CDLL(_LIB)
-                getattr(lib, "pin_subtree")
+                getattr(lib, "bk_number_keys")
             except (OSError, AttributeError):
                 _load_failed = True
                 return None
@@ -157,8 +158,56 @@ def load() -> Optional[ctypes.CDLL]:
         lib.pin_seg_id.restype = c_i32
         lib.pin_seg_lookup.argtypes = [c_vp, c_cp, c_i64]
         lib.pin_seg_lookup.restype = c_i32
+        lib.bk_group_positions.argtypes = [c_vp, c_i64, c_i32, c_vp, c_vp]
+        lib.bk_number_keys.argtypes = [c_vp, c_i64, c_vp, c_vp, c_vp]
         _lib = lib
         return _lib
+
+
+def group_positions(peers, num_peers: int):
+    """Native O(n) twin of models/netsim.py::_group_positions: (seq int64
+    [K], counts int64 [num_peers]); None when the library is unavailable."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    peers = np.ascontiguousarray(peers, dtype=np.int32)
+    k = len(peers)
+    seq = np.empty(k, dtype=np.int64)
+    counts = np.empty(num_peers, dtype=np.int64)
+    lib.bk_group_positions(
+        peers.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(k),
+        ctypes.c_int32(num_peers),
+        seq.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+    )
+    return seq, counts
+
+
+def number_keys(values):
+    """Native one-pass twin of utils/encode.py::number_keys_np that also
+    emits the canonical intern bits: (khi, klo, raw_bits) over the RAVELED
+    float64 input; None when the library is unavailable."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(np.asarray(values, dtype=np.float64).ravel())
+    k = len(vals)
+    khi = np.empty(k, dtype=np.int32)
+    klo = np.empty(k, dtype=np.int32)
+    raw = np.empty(k, dtype=np.uint64)
+    lib.bk_number_keys(
+        vals.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(k),
+        khi.ctypes.data_as(ctypes.c_void_p),
+        klo.ctypes.data_as(ctypes.c_void_p),
+        raw.ctypes.data_as(ctypes.c_void_p),
+    )
+    return khi, klo, raw
 
 
 class NativeStringOrderIndex:

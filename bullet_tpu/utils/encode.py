@@ -393,13 +393,26 @@ def bulk_encode_numbers(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized encode of a numeric array: (cls, khi, klo, vid) int32
     arrays. Interning runs through the (native) bits->vid batch map —
-    no per-value Python work beyond a list-extend for first occurrences."""
+    no per-value Python work beyond a list-extend for first occurrences.
+    The key transform prefers the native one-pass bk_number_keys (keys +
+    canonical intern bits together, no large temps); the numpy path is
+    the bit-identical fallback."""
+    from .. import native
+
     values = np.asarray(values, dtype=np.float64)
-    khi, klo = number_keys_np(values)
-    f = values.copy()
-    f[f == 0.0] = 0.0
-    bits = f.view(np.uint64).copy()
-    bits[np.isnan(f)] = np.uint64(_RAW_NAN_BITS)
+    fast = native.number_keys(values)
+    if fast is not None:
+        khi_flat, klo_flat, bits_flat = fast
+        khi = khi_flat.reshape(values.shape)
+        klo = klo_flat.reshape(values.shape)
+        bits = bits_flat
+    else:
+        khi, klo = number_keys_np(values)
+        f = values.copy()
+        f[f == 0.0] = 0.0
+        b = f.view(np.uint64).copy()
+        b[np.isnan(f)] = np.uint64(_RAW_NAN_BITS)
+        bits = b
     vids, new_idx = interner._numbers.intern_batch(
         bits.ravel(), len(interner._value_of)
     )

@@ -228,3 +228,65 @@ def test_native_path_interner_deep_paths():
     pid_n, pid_p = npi.intern(deep), ppi.intern(deep)
     assert pid_n == pid_p
     assert npi.path(pid_n) == deep == ppi.path(pid_p)
+
+
+def test_native_group_positions_bitidentical():
+    """bk_group_positions must match the numpy argsort-based twin
+    (models/netsim.py::_group_positions fallback) exactly."""
+    import numpy as np
+
+    from bullet_tpu import native
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    for k, p in ((0, 4), (1, 1), (17, 3), (100_000, 64)):
+        peers = rng.integers(0, p, k).astype(np.int32)
+        seq, counts = native.group_positions(peers, p)
+        c2 = np.bincount(peers, minlength=p)
+        order = np.argsort(peers, kind="stable")
+        sp = peers[order]
+        boundaries = np.flatnonzero(np.diff(sp)) + 1
+        starts = np.concatenate(([0], boundaries))
+        gs = np.diff(np.concatenate((starts, [k])))
+        seq_sorted = np.arange(k) - np.repeat(starts, gs)
+        s2 = np.empty(k, dtype=np.int64)
+        s2[order] = seq_sorted
+        np.testing.assert_array_equal(seq, s2, err_msg=str((k, p)))
+        np.testing.assert_array_equal(counts, c2, err_msg=str((k, p)))
+
+
+def test_native_number_keys_bitidentical():
+    """bk_number_keys must match number_keys_np (keys) and the numpy
+    canonical-intern-bits construction exactly, including ±0.0, NaN
+    payloads, infinities, and denormals."""
+    import numpy as np
+
+    from bullet_tpu import native
+    from bullet_tpu.utils.encode import _RAW_NAN_BITS, number_keys_np
+
+    if native.load() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(13)
+    edge = np.array([
+        0.0, -0.0, np.nan, -np.nan, np.inf, -np.inf, 1.5, -1.5,
+        5e-324, -5e-324, 1e308, -1e308, 123456.789, -0.001,
+    ])
+    # a NaN with a nonstandard payload must canonicalize identically
+    weird_nan = np.frombuffer(
+        np.uint64(0x7FF0000000000001).tobytes(), dtype=np.float64
+    )
+    vals = np.concatenate([edge, weird_nan, rng.standard_normal(50_000) * 1e6])
+    khi, klo, raw = native.number_keys(vals)
+    k2, l2 = number_keys_np(vals)
+    np.testing.assert_array_equal(khi, k2)
+    np.testing.assert_array_equal(klo, l2)
+    f = vals.copy()
+    f[f == 0.0] = 0.0
+    b = f.view(np.uint64).copy()
+    b[np.isnan(f)] = np.uint64(_RAW_NAN_BITS)
+    np.testing.assert_array_equal(raw, b)
