@@ -7,6 +7,7 @@ replaced by straight-line code).
 import shutil
 import tempfile
 
+import _env  # noqa: F401 - sys.path + backend setup
 import bullet_tpu as bt
 
 

@@ -7,6 +7,7 @@ Mirrors /root/reference/examples/bullet-middleware-example.js.
 import base64
 import time
 
+import _env  # noqa: F401 - sys.path + backend setup
 import bullet_tpu as bt
 
 

@@ -4,6 +4,7 @@ Mirrors /root/reference/examples/bullet-query-example.js (same fixture:
 10 users + 10 products).
 """
 
+import _env  # noqa: F401 - sys.path + backend setup
 import bullet_tpu as bt
 
 USERS = {

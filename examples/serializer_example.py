@@ -8,6 +8,7 @@ import os
 import re
 from datetime import datetime
 
+import _env  # noqa: F401 - sys.path + backend setup
 import bullet_tpu as bt
 
 EXPORT_DIR = os.path.join(os.path.dirname(__file__), "exports")

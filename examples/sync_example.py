@@ -11,6 +11,7 @@ import argparse
 import random
 import time
 
+import _env  # noqa: F401 - sys.path + backend setup
 import bullet_tpu as bt
 
 

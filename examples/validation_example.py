@@ -6,6 +6,7 @@ schemas actually gate the write path (the reference's hook is dead code,
 SURVEY quirk Q1).
 """
 
+import _env  # noqa: F401 - sys.path + backend setup
 import bullet_tpu as bt
 
 

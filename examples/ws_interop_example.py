@@ -12,6 +12,7 @@ import json
 import socket
 import time
 
+import _env  # noqa: F401 - sys.path + backend setup
 import bullet_tpu as bt
 from bullet_tpu.db import ws
 
