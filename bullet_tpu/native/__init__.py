@@ -62,14 +62,14 @@ def load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB)
             # a stale library (e.g. preserved timestamps hiding a source
             # change) lacks newer symbols: probe one and rebuild once
-            getattr(lib, "bk_number_keys")
+            getattr(lib, "bk_reduce_flat_ops")
         except (OSError, AttributeError):
             if not _build():
                 _load_failed = True
                 return None
             try:
                 lib = ctypes.CDLL(_LIB)
-                getattr(lib, "bk_number_keys")
+                getattr(lib, "bk_reduce_flat_ops")
             except (OSError, AttributeError):
                 _load_failed = True
                 return None
@@ -160,6 +160,12 @@ def load() -> Optional[ctypes.CDLL]:
         lib.pin_seg_lookup.restype = c_i32
         lib.bk_group_positions.argtypes = [c_vp, c_i64, c_i32, c_vp, c_vp]
         lib.bk_number_keys.argtypes = [c_vp, c_i64, c_vp, c_vp, c_vp]
+        lib.bk_reduce_flat_ops.argtypes = [
+            c_vp, c_vp, c_vp, c_vp, c_vp, c_vp, c_i64,
+            c_i32, c_i64, c_i64, c_i32, c_i64,
+            c_vp, c_vp, c_vp, c_vp, c_vp,
+        ]
+        lib.bk_reduce_flat_ops.restype = c_i64
         _lib = lib
         return _lib
 
@@ -208,6 +214,37 @@ def number_keys(values):
         raw.ctypes.data_as(ctypes.c_void_p),
     )
     return khi, klo, raw
+
+
+def reduce_flat_ops(peer, slot, cls, khi, klo, vid, bn, nb, cv_shift,
+                    vid_mask):
+    """Native radix-sort + grouped-lexmax twin of the numpy reduction in
+    ops/packed.py::reduce_flat_ops. ``bn > 0`` selects block-major winner
+    order (blocked-apply mode); returns the 5-tuple of winner arrays, None
+    for an all-filtered batch (caller returns None), or NotImplemented when
+    the library is unavailable (caller falls back to numpy)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return NotImplemented
+    arrs = [np.ascontiguousarray(a, dtype=np.int32)
+            for a in (peer, slot, cls, khi, klo, vid)]
+    k = len(arrs[0])
+    outs = [np.empty(k, dtype=np.int32) for _ in range(5)]
+    n = lib.bk_reduce_flat_ops(
+        *(a.ctypes.data_as(ctypes.c_void_p) for a in arrs),
+        ctypes.c_int64(k),
+        ctypes.c_int32(1 if bn > 0 else 0),
+        ctypes.c_int64(max(bn, 1)),
+        ctypes.c_int64(max(nb, 1)),
+        ctypes.c_int32(cv_shift),
+        ctypes.c_int64(vid_mask),
+        *(o.ctypes.data_as(ctypes.c_void_p) for o in outs),
+    )
+    if n == 0:
+        return None
+    return tuple(o[:n] for o in outs)
 
 
 class NativeStringOrderIndex:

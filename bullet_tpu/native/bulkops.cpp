@@ -7,8 +7,41 @@
 //  * bk_number_keys      <-> utils/encode.py::number_keys_np +
 //                            bulk_encode_numbers' canonical intern bits
 
+//  * bk_reduce_flat_ops   <-> ops/packed.py::reduce_flat_ops (numpy path)
+
 #include <cstdint>
 #include <cstring>
+#include <vector>
+
+namespace {
+
+struct OpRow {
+  uint64_t pslot;
+  int64_t k1, k2;
+};
+
+// LSD radix sort by pslot, 16-bit digits, low passes only up to the key's
+// actual bit width (pslot is block-major < 2^31 in block mode, < 2^42
+// generic). Stable and ascending — the same order np.argsort(pslot) gives,
+// and group identity is all the downstream scan needs.
+void radix_by_pslot(std::vector<OpRow>& rows, uint64_t max_key) {
+  std::vector<OpRow> tmp(rows.size());
+  uint64_t count[1 << 16];
+  for (int shift = 0; shift < 64 && (max_key >> shift); shift += 16) {
+    std::memset(count, 0, sizeof(count));
+    for (const OpRow& r : rows) ++count[(r.pslot >> shift) & 0xFFFF];
+    uint64_t pos = 0;
+    for (int d = 0; d < (1 << 16); ++d) {
+      uint64_t c = count[d];
+      count[d] = pos;
+      pos += c;
+    }
+    for (const OpRow& r : rows) tmp[count[(r.pslot >> shift) & 0xFFFF]++] = r;
+    rows.swap(tmp);
+  }
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -51,6 +84,88 @@ void bk_number_keys(const double* vals, int64_t k, int32_t* khi,
     khi[i] = (int32_t)((uint32_t)(b >> 32) ^ 0x80000000u);
     klo[i] = (int32_t)((uint32_t)b ^ 0x80000000u);
   }
+}
+
+// Lattice pre-reduction: (cls,khi,klo,vid)-max op per (peer,slot), winners
+// emitted ascending by the fused pslot key — bit-identical to the numpy
+// argsort+reduceat path in ops/packed.py::reduce_flat_ops (same fused-key
+// construction: k1 = cls<<32 | khi+2^31 compared first, k2 =
+// (klo+2^31)<<cv_shift | vid among k1-maximal rows; same block-major key
+// when block mode is on). Returns the winner count; outputs may alias the
+// op count in capacity (n_out <= k always).
+int64_t bk_reduce_flat_ops(const int32_t* peer, const int32_t* slot,
+                           const int32_t* cls, const int32_t* khi,
+                           const int32_t* klo, const int32_t* vid, int64_t k,
+                           int32_t block_mode, int64_t bn, int64_t nb,
+                           int32_t cv_shift, int64_t vid_mask,
+                           int32_t* peer_w, int32_t* slot_w, int32_t* khi_w,
+                           int32_t* klo_w, int32_t* cv_w) {
+  const int64_t bias = int64_t(1) << 31;
+  // Generic mode sorts by peer*stride + slot instead of peer<<32 | slot:
+  // identical lexicographic (peer, slot) order, but the tighter key usually
+  // drops one 16-bit radix pass (e.g. 30 bits at P=1024 x N=1M vs 42).
+  uint64_t stride = 1;
+  if (!block_mode) {
+    int32_t max_slot = 0;
+    for (int64_t i = 0; i < k; ++i)
+      if (slot[i] > max_slot) max_slot = slot[i];
+    stride = static_cast<uint64_t>(max_slot) + 1;
+  }
+  std::vector<OpRow> rows;
+  rows.reserve(static_cast<size_t>(k));
+  uint64_t max_key = 0;
+  for (int64_t i = 0; i < k; ++i) {
+    if (cls[i] <= 0) continue;  // cls>0 keep-filter (padding never wins)
+    uint64_t ps;
+    if (block_mode) {
+      int64_t p = peer[i], s = slot[i];
+      uint64_t block = static_cast<uint64_t>((p >> 3) * nb + s / bn);
+      ps = (block << 14) | (static_cast<uint64_t>(p & 7) << 11) |
+           static_cast<uint64_t>(s % bn);
+    } else {
+      ps = static_cast<uint64_t>(static_cast<uint32_t>(peer[i])) * stride +
+           static_cast<uint32_t>(slot[i]);
+    }
+    if (ps > max_key) max_key = ps;
+    int64_t k1 = (static_cast<int64_t>(cls[i]) << 32) | (khi[i] + bias);
+    int64_t k2 = ((klo[i] + bias) << cv_shift) | static_cast<int64_t>(vid[i]);
+    rows.push_back({ps, k1, k2});
+  }
+  if (rows.empty()) return 0;
+  radix_by_pslot(rows, max_key);
+  int64_t n_out = -1;
+  uint64_t cur = ~0ull;
+  int64_t m1 = 0, m2 = 0;
+  auto emit = [&](int64_t at, uint64_t key) {
+    int64_t cls_w = m1 >> 32;
+    khi_w[at] = static_cast<int32_t>((m1 & 0xFFFFFFFFll) - bias);
+    klo_w[at] = static_cast<int32_t>((m2 >> cv_shift) - bias);
+    cv_w[at] = static_cast<int32_t>((cls_w << cv_shift) | (m2 & vid_mask));
+    if (block_mode) {
+      uint64_t blk = key >> 14;
+      peer_w[at] = static_cast<int32_t>((blk / nb) * 8 + ((key >> 11) & 7));
+      slot_w[at] = static_cast<int32_t>((blk % nb) * bn + (key & 0x7FF));
+    } else {
+      peer_w[at] = static_cast<int32_t>(key / stride);
+      slot_w[at] = static_cast<int32_t>(key % stride);
+    }
+  };
+  for (const OpRow& r : rows) {
+    if (r.pslot != cur) {
+      if (n_out >= 0) emit(n_out, cur);
+      ++n_out;
+      cur = r.pslot;
+      m1 = r.k1;
+      m2 = r.k2;
+    } else if (r.k1 > m1) {
+      m1 = r.k1;
+      m2 = r.k2;
+    } else if (r.k1 == m1 && r.k2 > m2) {
+      m2 = r.k2;
+    }
+  }
+  emit(n_out, cur);
+  return n_out + 1;
 }
 
 }  // extern "C"

@@ -725,8 +725,24 @@ def reduce_flat_ops(peer, slot, cls, khi, klo, vid, block_shape=None):
     blocked Pallas apply (primary key = the op's (8, BN) table block; the
     fused key still uniquely identifies (peer, slot), so grouping is
     unchanged) at the same one-argsort cost. Default order stays
-    (peer, slot) ascending — the chunked-scatter fallback asserts it."""
+    (peer, slot) ascending — the chunked-scatter fallback asserts it.
+
+    The native radix+scan pass (native/__init__.py::reduce_flat_ops,
+    ~4x this numpy path at 1M ops) runs first when available; this numpy
+    body is the bit-identical fallback (tested)."""
     import numpy as np
+
+    from .. import native
+
+    if block_shape is not None:
+        nat_bn, nat_nb = _CG_BN, block_shape[1] // _CG_BN
+    else:
+        nat_bn = nat_nb = 0
+    fast = native.reduce_flat_ops(
+        peer, slot, cls, khi, klo, vid, nat_bn, nat_nb, CV_SHIFT, VID_MASK
+    )
+    if fast is not NotImplemented:
+        return fast
 
     keep = cls > 0
     peer, slot, cls, khi, klo, vid = (

@@ -290,3 +290,52 @@ def test_native_number_keys_bitidentical():
     b = f.view(np.uint64).copy()
     b[np.isnan(f)] = np.uint64(_RAW_NAN_BITS)
     np.testing.assert_array_equal(raw, b)
+
+
+def test_native_reduce_flat_ops_bitidentical():
+    """bk_reduce_flat_ops must match the numpy argsort+reduceat reduction
+    (ops/packed.py::reduce_flat_ops fallback) exactly in both winner order
+    modes, including duplicate-heavy groups, lexmax ties, cls=0 filtering,
+    and empty/all-filtered batches."""
+    import numpy as np
+    import pytest
+
+    from bullet_tpu import native
+    from bullet_tpu.ops.packed import reduce_flat_ops
+
+    if native.load() is None:
+        pytest.skip("native toolchain unavailable")
+
+    def numpy_ref(*args, **kw):
+        native._load_failed = True
+        try:
+            return reduce_flat_ops(*args, **kw)
+        finally:
+            native._load_failed = False
+
+    rng = np.random.default_rng(29)
+    for trial in range(20):
+        k = int(rng.integers(1, 20000))
+        p = int(rng.choice([8, 64, 1024]))
+        n = int(rng.choice([1 << 14, 1 << 17, 1 << 20]))
+        peer = rng.integers(0, p, k).astype(np.int32)
+        slot = rng.integers(0, n, k).astype(np.int32)
+        if trial % 2:  # duplicate-heavy: deep groups, many ties
+            slot = (slot % 97).astype(np.int32)
+            peer = (peer % 3).astype(np.int32)
+        cls = rng.integers(0, 5, k).astype(np.int32)
+        khi = rng.integers(-(2**31), 2**31, k).astype(np.int32)
+        klo = rng.integers(-(2**31), 2**31, k).astype(np.int32)
+        vid = rng.integers(0, 1 << 28, k).astype(np.int32)
+        for bs in (None, (p, n)):
+            a = reduce_flat_ops(peer, slot, cls, khi, klo, vid, block_shape=bs)
+            b = numpy_ref(peer, slot, cls, khi, klo, vid, block_shape=bs)
+            if a is None or b is None:
+                assert a is None and b is None, (trial, bs)
+                continue
+            for x, y, nm in zip(a, b, "peer slot khi klo cv".split()):
+                np.testing.assert_array_equal(x, y, err_msg=f"{trial} {bs} {nm}")
+    z = np.zeros(10, np.int32)
+    assert reduce_flat_ops(z, z, z, z, z, z) is None
+    e = np.empty(0, np.int32)
+    assert reduce_flat_ops(e, e, e, e, e, e) is None
