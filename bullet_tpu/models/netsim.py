@@ -1427,12 +1427,11 @@ class PeerNetworkSim:
                     self.hooks.rewrite_get(int(pr), p)
                     for pr, p in zip(prow, paths)
                 ]
-            slots = np.empty(len(paths), dtype=np.int32)
-            valid = np.empty(len(paths), dtype=bool)
-            for i, p in enumerate(paths):
-                pid = self.host.paths.lookup(p)
-                valid[i] = pid is not None
-                slots[i] = pid if pid is not None else 0
+            # one batch lookup (native: one C call) — the K-ctypes-call
+            # loop here was ~80% of get_bulk wall time at 100k reads
+            slots = self.host.paths.lookup_batch(paths)
+            valid = slots >= 0
+            slots = np.where(valid, slots, 0).astype(np.int32)
             path_strs = paths
         k = len(slots)
         peers_arr = np.broadcast_to(

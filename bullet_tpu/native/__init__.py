@@ -62,14 +62,14 @@ def load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB)
             # a stale library (e.g. preserved timestamps hiding a source
             # change) lacks newer symbols: probe one and rebuild once
-            getattr(lib, "bk_reduce_flat_ops")
+            getattr(lib, "pin_lookup_batch")
         except (OSError, AttributeError):
             if not _build():
                 _load_failed = True
                 return None
             try:
                 lib = ctypes.CDLL(_LIB)
-                getattr(lib, "bk_reduce_flat_ops")
+                getattr(lib, "pin_lookup_batch")
             except (OSError, AttributeError):
                 _load_failed = True
                 return None
@@ -138,6 +138,7 @@ def load() -> Optional[ctypes.CDLL]:
         lib.pin_intern_one.argtypes = [c_vp, c_cp, c_i64]
         lib.pin_intern_one.restype = c_i32
         lib.pin_intern_batch.argtypes = [c_vp, c_cp, c_vp, c_vp, c_i64, c_vp]
+        lib.pin_lookup_batch.argtypes = [c_vp, c_cp, c_vp, c_vp, c_i64, c_vp]
         lib.pin_lookup.argtypes = [c_vp, c_cp, c_i64]
         lib.pin_lookup.restype = c_i32
         lib.pin_parent.argtypes = [c_vp, c_i32]
@@ -452,18 +453,15 @@ class NativePathInterner:
         raw = path.encode("utf-8")
         return int(self._lib.pin_intern_one(self._handle, raw, len(raw)))
 
-    def intern_batch(self, paths):
-        """Bulk intern: one C call for K paths; returns int32 slot ids [K].
-
-        Fast prep path: one NUL-joined encode + numpy offset scan (a NUL
-        byte never occurs inside multi-byte UTF-8, so separator counting
-        detects the rare path that embeds one and falls back to per-path
-        encoding)."""
+    @staticmethod
+    def _prep_paths(paths):
+        """(buf, starts, lens) batch addressing for K paths: one NUL-joined
+        encode + numpy offset scan (a NUL byte never occurs inside
+        multi-byte UTF-8, so separator counting detects the rare path that
+        embeds one and falls back to per-path encoding)."""
         import numpy as np
 
         k = len(paths)
-        if k == 0:
-            return np.empty(0, dtype=np.int32)
         buf = "\x00".join(paths).encode("utf-8")
         seps = np.flatnonzero(np.frombuffer(buf, dtype=np.uint8) == 0)
         if len(seps) != k - 1:  # some path embeds NUL: slow, exact prep
@@ -480,6 +478,16 @@ class NativePathInterner:
             ends[:-1] = seps
             ends[-1] = len(buf)
             lens = ends - starts
+        return buf, starts, lens
+
+    def intern_batch(self, paths):
+        """Bulk intern: one C call for K paths; returns int32 slot ids [K]."""
+        import numpy as np
+
+        k = len(paths)
+        if k == 0:
+            return np.empty(0, dtype=np.int32)
+        buf, starts, lens = self._prep_paths(paths)
         slots = np.empty(k, dtype=np.int32)
         self._lib.pin_intern_batch(
             self._handle,
@@ -490,6 +498,26 @@ class NativePathInterner:
             slots.ctypes.data_as(ctypes.c_void_p),
         )
         return slots
+
+    def lookup_batch(self, paths):
+        """Bulk lookup: one C call for K paths; int32 ids [K], -1 = unknown
+        (the batch twin of ``lookup`` — never interns)."""
+        import numpy as np
+
+        k = len(paths)
+        if k == 0:
+            return np.empty(0, dtype=np.int32)
+        buf, starts, lens = self._prep_paths(paths)
+        pids = np.empty(k, dtype=np.int32)
+        self._lib.pin_lookup_batch(
+            self._handle,
+            buf,
+            starts.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            k,
+            pids.ctypes.data_as(ctypes.c_void_p),
+        )
+        return pids
 
     def lookup(self, path: str) -> Optional[int]:
         raw = path.encode("utf-8")

@@ -297,6 +297,14 @@ int32_t pin_lookup(void* h, const char* s, int64_t len) {
   return lookup_one(static_cast<PathInterner*>(h), s, len);
 }
 
+// Bulk lookup: same addressing as pin_intern_batch; -1 per unknown path.
+void pin_lookup_batch(void* h, const char* buf, const int64_t* starts,
+                      const int64_t* lens, int64_t k, int32_t* pids_out) {
+  const auto* pi = static_cast<const PathInterner*>(h);
+  for (int64_t i = 0; i < k; ++i)
+    pids_out[i] = lookup_one(pi, buf + starts[i], lens[i]);
+}
+
 int32_t pin_parent(void* h, int32_t pid) {
   return static_cast<PathInterner*>(h)->parent[pid];
 }

@@ -94,6 +94,17 @@ class PathInterner:
     def lookup(self, path: str) -> Optional[int]:
         return self._id_of.get(normalize(path))
 
+    def lookup_batch(self, paths) -> "np.ndarray":
+        """int32 ids [K], -1 = unknown (API twin of the native batch)."""
+        import numpy as np
+
+        get = self._id_of.get
+        return np.fromiter(
+            (get(normalize(p), -1) for p in paths),
+            dtype=np.int32,
+            count=len(paths),
+        )
+
     def path(self, pid: int) -> str:
         return self._path_of[pid]
 

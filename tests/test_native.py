@@ -339,3 +339,33 @@ def test_native_reduce_flat_ops_bitidentical():
     assert reduce_flat_ops(z, z, z, z, z, z) is None
     e = np.empty(0, np.int32)
     assert reduce_flat_ops(e, e, e, e, e, e) is None
+
+
+def test_native_lookup_batch_bitidentical():
+    """pin_lookup_batch must match the Python PathInterner.lookup_batch
+    (-1 sentinel, normalization, empty/unknown/NUL-free edge paths) and
+    never intern."""
+    import numpy as np
+    import pytest
+
+    from bullet_tpu import native
+    from bullet_tpu.utils.paths import PathInterner
+
+    lib = native.load()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    npi = native.NativePathInterner(lib)
+    ppi = PathInterner()
+    rng = np.random.default_rng(31)
+    paths = [
+        f"a{int(i)}/b{int(j)}/c"
+        for i, j in zip(rng.integers(0, 50, 2000), rng.integers(0, 40, 2000))
+    ]
+    for p in paths[:1500]:
+        assert npi.intern(p) == ppi.intern(p)
+    probe = paths + ["unknown/x", "", "a0", "a0/b0", "//a0///b0/"]
+    before = len(npi)
+    np.testing.assert_array_equal(
+        npi.lookup_batch(probe), ppi.lookup_batch(probe)
+    )
+    assert len(npi) == before  # lookup never interns
