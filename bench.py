@@ -71,7 +71,9 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
 
     impl: "xla" (fused by XLA), "pallas" (generic merge kernel ×2), "fused"
     (single-pass ring-round Pallas kernel), "lean" (4-array value-key
-    variant), or "packed" (3-array 12 B/entry layout, in-place stripes)."""
+    variant), "packed" (3-array 12 B/entry layout, in-place stripes), or
+    "rank" (2-array 8 B/entry layout — 16 B/entry/round of HBM traffic and
+    a 2-key lexmax, the fastest layout; see ops/rank.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -83,14 +85,15 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
     from bullet_tpu.ops.packed import packed_ring_supported
     from bullet_tpu.ops.ring_kernel import ring_round_pallas, ring_round_pallas_lean
 
-    if impl == "packed":
-        # the 12 B/entry layout benches at the BASELINE.json north-star shape
-        # (1,024 peers × 1M slots ≈ 12.9 GB) — the dense layouts cannot hold
-        # it on one chip, which is the point of packing
+    if impl in ("packed", "rank"):
+        # the compact layouts bench at the BASELINE.json north-star shape
+        # (1,024 peers × 1M slots: 12.9 GB packed, 8.6 GB rank) — the dense
+        # layouts cannot hold it on one chip, which is the point
         num_peers, capacity = 1024, 1 << 20
         if not packed_ring_supported(num_peers, capacity):
             raise RuntimeError("packed stripe kernel unsupported at this shape")
         from bullet_tpu.ops.packed import PackedTable
+        from bullet_tpu.ops.rank import RankTable
 
         @jax.jit
         def build_packed():
@@ -101,7 +104,14 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
             def mix(salt, mod):
                 return ((h ^ salt) * 1664525 & 0x7FFFFFFF) % mod
 
-            cv = (mix(1, 4) << 28) | mix(4, 1 << 20)
+            cls = mix(1, 4)
+            cv = (cls << 28) | mix(4, 1 << 20)
+            if impl == "rank":
+                # rank 0 = absent (cls 0); live ranks spread over the 31-bit
+                # gap space like a real RankIndex would
+                return RankTable(
+                    rank=jnp.where(cls > 0, mix(8, 1 << 30) + 1, 0), cv=cv
+                )
             return PackedTable(
                 khi=mix(2, 2000) - 1000, klo=mix(3, 2000) - 1000, cv=cv
             )
@@ -186,8 +196,9 @@ def main() -> None:
         num_peers, capacity, rounds = 256, 1 << 18, 32
         # ordered best-first; the rest are FALLBACKS only (each impl costs
         # minutes of compile through the tunnel, and the measured order is
-        # stable: packed+fused 93.7B > lean 17.6B > fused 9.7B > xla 5.1B)
-        impls = ["packed", "lean", "fused", "xla"]
+        # stable: rank (8 B/entry, 2-key lexmax) > packed+fused 93.7B >
+        # lean 17.6B > fused 9.7B > xla 5.1B)
+        impls = ["rank", "packed", "lean", "fused", "xla"]
     else:  # CPU smoke sizing
         num_peers, capacity, rounds = 16, 1 << 14, 5
         impls = ["xla"]

@@ -117,6 +117,19 @@ def load_checkpoint(directory: str, mesh_devices: Optional[int] = None):
     else:
         data = np.load(os.path.join(directory, "state.npz"))
     sim.table = type(sim.table)(*(jnp.asarray(data[name]) for name in fields))
+    if meta.get("layout") == "rank":
+        # gap ranks are a function of insertion HISTORY, not just the value
+        # set — a fresh one-batch replay spreads them differently than the
+        # original incremental inserts. Rebuild the index, then re-gather
+        # every stored rank from the fresh vid -> rank LUT (cv carries the
+        # vid, so stored rank values are disposable).
+        from ..ops.rank import rekey_rank
+
+        sim._sync_rank_index()
+        sim.rank_index.needs_rekey = False
+        sim.table = rekey_rank(
+            sim.table, jnp.asarray(sim.rank_index.rank_map())
+        )
     if sim.mesh is not None:
         from ..parallel.mesh import shard_table
 

@@ -42,7 +42,7 @@ class ConvergenceCell(NamedTuple):
     """The dispatch-relevant shape of a convergence request. Built by
     ``PeerNetworkSim._convergence_cell``; consumed by the strategy table."""
 
-    layout: str  # "packed" | "dense"
+    layout: str  # "packed" | "rank" | "dense"
     ring_chain: bool  # topology kind is ring or chain
     frontier: bool  # a frontier-capable kernel tiles this shape (f_tile > 0)
     spmd: bool  # engine shard_map mesh active
@@ -59,19 +59,19 @@ class ConvergenceCell(NamedTuple):
 CONVERGENCE_STRATEGIES: Tuple[Tuple[str, Callable, str], ...] = (
     (
         "packed-frontier-spmd",  # shard_map frontier loop, per-device Pallas
-        lambda c: c.layout == "packed" and c.spmd and c.frontier
+        lambda c: c.layout in ("packed", "rank") and c.spmd and c.frontier
         and c.ring_chain and c.pallas,
         "_converge_frontier_spmd",
     ),
     (
         "packed-frontier-local",  # single-chip compacting frontier (fused)
-        lambda c: c.layout == "packed" and not c.spmd and not c.data_mesh
-        and c.frontier and c.ring_chain and c.pallas,
+        lambda c: c.layout in ("packed", "rank") and not c.spmd
+        and not c.data_mesh and c.frontier and c.ring_chain and c.pallas,
         "_converge_frontier_local",
     ),
     (
         "packed-loop",  # whole-table while_loop (XLA or stripe/halo Pallas)
-        lambda c: c.layout == "packed",
+        lambda c: c.layout in ("packed", "rank"),
         "_converge_packed_loop",
     ),
     (
@@ -283,17 +283,19 @@ def _closure_join_dense(
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _closure_join_packed(table, idx, members):
-    """Packed-layout twin of _closure_join_dense (reference mode only —
-    the packed key chain (cls, khi, klo, vid) is the packed merge
-    order)."""
-    from ..ops.packed import PackedTable, merge_packed_xla
+    """Packed-family twin of _closure_join_dense (reference mode only —
+    the packed key chain (cls, khi, klo, vid) ≡ the rank chain (rank, cv)
+    is the merge order; layout-generic via merge_packed_xla)."""
+    from ..ops.packed import merge_packed_xla
+
+    tcls = type(table)
 
     def merge_one(a, b):
-        merged, _ = merge_packed_xla(PackedTable(*a), PackedTable(*b))
+        merged, _ = merge_packed_xla(tcls(*a), tcls(*b))
         return tuple(merged)
 
     row = _doubling_join_rows(tuple(f[idx] for f in table), merge_one)
-    return PackedTable(
+    return tcls(
         *(f.at[members].set(r) for f, r in zip(table, row))
     )
 
@@ -318,6 +320,25 @@ def _peer_row_packed(table, peer):
         khi=table.khi[peer],
         klo=table.klo[peer],
         vid=cv & VID_MASK,
+    )
+
+
+@jax.jit
+def _peer_row_rank(table, peer, khi_map, klo_map):
+    """Rank-layout row view: the table stores no key bits, so the row's
+    khi/klo rebuild from vid through the interner LUTs (row-sized gather —
+    queries order by value keys, not ranks)."""
+    from ..ops.packed import CV_SHIFT, VID_MASK
+
+    cv = table.cv[peer]
+    vid = cv & VID_MASK
+    present = (cv >> CV_SHIFT) > 0
+    z = jnp.zeros_like(cv)
+    return scans.RowView(
+        cls=cv >> CV_SHIFT,
+        khi=jnp.where(present, khi_map[vid], z),
+        klo=jnp.where(present, klo_map[vid], z),
+        vid=vid,
     )
 
 
@@ -349,10 +370,10 @@ class PeerNetworkSim:
         lean_gossip: bool = False,
         layout: str = "dense",
     ) -> None:
-        if layout not in ("dense", "packed"):
+        if layout not in ("dense", "packed", "rank"):
             raise ValueError(f"unknown layout: {layout}")
-        if layout == "packed" and mode != "reference":
-            raise ValueError("packed layout supports reference mode only "
+        if layout in ("packed", "rank") and mode != "reference":
+            raise ValueError(f"{layout} layout supports reference mode only "
                              "(no writer/ctr metadata for lww priority)")
         self.layout = layout
         self.mode = mode
@@ -375,6 +396,14 @@ class PeerNetworkSim:
             from ..ops.packed import init_packed
 
             self.table = init_packed(num_peers, capacity)
+        elif layout == "rank":
+            from ..ops.rank import RankIndex, init_rank
+
+            self.table = init_rank(num_peers, capacity)
+            # host order authority for the 8 B/entry layout: vid -> 31-bit
+            # gap rank, strictly monotone in (cls, khi, klo, vid)
+            self.rank_index = RankIndex()
+            self._rank_str_epoch = -1
         else:
             self.table = init_table(num_peers, capacity)
         self.capacity = capacity
@@ -790,6 +819,14 @@ class PeerNetworkSim:
     def _maybe_rekey(self) -> None:
         if not self.host.needs_rekey:
             return
+        if self.layout == "rank":
+            # a string-rank rebalance moves khi/klo BITS but preserves the
+            # value ORDER, and the rank table stores no key bits at all —
+            # the device state is already correct. The RankIndex's stored
+            # key columns refresh lazily via the interner epoch in
+            # _sync_rank_index (before any insert compares against them).
+            self.host.needs_rekey = False
+            return
         cls_map, khi_map, klo_map = self.host.key_tables()
         rekey = _rekey_packed if self.layout == "packed" else _rekey
         self.table = rekey(
@@ -800,9 +837,36 @@ class PeerNetworkSim:
         )
         self.host.needs_rekey = False
 
+    def _sync_rank_index(self) -> None:
+        """Bring the RankIndex up to date with the interner (rank layout):
+        refresh stored key columns after a string rebalance (epoch bump),
+        assign ranks to newly interned vids, and — if a gap exhausted and
+        the rank space respread — re-gather the device table's ranks
+        through the fresh vid -> rank LUT so ops and table always compare
+        under ONE map version."""
+        from ..ops.rank import rekey_rank
+
+        vals = self.host.values
+        if self._rank_str_epoch != vals.epoch:
+            cls_map, khi_map, klo_map = self.host.key_tables()
+            self.rank_index.refresh_keys(cls_map, khi_map, klo_map)
+            self._rank_str_epoch = vals.epoch
+        n_ranked = len(self.rank_index)
+        if len(vals) > n_ranked:
+            cls_map, khi_map, klo_map = self.host.key_tables()
+            new = np.arange(n_ranked, len(vals))
+            self.rank_index.insert_batch(
+                new, cls_map[new], khi_map[new], klo_map[new]
+            )
+        if self.rank_index.needs_rekey:
+            self.table = rekey_rank(
+                self.table, jnp.asarray(self.rank_index.rank_map())
+            )
+            self.rank_index.needs_rekey = False
+
     def _apply_pending(self) -> int:
         """Drain + ingress + apply, layout-dispatched; returns applied count."""
-        if self.layout == "packed":
+        if self.layout in ("packed", "rank"):
             return self._apply_pending_packed()
         drained = self._drain_ops()
         if drained is None:
@@ -882,13 +946,24 @@ class PeerNetworkSim:
                 np.asarray(ops.slot), np.asarray(ops.cls),
                 np.asarray(ops.khi), np.asarray(ops.klo), np.asarray(ops.vid),
             )
+        if self.layout == "rank":
+            from ..ops.packed import CV_SHIFT
+
+            # rank stamping must see every new vid AND a device table
+            # coherent with the same map version (see _sync_rank_index)
+            self._sync_rank_index()
+            rmap = self.rank_index.rank_map()
+            rank_f = rmap[vid]
+            cv_f = (
+                (cls.astype(np.int64) << CV_SHIFT) | vid
+            ).astype(np.int32)
         from ..ops.packed import (
             apply_flat_blocked,
             block_apply_supported,
             chunk_block_ops,
         )
 
-        p_, n_ = self.table.khi.shape
+        p_, n_ = self.table[0].shape
         # hardware-only, like the frontier fuse: interpret-mode pallas
         # pays Python per grid step, which would tax every CPU-test apply
         # (the chunk-grid path has dedicated interpret-mode identity tests)
@@ -897,16 +972,24 @@ class PeerNetworkSim:
             and jax.default_backend() == "tpu"
             and self.use_pallas is not False
         )
-        reduced = reduce_flat_ops(
-            peer, slot, cls, khi, klo, vid,
-            block_shape=(p_, n_) if use_blocked else None,
-        )
+        if self.layout == "rank":
+            from ..ops.rank import reduce_flat_ops_rank
+
+            reduced = reduce_flat_ops_rank(
+                peer, slot, rank_f, cv_f,
+                block_shape=(p_, n_) if use_blocked else None,
+            )
+        else:
+            reduced = reduce_flat_ops(
+                peer, slot, cls, khi, klo, vid,
+                block_shape=(p_, n_) if use_blocked else None,
+            )
         if reduced is None:
             return 0
         if self._frontier_dirty is not None:
             tile_n = self._frontier_tile()
             if tile_n and len(self._frontier_dirty) == (
-                self.table.khi.shape[1] // tile_n
+                self.table[0].shape[1] // tile_n
             ):
                 self._frontier_dirty[np.unique(reduced[1] // tile_n)] = True
             else:
@@ -939,9 +1022,16 @@ class PeerNetworkSim:
         # ONE stacked h2d transfer for the whole reduced batch (the tunnel
         # charges per-transfer latency; five separate array uploads cost
         # noticeably more than one [5, K] block)
-        self.table, applied = apply_flat_packed_stacked(
-            self.table, jnp.asarray(np.stack(reduced))
-        )
+        if self.layout == "rank":
+            from ..ops.rank import apply_flat_rank_stacked
+
+            self.table, applied = apply_flat_rank_stacked(
+                self.table, jnp.asarray(np.stack(reduced))
+            )
+        else:
+            self.table, applied = apply_flat_packed_stacked(
+                self.table, jnp.asarray(np.stack(reduced))
+            )
         return int(applied)
 
     def _frontier_tile(self) -> int:
@@ -949,10 +1039,10 @@ class PeerNetworkSim:
         current shape — the per-DEVICE local shape when the shard_map mesh
         is active (each device tiles its own peer block); 0 = no frontier
         kernel fits and dirty-stripe bookkeeping is pointless."""
-        if self.layout == "packed":
+        if self.layout in ("packed", "rank"):
             from ..ops.packed import frontier_tile_n, frontier_tile_n_sharded
 
-            p, n = self.table.khi.shape
+            p, n = self.table[0].shape
             mesh = self._gossip_mesh()
             if mesh is not None:
                 return frontier_tile_n_sharded(p, n, mesh.devices.size)
@@ -973,7 +1063,7 @@ class PeerNetworkSim:
         return frontier_tile_n_dense(p, n, self.lean_gossip)
 
     def _one_round(self):
-        if self.layout == "packed":
+        if self.layout in ("packed", "rank"):
             from ..ops.packed import gossip_round_packed
 
             return gossip_round_packed(
@@ -1089,7 +1179,7 @@ class PeerNetworkSim:
         from ..parallel.shardmap_gossip import gossip_frontier_shardmap_packed
 
         interp = jax.default_backend() != "tpu"
-        t_total = self.table.khi.shape[1] // self._frontier_tile()
+        t_total = self.table[0].shape[1] // self._frontier_tile()
         self.table, rounds, final_changed = gossip_frontier_shardmap_packed(
             self.table, self._frontier_seed(t_total), self._gossip_mesh(),
             self.topology.kind == "ring", max_rounds,
@@ -1108,7 +1198,7 @@ class PeerNetworkSim:
         dedicated parity tests in interpret mode)."""
         from ..ops.packed import STRIPE_FUSE, gossip_frontier_packed
 
-        t_total = self.table.khi.shape[1] // self._frontier_tile()
+        t_total = self.table[0].shape[1] // self._frontier_tile()
         interp = jax.default_backend() != "tpu"
         self.table, rounds, final_changed = gossip_frontier_packed(
             self.table, self._frontier_seed(t_total),
@@ -1243,14 +1333,14 @@ class PeerNetworkSim:
         self.hooks.fire_after_puts()
         if not self.topology.is_connected():
             self._reconcile_weak()
-        elif self.layout == "packed":
+        elif self.layout in ("packed", "rank"):
             from ..ops.packed import (
                 _reconcile_packed_jit,
                 packed_ring_supported,
                 reconcile_packed_xla,
             )
 
-            p, n = self.table.khi.shape
+            p, n = self.table[0].shape
             if (
                 jax.default_backend() == "tpu"
                 and self.mesh is None
@@ -1267,9 +1357,7 @@ class PeerNetworkSim:
         self.last_residual = 0
         tile_n = self._frontier_tile()
         if tile_n:
-            width = (
-                self.table.khi if self.layout == "packed" else self.table.cls
-            ).shape[1]
+            width = self.table[0].shape[1]
             self._frontier_dirty = np.zeros(width // tile_n, dtype=bool)
         self._sync_clocks()
         self._fire_subscriptions()
@@ -1309,7 +1397,7 @@ class PeerNetworkSim:
             mem_arr = jnp.asarray(
                 np.asarray(mem + [mem[0]] * (m - len(mem)), np.int32)
             )
-            if self.layout == "packed":
+            if self.layout in ("packed", "rank"):
                 self.table = _closure_join_packed(
                     self.table, idx_arr, mem_arr
                 )
@@ -1341,7 +1429,7 @@ class PeerNetworkSim:
         north-star shape where a scratch-copy round would not fit HBM;
         other configurations probe on a scratch copy."""
         if (
-            self.layout == "packed"
+            self.layout in ("packed", "rank")
             and self.topology.kind in ("ring", "chain")
             and self.mesh is None
             and self.use_pallas is not False  # explicit opt-out honored
@@ -1354,7 +1442,7 @@ class PeerNetworkSim:
             # sync FIRST: capacity growth / re-keying replace the table,
             # and the supported-shape gate must see the final shape
             self._sync_device_state()
-            p, n = self.table.khi.shape
+            p, n = self.table[0].shape
             if packed_ring_supported(p, n):
                 changed = count_changes_round_packed(
                     self.table, self.topology.kind == "ring",
@@ -1378,7 +1466,7 @@ class PeerNetworkSim:
             return {}
         self._sync_device_state()
         arr = jnp.asarray(np.asarray(slots, dtype=np.int32))
-        if self.layout == "packed":
+        if self.layout in ("packed", "rank"):
             cls, vid = _gather_entries_packed(self.table, jnp.int32(peer), arr)
         else:
             cls, _khi, _klo, vid, *_ = _gather_entries(
@@ -1439,7 +1527,8 @@ class PeerNetworkSim:
         ).astype(np.int32)
         self._sync_device_state()
         gather = (
-            _gather_pairs_packed if self.layout == "packed" else _gather_pairs
+            _gather_pairs_packed
+            if self.layout in ("packed", "rank") else _gather_pairs
         )
         cls, vid = gather(
             self.table, jnp.asarray(peers_arr), jnp.asarray(slots)
@@ -1786,7 +1875,7 @@ class PeerNetworkSim:
             return np.empty((0,), dtype=np.int64)
         peers = jnp.asarray(self._watch_peers)
         slots = jnp.asarray(self._watch_slots)
-        if self.layout == "packed":
+        if self.layout in ("packed", "rank"):
             cv = _gather_watch_packed(self.table, peers, slots)
             return np.asarray(cv, dtype=np.int64)
         cls, vid = _gather_watch_dense(self.table, peers, slots)
@@ -1849,7 +1938,7 @@ class PeerNetworkSim:
         def _equal(vid, cls):
             return jnp.all(vid == vid[0:1]) & jnp.all(cls == cls[0:1])
 
-        if self.layout == "packed":
+        if self.layout in ("packed", "rank"):
             # compare cv directly (cv equal ⇔ (cls, vid) equal) in ONE fused
             # jit — eager &/>> would each allocate a table-sized temp, which
             # does not fit next to the north-star table
@@ -1864,6 +1953,12 @@ class PeerNetworkSim:
         """One replica row as a query RowView, layout-independent."""
         if self.layout == "packed":
             return _peer_row_packed(self.table, jnp.int32(peer))
+        if self.layout == "rank":
+            _c, khi_map, klo_map = self.host.key_tables()
+            return _peer_row_rank(
+                self.table, jnp.int32(peer),
+                jnp.asarray(khi_map), jnp.asarray(klo_map),
+            )
         return scans.peer_row(self.table, jnp.int32(peer))
 
 

@@ -90,14 +90,27 @@ def _lex_gt_packed(b_keys, a_keys):
     return lex_gt(b_keys, a_keys)
 
 
+def table_keys(fields):
+    """Lex key chain for a packed-FAMILY field tuple, dispatched on length:
+    3 fields = the packed layout (khi, klo, cv) → (cls, khi, klo, vid);
+    2 fields = the rank layout (rank, cv) → (rank, cv) directly — ranks are
+    strictly monotone in (cls, khi, klo), so the 2-key chain realizes the
+    same total order (see ops.rank). Every shared kernel body below keys
+    through this, making the whole kernel zoo layout-generic."""
+    if len(fields) == 2:
+        return tuple(fields)
+    return packed_keys(*fields)
+
+
 def merge_packed_xla(
     a: PackedTable, b: PackedTable
 ) -> Tuple[PackedTable, jax.Array]:
-    """Reference-mode winner-select over packed tables + changed count."""
+    """Reference-mode winner-select over packed-family tables + changed
+    count (layout-generic: works on PackedTable and ops.rank.RankTable)."""
     take_b = _lex_gt_packed(
-        packed_keys(*b), packed_keys(*a)
+        table_keys(tuple(b)), table_keys(tuple(a))
     )
-    merged = PackedTable(*(jnp.where(take_b, fb, fa) for fa, fb in zip(a, b)))
+    merged = type(a)(*(jnp.where(take_b, fb, fa) for fa, fb in zip(a, b)))
     return merged, jnp.sum(take_b.astype(jnp.int32))
 
 
@@ -145,17 +158,17 @@ def apply_ops_packed(
 
 
 @jax.jit
-def _flat_winners(table, peer, slot, khi, klo, cv):
+def _flat_winners(table, peer, slot, vals):
     """Read-only pass: gather current entries, decide winners, emit the [K]
-    update values (loser slots re-emit their current value)."""
+    update values (loser slots re-emit their current value). ``vals`` is
+    the op field tuple matching the table layout (last field is always cv,
+    whose top bits carry cls — the presence guard)."""
     cur = tuple(f[peer, slot] for f in table)
     win = _lex_gt_packed(
-        packed_keys(khi, klo, cv), packed_keys(*cur)
-    ) & ((cv >> CV_SHIFT) > 0)
+        table_keys(vals), table_keys(cur)
+    ) & ((vals[-1] >> CV_SHIFT) > 0)
     return (
-        jnp.where(win, khi, cur[0]),
-        jnp.where(win, klo, cur[1]),
-        jnp.where(win, cv, cur[2]),
+        tuple(jnp.where(win, v, c) for v, c in zip(vals, cur)),
         jnp.sum(win.astype(jnp.int32)),
     )
 
@@ -200,11 +213,11 @@ def _scatter_one(arr, peer, slot, values):
     return jax.lax.fori_loop(0, p // pb, body, arr)
 
 
-def _flat_scatter(table, peer, slot, new_khi, new_klo, new_cv):
-    return PackedTable(
+def _flat_scatter(table, peer, slot, new_vals):
+    return type(table)(
         *(
             _scatter_one(f, peer, slot, v)
-            for f, v in zip(table, (new_khi, new_klo, new_cv))
+            for f, v in zip(table, new_vals)
         )
     )
 
@@ -225,10 +238,8 @@ def apply_flat_packed(
     as two programs: fusing them forces XLA to copy the table (the scatter
     output aliases a buffer the gather still reads), and at the north-star
     shape that copy alone exceeds HBM. The table buffer is DONATED."""
-    new_khi, new_klo, new_cv, applied = _flat_winners(
-        table, peer, slot, khi, klo, cv
-    )
-    table = _flat_scatter(table, peer, slot, new_khi, new_klo, new_cv)
+    new_vals, applied = _flat_winners(table, peer, slot, (khi, klo, cv))
+    table = _flat_scatter(table, peer, slot, new_vals)
     return table, applied
 
 
@@ -283,14 +294,19 @@ def block_apply_supported(p: int, n: int) -> bool:
     )
 
 
-def chunk_block_ops(peer, slot, khi, klo, cv, p: int, n: int):
+def chunk_block_ops(peer, slot, *vals_and_shape):
     """Host chunking for the chunk-grid apply: BLOCK-SORTED unique ops →
     (meta_rc [n_chunks] = rb | cb<<10, meta_cf [n_chunks] = cnt | first<<5,
-    ops5 [n_chunks, C, 5] int32). ``first`` marks the first chunk of each
-    block (the kernel's copy-on-first signal). Any per-block density is
-    representable — there is no window ceiling."""
+    ops5 [n_chunks, C, 2 + nv] int32). ``first`` marks the first chunk of
+    each block (the kernel's copy-on-first signal). Any per-block density
+    is representable — there is no window ceiling.
+
+    Layout-generic: ``vals_and_shape`` is the op value fields matching the
+    table layout (packed: khi, klo, cv; rank: rank, cv — cv always last)
+    followed by the table shape (p, n)."""
     import numpy as np
 
+    *vals, p, n = vals_and_shape
     k = len(peer)
     b = (peer.astype(np.int64) >> 3) * (n // _CG_BN) + (
         slot.astype(np.int64) // _CG_BN
@@ -311,28 +327,27 @@ def chunk_block_ops(peer, slot, khi, klo, cv, p: int, n: int):
     meta_cf = csizes | (first[cstarts].astype(np.int32) << 5)
     chunk_of = np.cumsum(boundary) - 1
     pos = (within % _BLOCK_C).astype(np.int64)
-    ops5 = np.zeros((n_chunks, _BLOCK_C, 5), dtype=np.int32)
+    ops5 = np.zeros((n_chunks, _BLOCK_C, 2 + len(vals)), dtype=np.int32)
     ops5[chunk_of, pos, 0] = peer & 7
     ops5[chunk_of, pos, 1] = slot % _CG_BN
-    ops5[chunk_of, pos, 2] = khi
-    ops5[chunk_of, pos, 3] = klo
-    ops5[chunk_of, pos, 4] = cv
+    for f, v in enumerate(vals):
+        ops5[chunk_of, pos, 2 + f] = v
     return meta_rc, meta_cf, ops5
 
 
-def _chunk_apply_kernel(*refs):
+def _chunk_apply_kernel(nf: int, *refs):
     """One 16-op CHUNK per grid step, applied to the resident (8, 128)
     block as one-hot winner-selects. The first chunk of a block copies the
     aliased input block into the output ref; later chunks of the same
     block are consecutive steps, so the output block is still resident and
     read-modify-write through it is exact. Win counts accumulate in
-    SMEM."""
+    SMEM. Layout-generic over the nf-field table (keyed via table_keys)."""
     import jax.experimental.pallas as pl
 
     meta_cf_ref = refs[1]  # refs[0] = meta_rc (index maps only)
     ops_ref = refs[2]
-    in_refs = refs[3:6]
-    out_refs, count_ref = refs[6:9], refs[9]
+    in_refs = refs[3:3 + nf]
+    out_refs, count_ref = refs[3 + nf:3 + 2 * nf], refs[3 + 2 * nf]
 
     t = pl.program_id(0)
 
@@ -348,27 +363,22 @@ def _chunk_apply_kernel(*refs):
         for o, i_ in zip(out_refs, in_refs):
             o[...] = i_[...]
 
-    khi_b, klo_b, cv_b = (o[...] for o in out_refs)
-    row_i = jax.lax.broadcasted_iota(jnp.int32, khi_b.shape, 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, khi_b.shape, 1)
+    blk = [o[...] for o in out_refs]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, blk[0].shape, 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, blk[0].shape, 1)
     applied = jnp.int32(0)
     for i in range(_BLOCK_C):
         r = ops_ref[0, 0, i]
         c = ops_ref[0, 1, i]
-        okhi = ops_ref[0, 2, i]
-        oklo = ops_ref[0, 3, i]
-        ocv = ops_ref[0, 4, i]
+        ovals = tuple(ops_ref[0, 2 + f, i] for f in range(nf))
         onehot = (row_i == r) & (col_i == c) & (i < cnt)
         beats = _lex_gt_packed(
-            (ocv >> CV_SHIFT, okhi, oklo, ocv),
-            packed_keys(khi_b, klo_b, cv_b),
-        ) & ((ocv >> CV_SHIFT) > 0)
+            table_keys(ovals), table_keys(tuple(blk))
+        ) & ((ovals[-1] >> CV_SHIFT) > 0)
         win = onehot & beats
-        khi_b = jnp.where(win, okhi, khi_b)
-        klo_b = jnp.where(win, oklo, klo_b)
-        cv_b = jnp.where(win, ocv, cv_b)
+        blk = [jnp.where(win, ov, b) for ov, b in zip(ovals, blk)]
         applied += jnp.sum(win.astype(jnp.int32))
-    for o, v in zip(out_refs, (khi_b, klo_b, cv_b)):
+    for o, v in zip(out_refs, blk):
         o[...] = v
     count_ref[0, 0] += applied
 
@@ -424,11 +434,12 @@ def _apply_flat_blocked_jit(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p, n = table.khi.shape
-    # device-side expansion to the (8, 128) tile: [NC, C, 5] → [NC, 8, 128]
-    # (the compact form crosses the host↔device link; the padded temp is
-    # device-local and transient)
-    ops_t = jnp.transpose(ops5, (0, 2, 1))  # [NC, 5, C]
+    nf = len(table)
+    p, n = table[0].shape
+    # device-side expansion to the (8, 128) tile: [NC, C, 2+nf] →
+    # [NC, 8, 128] (the compact form crosses the host↔device link; the
+    # padded temp is device-local and transient)
+    ops_t = jnp.transpose(ops5, (0, 2, 1))  # [NC, 2+nf, C]
     ops_pad = jnp.pad(
         ops_t, ((0, 0), (0, 8 - ops_t.shape[1]), (0, 128 - ops_t.shape[2]))
     )
@@ -447,25 +458,25 @@ def _apply_flat_blocked_jit(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid_t,),  # dynamic: exactly the occupied chunks
-        in_specs=[ops_spec, tbl_spec, tbl_spec, tbl_spec],
-        out_specs=[tbl_spec, tbl_spec, tbl_spec, cnt_spec],
+        in_specs=[ops_spec] + [tbl_spec] * nf,
+        out_specs=[tbl_spec] * nf + [cnt_spec],
     )
     outs = pl.pallas_call(
-        _chunk_apply_kernel,
+        functools.partial(_chunk_apply_kernel, nf),
         grid_spec=grid_spec,
         out_shape=(
-            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
+            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         # alias indices count the prefetch operands (0=meta_rc, 1=meta_cf)
         # and the ops view (2): tables follow
-        input_output_aliases={3: 0, 4: 1, 5: 2},
+        input_output_aliases={3 + i: i for i in range(nf)},
         interpret=interpret,
     )(meta_rc, meta_cf, ops_pad, *table)
     # n_chunks >= 1 always (apply_flat_blocked early-outs on empty chunk
     # lists): step 0 is a real chunk and carries first=1, so the output
     # block is always initialized before it is written back
-    return PackedTable(*outs[:3]), outs[3][0, 0]
+    return type(table)(*outs[:nf]), outs[nf][0, 0]
 
 
 # ---------------------------------------------- windowed apply (dense, MXU)
@@ -503,17 +514,19 @@ def window_apply_supported(p: int, n: int) -> bool:
     )
 
 
-def window_block_ops(peer, slot, khi, klo, cv, p: int, n: int):
+def window_block_ops(peer, slot, *vals_and_shape):
     """Host windowing for the dense apply: BLOCK-SORTED unique ops →
-    (meta [n_win] = rb | cb<<10 | first<<30, ops5 [n_win, 128, 5] int32).
-    Each window holds ≤128 consecutive ops of ONE (8, 1024) block; padding
-    rows are all-zero (cls 0 never wins, and zero value halves contribute
-    nothing to the one-hot sums). ``first`` marks each block's first
-    window (the kernel's copy-on-first signal). The bn=128 block-major
-    order reduce_flat_ops emits refines (8, 1024)-block order, so the same
-    reduced batch feeds either path."""
+    (meta [n_win] = rb | cb<<10 | first<<30, ops5 [n_win, 128, 2+nv]
+    int32). Each window holds ≤128 consecutive ops of ONE (8, 1024) block;
+    padding rows are all-zero (cls 0 never wins, and zero value halves
+    contribute nothing to the one-hot sums). ``first`` marks each block's
+    first window (the kernel's copy-on-first signal). The bn=128
+    block-major order reduce_flat_ops emits refines (8, 1024)-block order,
+    so the same reduced batch feeds either path. Layout-generic like
+    chunk_block_ops (trailing args: value fields then p, n)."""
     import numpy as np
 
+    *vals, p, n = vals_and_shape
     k = len(peer)
     b = (peer.astype(np.int64) >> 3) * (n // _WIN_BN) + (
         slot.astype(np.int64) // _WIN_BN
@@ -532,26 +545,26 @@ def window_block_ops(peer, slot, khi, klo, cv, p: int, n: int):
     meta = rb | (cb << 10) | (first[wstarts].astype(np.int32) << 30)
     win_of = np.cumsum(boundary) - 1
     pos = (within % _WIN_C).astype(np.int64)
-    ops5 = np.zeros((n_win, _WIN_C, 5), dtype=np.int32)
+    ops5 = np.zeros((n_win, _WIN_C, 2 + len(vals)), dtype=np.int32)
     ops5[win_of, pos, 0] = peer & 7
     ops5[win_of, pos, 1] = slot % _WIN_BN
-    ops5[win_of, pos, 2] = khi
-    ops5[win_of, pos, 3] = klo
-    ops5[win_of, pos, 4] = cv
+    for f, v in enumerate(vals):
+        ops5[win_of, pos, 2 + f] = v
     return meta, ops5
 
 
-def _window_apply_kernel(*refs):
+def _window_apply_kernel(nf: int, *refs):
     """One 128-op window per grid step, densified onto the resident
     (8, 1024) block via MXU one-hot matmuls (see section comment). Windows
     of the same block are consecutive steps (copy-on-first + RMW through
-    the output refs, like the chunk-grid kernel)."""
+    the output refs, like the chunk-grid kernel). Layout-generic over the
+    nf-field table."""
     import jax.experimental.pallas as pl
 
     meta_ref = refs[0]
     ops_ref = refs[1]
-    in_refs = refs[2:5]
-    out_refs, count_ref = refs[5:8], refs[8]
+    in_refs = refs[2:2 + nf]
+    out_refs, count_ref = refs[2 + nf:2 + 2 * nf], refs[2 + 2 * nf]
 
     t = pl.program_id(0)
 
@@ -594,17 +607,14 @@ def _window_apply_kernel(*refs):
         )
         return (uhi.astype(jnp.int32) << 16) | ulo.astype(jnp.int32)
 
-    u_khi = densify(ops[2:3, :])
-    u_klo = densify(ops[3:4, :])
-    u_cv = densify(ops[4:5, :])
+    u_vals = tuple(densify(ops[2 + f:3 + f, :]) for f in range(nf))
 
-    khi_b, klo_b, cv_b = (o[...] for o in out_refs)
+    blk = tuple(o[...] for o in out_refs)
     win = _lex_gt_packed(
-        packed_keys(u_khi, u_klo, u_cv), packed_keys(khi_b, klo_b, cv_b)
-    ) & ((u_cv >> CV_SHIFT) > 0)
-    out_refs[0][...] = jnp.where(win, u_khi, khi_b)
-    out_refs[1][...] = jnp.where(win, u_klo, klo_b)
-    out_refs[2][...] = jnp.where(win, u_cv, cv_b)
+        table_keys(u_vals), table_keys(blk)
+    ) & ((u_vals[-1] >> CV_SHIFT) > 0)
+    for o, u, b in zip(out_refs, u_vals, blk):
+        o[...] = jnp.where(win, u, b)
     count_ref[0, 0] += jnp.sum(win.astype(jnp.int32))
 
 
@@ -652,9 +662,10 @@ def _apply_flat_windowed_jit(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p, n = table.khi.shape
-    # device-side re-layout: [NW, 128, 5] → [NW, 8, 128] (rows = fields)
-    ops_t = jnp.transpose(ops5, (0, 2, 1))  # [NW, 5, 128]
+    nf = len(table)
+    p, n = table[0].shape
+    # device-side re-layout: [NW, 128, 2+nf] → [NW, 8, 128] (rows = fields)
+    ops_t = jnp.transpose(ops5, (0, 2, 1))  # [NW, 2+nf, 128]
     ops_pad = jnp.pad(ops_t, ((0, 0), (0, 8 - ops_t.shape[1]), (0, 0)))
     grid_t = jnp.maximum(n_win, 1)
 
@@ -671,22 +682,22 @@ def _apply_flat_windowed_jit(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid_t,),  # dynamic: exactly the occupied windows
-        in_specs=[ops_spec, tbl_spec, tbl_spec, tbl_spec],
-        out_specs=[tbl_spec, tbl_spec, tbl_spec, cnt_spec],
+        in_specs=[ops_spec] + [tbl_spec] * nf,
+        out_specs=[tbl_spec] * nf + [cnt_spec],
     )
     outs = pl.pallas_call(
-        _window_apply_kernel,
+        functools.partial(_window_apply_kernel, nf),
         grid_spec=grid_spec,
         out_shape=(
-            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
+            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         # alias indices count the prefetch operand (0=meta) and the ops
         # view (1): tables follow
-        input_output_aliases={2: 0, 3: 1, 4: 2},
+        input_output_aliases={2 + i: i for i in range(nf)},
         interpret=interpret,
     )(meta, ops_pad, *table)
-    return PackedTable(*outs[:3]), outs[3][0, 0]
+    return type(table)(*outs[:nf]), outs[nf][0, 0]
 
 
 # ops per occupied (8, _WIN_BN) block above which the windowed path beats
@@ -799,33 +810,35 @@ def reduce_flat_ops(peer, slot, cls, khi, klo, vid, block_shape=None):
 
 def _mask_rows(table: PackedTable, valid: jax.Array) -> PackedTable:
     valid = valid[:, None]
-    return PackedTable(*(jnp.where(valid, f, jnp.zeros_like(f)) for f in table))
+    return type(table)(
+        *(jnp.where(valid, f, jnp.zeros_like(f)) for f in table)
+    )
 
 
 def gossip_round_ring_packed(table: PackedTable) -> Tuple[PackedTable, jax.Array]:
-    roll = lambda s: PackedTable(*(jnp.roll(f, s, axis=0) for f in table))
+    roll = lambda s: type(table)(*(jnp.roll(f, s, axis=0) for f in table))
     m1, c1 = merge_packed_xla(table, roll(1))
     m2, c2 = merge_packed_xla(m1, roll(-1))
     return m2, c1 + c2
 
 
 def gossip_round_chain_packed(table: PackedTable) -> Tuple[PackedTable, jax.Array]:
-    num_peers = table.khi.shape[0]
+    num_peers = table[0].shape[0]
     rows = jnp.arange(num_peers)
-    roll = lambda s: PackedTable(*(jnp.roll(f, s, axis=0) for f in table))
+    roll = lambda s: type(table)(*(jnp.roll(f, s, axis=0) for f in table))
     m1, c1 = merge_packed_xla(table, _mask_rows(roll(1), rows >= 1))
     m2, c2 = merge_packed_xla(m1, _mask_rows(roll(-1), rows < num_peers - 1))
     return m2, c1 + c2
 
 
 def gossip_round_mesh_packed(table: PackedTable) -> Tuple[PackedTable, jax.Array]:
-    num_peers = table.khi.shape[0]
+    num_peers = table[0].shape[0]
     steps = max(1, (num_peers - 1).bit_length())
 
     def body(k, carry):
         tbl, total = carry
         shift = jnp.left_shift(jnp.int32(1), k)
-        rolled = PackedTable(*(jnp.roll(f, shift, axis=0) for f in tbl))
+        rolled = type(tbl)(*(jnp.roll(f, shift, axis=0) for f in tbl))
         tbl, c = merge_packed_xla(tbl, rolled)
         return tbl, total + c
 
@@ -840,7 +853,7 @@ def gossip_round_generic_packed(
         idx = jax.lax.dynamic_index_in_dim(neighbors, k, axis=1, keepdims=False)
         valid = idx >= 0
         safe = jnp.where(valid, idx, 0)
-        gathered = _mask_rows(PackedTable(*(f[safe] for f in tbl)), valid)
+        gathered = _mask_rows(type(tbl)(*(f[safe] for f in tbl)), valid)
         tbl, c = merge_packed_xla(tbl, gathered)
         return tbl, total + c
 
@@ -863,14 +876,14 @@ def _gossip_round_packed_jit(table, neighbors, kind: str):
 # --------------------------------------------------------------- pallas
 
 
-def _fullp_round_kernel_packed(wrap: bool, num_peers: int, *refs):
-    """Fused in-place ring/chain round on the 3-array layout: the block spans
+def _fullp_round_kernel_packed(nf: int, wrap: bool, num_peers: int, *refs):
+    """Fused in-place ring/chain round on an nf-array layout: the block spans
     all P rows of one slot stripe, so rolls wrap inside the block; inputs and
     outputs alias the same HBM buffers (each stripe is read before written
     and stripes are independent)."""
     import jax.experimental.pallas as pl
 
-    c_refs, out_refs, count_ref = refs[:3], refs[3:6], refs[6]
+    c_refs, out_refs, count_ref = refs[:nf], refs[nf:2 * nf], refs[2 * nf]
     m2, c = _merge_stripe_fullp([r[...] for r in c_refs], wrap, num_peers)
     for out, v in zip(out_refs, m2):
         out[...] = v
@@ -882,8 +895,8 @@ def _fullp_round_kernel_packed(wrap: bool, num_peers: int, *refs):
     count_ref[0, 0] += c
 
 
-def _fullp_multiround_kernel_packed(wrap: bool, num_peers: int, m: int,
-                                    *refs):
+def _fullp_multiround_kernel_packed(nf: int, wrap: bool, num_peers: int,
+                                    m: int, *refs):
     """M consecutive ring/chain rounds per block-load (unrolled in VMEM).
 
     The full-P stripe block holds EVERY peer's rows for its slot stripe, and
@@ -896,7 +909,7 @@ def _fullp_multiround_kernel_packed(wrap: bool, num_peers: int, m: int,
     changes across all M rounds."""
     import jax.experimental.pallas as pl
 
-    c_refs, out_refs, count_ref = refs[:3], refs[3:6], refs[6]
+    c_refs, out_refs, count_ref = refs[:nf], refs[nf:2 * nf], refs[2 * nf]
     vals = [r[...] for r in c_refs]
     total = jnp.int32(0)
     for _ in range(m):
@@ -921,24 +934,25 @@ def ring_multiround_packed_traced(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p, n = table.khi.shape
+    nf = len(table)
+    p, n = table[0].shape
     tile_n = _stripe_tile_n(p, n)
     grid = (n // tile_n,)
     data_spec = pl.BlockSpec((p, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM)
     count_spec = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)
+        jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)
     ) + (jax.ShapeDtypeStruct((1, 1), jnp.int32),)
     outs = pl.pallas_call(
-        functools.partial(_fullp_multiround_kernel_packed, wrap, p, m),
+        functools.partial(_fullp_multiround_kernel_packed, nf, wrap, p, m),
         grid=grid,
-        in_specs=[data_spec] * 3,
-        out_specs=tuple([data_spec] * 3) + (count_spec,),
+        in_specs=[data_spec] * nf,
+        out_specs=tuple([data_spec] * nf) + (count_spec,),
         out_shape=out_shapes,
-        input_output_aliases={0: 0, 1: 1, 2: 2},
+        input_output_aliases={i: i for i in range(nf)},
         interpret=interpret,
     )(*table)
-    return PackedTable(*outs[:3]), outs[3][0, 0]
+    return type(table)(*outs[:nf]), outs[nf][0, 0]
 
 
 # 6 stripe buffers (3 in + 3 out) double-buffered must fit VMEM comfortably:
@@ -978,34 +992,35 @@ def ring_round_packed_traced(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p, n = table.khi.shape
+    nf = len(table)
+    p, n = table[0].shape
     tile_n = _stripe_tile_n(p, n)
     grid = (n // tile_n,)
     data_spec = pl.BlockSpec((p, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM)
     count_spec = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)
+        jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)
     ) + (jax.ShapeDtypeStruct((1, 1), jnp.int32),)
     outs = pl.pallas_call(
-        functools.partial(_fullp_round_kernel_packed, wrap, p),
+        functools.partial(_fullp_round_kernel_packed, nf, wrap, p),
         grid=grid,
-        in_specs=[data_spec] * 3,
-        out_specs=tuple([data_spec] * 3) + (count_spec,),
+        in_specs=[data_spec] * nf,
+        out_specs=tuple([data_spec] * nf) + (count_spec,),
         out_shape=out_shapes,
-        input_output_aliases={0: 0, 1: 1, 2: 2},
+        input_output_aliases={i: i for i in range(nf)},
         interpret=interpret,
     )(*table)
-    return PackedTable(*outs[:3]), outs[3][0, 0]
+    return type(table)(*outs[:nf]), outs[nf][0, 0]
 
 
-def _changes_round_kernel_packed(wrap: bool, num_peers: int, *refs):
+def _changes_round_kernel_packed(nf: int, wrap: bool, num_peers: int, *refs):
     """Count-only ring/chain round probe: computes how many entries ONE
     more round would change, discarding the merged values — no table-sized
     output, so a convergence check at the north-star shape costs zero
     extra HBM (a scratch-copy round would need a second 12.9 GB table)."""
     import jax.experimental.pallas as pl
 
-    c_refs, count_ref = refs[:3], refs[3]
+    c_refs, count_ref = refs[:nf], refs[nf]
     _, c = _merge_stripe_fullp([r[...] for r in c_refs], wrap, num_peers)
 
     @pl.when(pl.program_id(0) == 0)
@@ -1024,16 +1039,17 @@ def count_changes_round_packed(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p, n = table.khi.shape
+    nf = len(table)
+    p, n = table[0].shape
     tile_n = _stripe_tile_n(p, n)
     data_spec = pl.BlockSpec(
         (p, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
     )
     count_spec = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
     out = pl.pallas_call(
-        functools.partial(_changes_round_kernel_packed, wrap, p),
+        functools.partial(_changes_round_kernel_packed, nf, wrap, p),
         grid=(n // tile_n,),
-        in_specs=[data_spec] * 3,
+        in_specs=[data_spec] * nf,
         out_specs=count_spec,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
         interpret=interpret,
@@ -1044,7 +1060,7 @@ def count_changes_round_packed(
 # ---------------------------------------------------- direct reconcile
 
 
-def _reconcile_kernel_packed(num_peers: int, *refs):
+def _reconcile_kernel_packed(nf: int, num_peers: int, *refs):
     """Direct join: ceil(log2 P) doubling merges fused in VMEM per stripe.
 
     For any CONNECTED topology the gossip fixed point is the per-slot
@@ -1054,12 +1070,12 @@ def _reconcile_kernel_packed(num_peers: int, *refs):
     accumulates each row's join over 2^k consecutive rows (wrapping), so
     after ceil(log2 P) rounds every row holds the full-column join — ONE
     table read+write instead of diameter-many simulated rounds."""
-    c_refs, out_refs = refs[:3], refs[3:6]
+    c_refs, out_refs = refs[:nf], refs[nf:2 * nf]
     vals = [r[...] for r in c_refs]
     shift = 1
     while shift < num_peers:
         rolled = [jnp.roll(v, shift, axis=0) for v in vals]
-        gt = _lex_gt_packed(packed_keys(*rolled), packed_keys(*vals))
+        gt = _lex_gt_packed(table_keys(tuple(rolled)), table_keys(tuple(vals)))
         vals = [jnp.where(gt, b, a) for a, b in zip(vals, rolled)]
         shift *= 2
     for out, v in zip(out_refs, vals):
@@ -1074,24 +1090,25 @@ def reconcile_packed_traced(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p, n = table.khi.shape
+    nf = len(table)
+    p, n = table[0].shape
     tile_n = _stripe_tile_n(p, n)
     grid = (n // tile_n,)
     data_spec = pl.BlockSpec(
         (p, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
     )
     outs = pl.pallas_call(
-        functools.partial(_reconcile_kernel_packed, p),
+        functools.partial(_reconcile_kernel_packed, nf, p),
         grid=grid,
-        in_specs=[data_spec] * 3,
-        out_specs=[data_spec] * 3,
+        in_specs=[data_spec] * nf,
+        out_specs=[data_spec] * nf,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)
+            jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)
         ),
-        input_output_aliases={0: 0, 1: 1, 2: 2},
+        input_output_aliases={i: i for i in range(nf)},
         interpret=interpret,
     )(*table)
-    return PackedTable(*outs)
+    return type(table)(*outs)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -1099,11 +1116,11 @@ def reconcile_packed_xla(table: PackedTable) -> PackedTable:
     """XLA fallback for shapes the stripe kernel can't tile (and for
     sharded tables, where the rolls become collective permutes): the same
     doubling join over whole-table ops."""
-    p = table.khi.shape[0]
+    p = table[0].shape[0]
 
     def body(k, tbl):
         shift = jnp.left_shift(jnp.int32(1), k)
-        rolled = PackedTable(*(jnp.roll(f, shift, axis=0) for f in tbl))
+        rolled = type(tbl)(*(jnp.roll(f, shift, axis=0) for f in tbl))
         tbl, _ = merge_packed_xla(tbl, rolled)
         return tbl
 
@@ -1165,12 +1182,13 @@ def frontier_ids_compact(dirty: jax.Array, t_total: int) -> jax.Array:
 def _merge_stripe_fullp(center, wrap: bool, num_peers: int):
     """Shared full-P stripe merge body: one ring/chain round on a [P, tile]
     block (rolls wrap inside the block); returns (merged fields, changed
-    count)."""
+    count). Layout-generic: keys through table_keys, so the 3-field packed
+    and 2-field rank layouts share this body."""
     row = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
 
     def shifted(direction: int):
         out = []
-        for f in range(3):
+        for f in range(len(center)):
             rolled = jnp.roll(center[f], direction, axis=0)
             if not wrap:
                 edge = row == (0 if direction == +1 else num_peers - 1)
@@ -1179,7 +1197,7 @@ def _merge_stripe_fullp(center, wrap: bool, num_peers: int):
         return out
 
     def lexmax(a_vals, b_vals):
-        gt = _lex_gt_packed(packed_keys(*b_vals), packed_keys(*a_vals))
+        gt = _lex_gt_packed(table_keys(tuple(b_vals)), table_keys(tuple(a_vals)))
         return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
 
     m1, gt1 = lexmax(center, shifted(+1))
@@ -1197,7 +1215,7 @@ def _merge_stripe_halo(center, t_refs, b_refs, wrap: bool, tile_p: int,
 
     def shifted(direction: int):
         out = []
-        for f in range(3):
+        for f in range(len(center)):
             c = center[f]
             if direction == +1:
                 rolled = jnp.roll(c, 1, axis=0)
@@ -1215,7 +1233,7 @@ def _merge_stripe_halo(center, t_refs, b_refs, wrap: bool, tile_p: int,
         return out
 
     def lexmax(a_vals, b_vals):
-        gt = _lex_gt_packed(packed_keys(*b_vals), packed_keys(*a_vals))
+        gt = _lex_gt_packed(table_keys(tuple(b_vals)), table_keys(tuple(a_vals)))
         return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
 
     m1, gt1 = lexmax(center, shifted(+1))
@@ -1223,8 +1241,8 @@ def _merge_stripe_halo(center, t_refs, b_refs, wrap: bool, tile_p: int,
     return m2, jnp.sum(gt1.astype(jnp.int32)) + jnp.sum(gt2.astype(jnp.int32))
 
 
-def _frontier_round_kernel_packed(wrap: bool, num_peers: int, t_total: int,
-                                  *refs):
+def _frontier_round_kernel_packed(nf: int, wrap: bool, num_peers: int,
+                                  t_total: int, *refs):
     """Full-P stripe round over ONLY the active stripes, with in-kernel
     frontier compaction.
 
@@ -1241,8 +1259,8 @@ def _frontier_round_kernel_packed(wrap: bool, num_peers: int, t_total: int,
     import jax.experimental.pallas as pl
 
     ids_ref = refs[0]
-    c_refs = refs[1:4]
-    out_refs, ids_out = refs[4:7], refs[7]
+    c_refs = refs[1:1 + nf]
+    out_refs, ids_out = refs[1 + nf:1 + 2 * nf], refs[1 + 2 * nf]
 
     j = pl.program_id(0)
     count = ids_ref[t_total]
@@ -1269,8 +1287,9 @@ def _frontier_round_kernel_packed(wrap: bool, num_peers: int, t_total: int,
             ids_out[0, t_total + 1] += c
 
 
-def _frontier_halo_kernel_counts(wrap: bool, tile_p: int, num_peers: int,
-                                 t_total: int, tiles: int, *refs):
+def _frontier_halo_kernel_counts(nf: int, wrap: bool, tile_p: int,
+                                 num_peers: int, t_total: int, tiles: int,
+                                 *refs):
     """Counts-emitting halo frontier round — the shard_map body: per-stripe
     change counts must cross devices (psum) before the next frontier can be
     agreed, so local in-kernel compaction cannot apply. 2-D grid (active
@@ -1279,10 +1298,12 @@ def _frontier_halo_kernel_counts(wrap: bool, tile_p: int, num_peers: int,
     import jax.experimental.pallas as pl
 
     ids_ref = refs[0]
-    c_refs = refs[1:4]
-    t_refs = refs[4:7]
-    b_refs = refs[7:10]
-    out_refs, cnt_out = refs[11:14], refs[14]
+    c_refs = refs[1:1 + nf]
+    t_refs = refs[1 + nf:1 + 2 * nf]
+    b_refs = refs[1 + 2 * nf:1 + 3 * nf]
+    # refs[1 + 3*nf] is the aliased counts input (never read in-kernel)
+    out_refs = refs[2 + 3 * nf:2 + 4 * nf]
+    cnt_out = refs[2 + 4 * nf]
 
     j = pl.program_id(0)
     i = pl.program_id(1)
@@ -1307,8 +1328,9 @@ def _frontier_halo_kernel_counts(wrap: bool, tile_p: int, num_peers: int,
             cnt_out[0, stripe] += c
 
 
-def _frontier_halo_kernel_packed(wrap: bool, tile_p: int, num_peers: int,
-                                 t_total: int, tiles: int, *refs):
+def _frontier_halo_kernel_packed(nf: int, wrap: bool, tile_p: int,
+                                 num_peers: int, t_total: int, tiles: int,
+                                 *refs):
     """Compacting halo frontier round (P beyond the full-P stripe budget):
     2-D grid, active stripes outer, peer tiles inner (the inner index moves
     fastest, so a stripe's tiles run consecutively). A stripe's change
@@ -1318,11 +1340,11 @@ def _frontier_halo_kernel_packed(wrap: bool, tile_p: int, num_peers: int,
     import jax.experimental.pallas as pl
 
     ids_ref = refs[0]
-    c_refs = refs[1:4]
-    t_refs = refs[4:7]
-    b_refs = refs[7:10]
-    out_refs, ids_out = refs[10:13], refs[13]
-    acc = refs[14]
+    c_refs = refs[1:1 + nf]
+    t_refs = refs[1 + nf:1 + 2 * nf]
+    b_refs = refs[1 + 2 * nf:1 + 3 * nf]
+    out_refs, ids_out = refs[1 + 3 * nf:1 + 4 * nf], refs[1 + 4 * nf]
+    acc = refs[2 + 4 * nf]
 
     j = pl.program_id(0)
     i = pl.program_id(1)
@@ -1392,7 +1414,7 @@ def _merge_ext_round(ext, wrap: bool, tile_p: int, num_peers: int, i):
 
     def shifted(direction: int):
         out = []
-        for f in range(3):
+        for f in range(len(ext)):
             rolled = jnp.roll(ext[f], direction, axis=0)
             if not wrap:
                 edge = global_row == (
@@ -1403,7 +1425,7 @@ def _merge_ext_round(ext, wrap: bool, tile_p: int, num_peers: int, i):
         return out
 
     def lexmax(a_vals, b_vals):
-        gt = _lex_gt_packed(packed_keys(*b_vals), packed_keys(*a_vals))
+        gt = _lex_gt_packed(table_keys(tuple(b_vals)), table_keys(tuple(a_vals)))
         return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
 
     m1, gt1 = lexmax(ext, shifted(+1))
@@ -1414,7 +1436,7 @@ def _merge_ext_round(ext, wrap: bool, tile_p: int, num_peers: int, i):
     return m2, c
 
 
-def _frontier_halo_multiround_kernel_packed(wrap: bool, tile_p: int,
+def _frontier_halo_multiround_kernel_packed(nf: int, wrap: bool, tile_p: int,
                                             num_peers: int, t_total: int,
                                             tiles: int, m: int, *refs):
     """Compacting halo frontier round with M=HALO_FUSE rounds fused per
@@ -1432,11 +1454,11 @@ def _frontier_halo_multiround_kernel_packed(wrap: bool, tile_p: int,
     import jax.experimental.pallas as pl
 
     ids_ref = refs[0]
-    c_refs = refs[1:4]
-    t_refs = refs[4:7]
-    b_refs = refs[7:10]
-    out_refs, ids_out = refs[10:13], refs[13]
-    acc = refs[14]  # SMEM (1, m): per-round center counts across tiles
+    c_refs = refs[1:1 + nf]
+    t_refs = refs[1 + nf:1 + 2 * nf]
+    b_refs = refs[1 + 2 * nf:1 + 3 * nf]
+    out_refs, ids_out = refs[1 + 3 * nf:1 + 4 * nf], refs[1 + 4 * nf]
+    acc = refs[2 + 4 * nf]  # SMEM (1, m): per-round center counts across tiles
 
     j = pl.program_id(0)
     i = pl.program_id(1)
@@ -1501,7 +1523,8 @@ def frontier_halo_multiround_packed_traced(table, ids, wrap: bool,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p, n = table.khi.shape
+    nf = len(table)
+    p, n = table[0].shape
     tile_p, tile_n = _halo_tiles_packed(p, n)
     tiles = p // tile_p
     t_total = n // tile_n
@@ -1521,24 +1544,24 @@ def frontier_halo_multiround_packed_traced(table, ids, wrap: bool,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid_j, tiles),  # dynamic: exactly the active stripes
-        in_specs=[center_spec] * 3 + [halo_spec] * 6,
-        out_specs=[center_spec] * 3 + [ids_spec],
+        in_specs=[center_spec] * nf + [halo_spec] * (2 * nf),
+        out_specs=[center_spec] * nf + [ids_spec],
         scratch_shapes=[pltpu.SMEM((1, HALO_FUSE), jnp.int32)],
     )
     outs = pl.pallas_call(
         functools.partial(
-            _frontier_halo_multiround_kernel_packed, wrap, tile_p, p,
+            _frontier_halo_multiround_kernel_packed, nf, wrap, tile_p, p,
             t_total, tiles, HALO_FUSE,
         ),
         grid_spec=grid_spec,
         out_shape=(
-            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
+            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)),
             jax.ShapeDtypeStruct((1, t_total + 3), jnp.int32),
         ),
-        input_output_aliases={1: 0, 2: 1, 3: 2},
+        input_output_aliases={i + 1: i for i in range(nf)},
         interpret=interpret,
     )(ids, *table, *tops, *bottoms)
-    return PackedTable(*outs[:3]), outs[3][0]
+    return type(table)(*outs[:nf]), outs[nf][0]
 
 
 def _halo_boundary_snapshots(table, tiles: int, tile_p: int, n: int):
@@ -1569,7 +1592,8 @@ def frontier_halo_round_packed_traced(table, ids, wrap: bool,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p, n = table.khi.shape
+    nf = len(table)
+    p, n = table[0].shape
     tile_p, tile_n = _halo_tiles_packed(p, n)
     tiles = p // tile_p
     t_total = n // tile_n
@@ -1589,23 +1613,23 @@ def frontier_halo_round_packed_traced(table, ids, wrap: bool,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid_j, tiles),  # dynamic: exactly the active stripes
-        in_specs=[center_spec] * 3 + [halo_spec] * 6,
-        out_specs=[center_spec] * 3 + [ids_spec],
+        in_specs=[center_spec] * nf + [halo_spec] * (2 * nf),
+        out_specs=[center_spec] * nf + [ids_spec],
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
     )
     outs = pl.pallas_call(
         functools.partial(
-            _frontier_halo_kernel_packed, wrap, tile_p, p, t_total, tiles
+            _frontier_halo_kernel_packed, nf, wrap, tile_p, p, t_total, tiles
         ),
         grid_spec=grid_spec,
         out_shape=(
-            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
+            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)),
             jax.ShapeDtypeStruct((1, t_total + 2), jnp.int32),
         ),
-        input_output_aliases={1: 0, 2: 1, 3: 2},
+        input_output_aliases={i + 1: i for i in range(nf)},
         interpret=interpret,
     )(ids, *table, *tops, *bottoms)
-    return PackedTable(*outs[:3]), outs[3][0]
+    return type(table)(*outs[:nf]), outs[nf][0]
 
 
 def frontier_tile_n(p: int, n: int) -> int:
@@ -1618,7 +1642,7 @@ def frontier_tile_n(p: int, n: int) -> int:
     return 0
 
 
-def _frontier_multiround_kernel_packed(wrap: bool, num_peers: int,
+def _frontier_multiround_kernel_packed(nf: int, wrap: bool, num_peers: int,
                                        t_total: int, m: int, *refs):
     """Compacting frontier round with M rounds fused per block-load.
 
@@ -1633,8 +1657,8 @@ def _frontier_multiround_kernel_packed(wrap: bool, num_peers: int,
     import jax.experimental.pallas as pl
 
     ids_ref = refs[0]
-    c_refs = refs[1:4]
-    out_refs, ids_out = refs[4:7], refs[7]
+    c_refs = refs[1:1 + nf]
+    out_refs, ids_out = refs[1 + nf:1 + 2 * nf], refs[1 + 2 * nf]
 
     j = pl.program_id(0)
     count = ids_ref[t_total]
@@ -1678,7 +1702,8 @@ def frontier_multiround_packed_traced(table, ids, wrap: bool, m: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p, n = table.khi.shape
+    nf = len(table)
+    p, n = table[0].shape
     tile_n = _stripe_tile_n(p, n)
     t_total = n // tile_n
     grid_j = jnp.maximum(ids[t_total], 1)
@@ -1692,22 +1717,22 @@ def frontier_multiround_packed_traced(table, ids, wrap: bool, m: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid_j,),
-        in_specs=[stripe_spec] * 3,
-        out_specs=[stripe_spec] * 3 + [ids_spec],
+        in_specs=[stripe_spec] * nf,
+        out_specs=[stripe_spec] * nf + [ids_spec],
     )
     outs = pl.pallas_call(
         functools.partial(
-            _frontier_multiround_kernel_packed, wrap, p, t_total, m
+            _frontier_multiround_kernel_packed, nf, wrap, p, t_total, m
         ),
         grid_spec=grid_spec,
         out_shape=(
-            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
+            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)),
             jax.ShapeDtypeStruct((1, t_total + 3), jnp.int32),
         ),
-        input_output_aliases={1: 0, 2: 1, 3: 2},
+        input_output_aliases={i + 1: i for i in range(nf)},
         interpret=interpret,
     )(ids, *table)
-    return PackedTable(*outs[:3]), outs[3][0]
+    return type(table)(*outs[:nf]), outs[nf][0]
 
 
 def frontier_round_packed_traced(table, ids, wrap: bool, interpret: bool):
@@ -1717,7 +1742,8 @@ def frontier_round_packed_traced(table, ids, wrap: bool, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p, n = table.khi.shape
+    nf = len(table)
+    p, n = table[0].shape
     if not packed_ring_supported(p, n):
         return frontier_halo_round_packed_traced(table, ids, wrap, interpret)
     tile_n = _stripe_tile_n(p, n)
@@ -1738,22 +1764,22 @@ def frontier_round_packed_traced(table, ids, wrap: bool, interpret: bool):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid_j,),  # dynamic: exactly the active stripes
-        in_specs=[stripe_spec] * 3,
-        out_specs=[stripe_spec] * 3 + [ids_spec],
+        in_specs=[stripe_spec] * nf,
+        out_specs=[stripe_spec] * nf + [ids_spec],
     )
     outs = pl.pallas_call(
         functools.partial(
-            _frontier_round_kernel_packed, wrap, p, t_total
+            _frontier_round_kernel_packed, nf, wrap, p, t_total
         ),
         grid_spec=grid_spec,
         out_shape=(
-            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)),
+            *(jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)),
             jax.ShapeDtypeStruct((1, t_total + 2), jnp.int32),
         ),
-        input_output_aliases={1: 0, 2: 1, 3: 2},
+        input_output_aliases={i + 1: i for i in range(nf)},
         interpret=interpret,
     )(ids, *table)
-    return PackedTable(*outs[:3]), outs[3][0]
+    return type(table)(*outs[:nf]), outs[nf][0]
 
 
 def frontier_fused_loop(table, dirty, t_total: int, max_rounds: int,
@@ -1849,7 +1875,7 @@ def gossip_frontier_packed(
     runs while a whole fuse-block fits under max_rounds, then single rounds
     finish the tail. Extra fused rounds past the fixed point are no-ops by
     idempotence, so the final state is still bit-identical."""
-    p, n = table.khi.shape
+    p, n = table[0].shape
     tile_n = frontier_tile_n(p, n)
     t_total = n // tile_n
 
@@ -1982,7 +2008,8 @@ def frontier_shard_round_packed(block, tops, bottoms, ids_full,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, n = block.khi.shape
+    nf = len(block)
+    b, n = block[0].shape
     tile_n = _stripe_tile_n(b, n)
     t_total = n // tile_n
 
@@ -2001,8 +2028,8 @@ def frontier_shard_round_packed(block, tops, bottoms, ids_full,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid_j, 1),  # dynamic: exactly the active stripes
-        in_specs=[center_spec] * 3 + [halo_spec] * 6 + [cnt_spec],
-        out_specs=[center_spec] * 3 + [cnt_spec],
+        in_specs=[center_spec] * nf + [halo_spec] * (2 * nf) + [cnt_spec],
+        out_specs=[center_spec] * nf + [cnt_spec],
     )
     # the counts-emitting halo frontier kernel with tiles=1 and wrap=True
     # is exactly the local body needed: row 0 reads tops[7], row b-1 reads
@@ -2012,25 +2039,27 @@ def frontier_shard_round_packed(block, tops, bottoms, ids_full,
     # under shard_map (check_vma) every pallas output must declare how it
     # varies over the mesh; callers pass vma={PEER_AXIS}
     kw = {} if vma is None else {"vma": frozenset(vma)}
+    aliases = {i + 1: i for i in range(nf)}
+    aliases[1 + 3 * nf] = nf
     outs = pl.pallas_call(
         functools.partial(
-            _frontier_halo_kernel_counts, True, b, b, t_total, 1
+            _frontier_halo_kernel_counts, nf, True, b, b, t_total, 1
         ),
         grid_spec=grid_spec,
         out_shape=(
-            *(jax.ShapeDtypeStruct((b, n), jnp.int32, **kw) for _ in range(3)),
+            *(jax.ShapeDtypeStruct((b, n), jnp.int32, **kw) for _ in range(nf)),
             jax.ShapeDtypeStruct((1, t_total), jnp.int32, **kw),
         ),
-        input_output_aliases={1: 0, 2: 1, 3: 2, 10: 3},
+        input_output_aliases=aliases,
         interpret=interpret,
     )(ids_full, *block, *tops, *bottoms, counts_in)
     # processed stripes == ids[0, count) (dynamic grid runs exactly
     # those); unwritten SMEM entries keep the aliased input's zeros
-    return PackedTable(*outs[:3]), outs[3][0, :]
+    return type(block)(*outs[:nf]), outs[nf][0, :]
 
 
-def _frontier_shard_multiround_kernel_packed(m: int, b: int, t_total: int,
-                                             *refs):
+def _frontier_shard_multiround_kernel_packed(nf: int, m: int, b: int,
+                                             t_total: int, *refs):
     """Per-device FUSED frontier body: M rounds per block-load on the
     device-local [b, tile] stripe via the same trapezoidal time-tiling as
     the halo fused kernel — the ppermuted 8-row neighbor snapshots buy
@@ -2046,10 +2075,12 @@ def _frontier_shard_multiround_kernel_packed(m: int, b: int, t_total: int,
     import jax.experimental.pallas as pl
 
     ids_ref = refs[0]
-    c_refs = refs[1:4]
-    t_refs = refs[4:7]
-    b_refs = refs[7:10]
-    out_refs, cnt_out = refs[11:14], refs[14]
+    c_refs = refs[1:1 + nf]
+    t_refs = refs[1 + nf:1 + 2 * nf]
+    b_refs = refs[1 + 2 * nf:1 + 3 * nf]
+    # refs[1 + 3*nf] is the aliased counts input (never read in-kernel)
+    out_refs = refs[2 + 3 * nf:2 + 4 * nf]
+    cnt_out = refs[2 + 4 * nf]
 
     j = pl.program_id(0)
     count = ids_ref[t_total]
@@ -2080,7 +2111,8 @@ def frontier_shard_multiround_packed(block, tops, bottoms, ids_full,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, n = block.khi.shape
+    nf = len(block)
+    b, n = block[0].shape
     tile_n = _stripe_tile_n(b, n)
     t_total = n // tile_n
 
@@ -2100,23 +2132,26 @@ def frontier_shard_multiround_packed(block, tops, bottoms, ids_full,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid_j,),  # dynamic: exactly the active stripes
-        in_specs=[center_spec] * 3 + [halo_spec] * 6 + [cnt_spec],
-        out_specs=[center_spec] * 3 + [cnt_spec],
+        in_specs=[center_spec] * nf + [halo_spec] * (2 * nf) + [cnt_spec],
+        out_specs=[center_spec] * nf + [cnt_spec],
     )
     kw = {} if vma is None else {"vma": frozenset(vma)}
+    aliases = {i + 1: i for i in range(nf)}
+    aliases[1 + 3 * nf] = nf
     outs = pl.pallas_call(
         functools.partial(
-            _frontier_shard_multiround_kernel_packed, HALO_FUSE, b, t_total
+            _frontier_shard_multiround_kernel_packed, nf, HALO_FUSE, b,
+            t_total,
         ),
         grid_spec=grid_spec,
         out_shape=(
-            *(jax.ShapeDtypeStruct((b, n), jnp.int32, **kw) for _ in range(3)),
+            *(jax.ShapeDtypeStruct((b, n), jnp.int32, **kw) for _ in range(nf)),
             jax.ShapeDtypeStruct((HALO_FUSE, t_total), jnp.int32, **kw),
         ),
-        input_output_aliases={1: 0, 2: 1, 3: 2, 10: 3},
+        input_output_aliases=aliases,
         interpret=interpret,
     )(ids_full, *block, *tops, *bottoms, counts_in)
-    return PackedTable(*outs[:3]), outs[3]
+    return type(block)(*outs[:nf]), outs[nf]
 
 
 def _compact_counts_multiround_kernel(m: int, t_total: int, counts_ref,
@@ -2183,7 +2218,8 @@ def compact_counts_multiround_packed(counts, interpret: bool = False):
 # ------------------------------------------------------------ halo (big P)
 
 
-def _halo_round_kernel_packed(wrap: bool, tile_p: int, num_peers: int, *refs):
+def _halo_round_kernel_packed(nf: int, wrap: bool, tile_p: int,
+                              num_peers: int, *refs):
     """In-place halo variant for P beyond the full-P stripe limit.
 
     The center blocks alias their outputs (in-place in HBM), which makes
@@ -2194,10 +2230,10 @@ def _halo_round_kernel_packed(wrap: bool, tile_p: int, num_peers: int, *refs):
     the kernel; halos read the scratch, never other tiles."""
     import jax.experimental.pallas as pl
 
-    c_refs = refs[:3]
-    t_refs = refs[3:6]  # [8, tile_n] pre-round rows above this tile (row 7 = adjacent)
-    b_refs = refs[6:9]  # [8, tile_n] pre-round rows below this tile (row 0 = adjacent)
-    out_refs, count_ref = refs[9:12], refs[12]
+    c_refs = refs[:nf]
+    t_refs = refs[nf:2 * nf]  # [8, tile_n] pre-round rows above this tile (row 7 = adjacent)
+    b_refs = refs[2 * nf:3 * nf]  # [8, tile_n] pre-round rows below this tile (row 0 = adjacent)
+    out_refs, count_ref = refs[3 * nf:4 * nf], refs[4 * nf]
 
     i = pl.program_id(0)
     m2, c = _merge_stripe_halo(
@@ -2263,7 +2299,8 @@ def halo_round_packed_traced(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    p, n = table.khi.shape
+    nf = len(table)
+    p, n = table[0].shape
     tile_p, tile_n = _halo_tiles_packed(p, n)
     tiles = p // tile_p
     # pre-round boundary snapshot: the 8 rows above and below each tile
@@ -2279,18 +2316,18 @@ def halo_round_packed_traced(
     )
     count_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(3)
+        jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)
     ) + (jax.ShapeDtypeStruct((1, 1), jnp.int32),)
     outs = pl.pallas_call(
-        functools.partial(_halo_round_kernel_packed, wrap, tile_p, p),
+        functools.partial(_halo_round_kernel_packed, nf, wrap, tile_p, p),
         grid=grid,
-        in_specs=[center_spec] * 3 + [halo_spec] * 6,
-        out_specs=tuple([center_spec] * 3) + (count_spec,),
+        in_specs=[center_spec] * nf + [halo_spec] * (2 * nf),
+        out_specs=tuple([center_spec] * nf) + (count_spec,),
         out_shape=out_shapes,
-        input_output_aliases={0: 0, 1: 1, 2: 2},
+        input_output_aliases={i: i for i in range(nf)},
         interpret=interpret,
     )(*table, *tops, *bottoms)
-    return PackedTable(*outs[:3]), outs[3][0, 0]
+    return type(table)(*outs[:nf]), outs[nf][0, 0]
 
 
 def ring_round_packed_pallas(
@@ -2331,12 +2368,12 @@ def gossip_round_packed(
         return ring_round_shardmap_packed(
             table, mesh, wrap=topology.kind == "ring"
         )
-    p, n = table.khi.shape
+    p, n = table[0].shape
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() == "tpu"
             and mesh is None
-            and len(table.cv.devices()) == 1
+            and len(table[-1].devices()) == 1
             and topology.kind in ("ring", "chain")
             and (packed_ring_supported(p, n) or packed_halo_supported(p, n))
         )
@@ -2395,7 +2432,7 @@ def gossip_until_converged_packed(
                 tbl, neighbors, spmd_mesh
             )
         if use_pallas and kind in ("ring", "chain"):
-            p, n = tbl.khi.shape
+            p, n = tbl[0].shape
             interp = jax.default_backend() != "tpu"
             if packed_ring_supported(p, n):
                 return ring_round_packed_traced(tbl, kind == "ring", interp)

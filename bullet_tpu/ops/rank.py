@@ -1,0 +1,354 @@
+"""Rank table layout: 8 B/entry — the packed layout's smaller, faster twin.
+
+The packed layout (ops.packed.PackedTable) stores (khi, klo, cv) = 12 B/entry
+and every merge compares the 4-key chain (cls, khi, klo, vid). But the merge
+priority ONLY depends on the total order over (cls, khi, klo) triples — the
+actual key bits never matter, just their relative order (reference resolver
+/root/reference/src/bullet-crt.js:164-279 compares class precedence then
+value order; quirk Q2's value-LWW). So a host-maintained 31-bit GAP RANK
+over the distinct (cls, khi, klo) triples collapses the layout to TWO int32
+arrays:
+
+    rank, cv : int32 [P, N]     → 8 B/entry  (cv = cls << 28 | vid)
+
+with the total order (rank, cv):
+
+  * distinct triples get distinct ranks, strictly monotone in
+    (cls, khi, klo) — rank comparison ≡ the 3-key prefix comparison;
+  * equal ranks mean the SAME triple, hence the same cls, so the cv
+    tiebreak is exactly the vid comparison — preserving the packed
+    layout's vid-order quirk for equal-key values (e.g. false < 0 < true:
+    distinct vids interning to one order key).
+
+Absent entries are rank 0 / cv 0; real ranks are ≥ 1, so cls=0 padding can
+never win a merge (the packed-family invariant). Converged states are
+bit-identical to the packed layout modulo the khi/klo → rank projection
+(tested by mapping results back through the vid).
+
+All gossip/frontier/reconcile kernels are SHARED with ops.packed — the
+kernel zoo is layout-generic (keyed through packed.table_keys, which
+dispatches on the field-tuple arity). This module adds what is genuinely
+rank-specific: the layout type, the host rank maintenance (gap ranks with
+even-respread + device re-key), the op pre-reduction, and the flat apply.
+
+Wins vs packed: single-round gossip moves 16 B/entry/round instead of 24
+(DMA-bound paths ~1.5×), and a fused neighbor-merge is a 2-key lexmax
+instead of 4 (~2× fewer VPU ops on the compute-bound fused paths). The
+north-star table shrinks 12.9 GB → 8.6 GB.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .packed import (
+    CV_SHIFT,
+    VID_MASK,
+    _flat_scatter,
+    _flat_winners,
+    merge_packed_xla,
+)
+
+RANK_SPAN = (1 << 31) - 1  # usable rank space: [1, 2^31 - 1]
+
+
+class RankTable(NamedTuple):
+    """Reference-mode replica tables at 8 B/entry (see module docstring).
+
+    Field order matters: cv must be LAST (the shared kernels' presence
+    guard reads cls from ``fields[-1] >> 28``) and the tuple arity (2)
+    selects the (rank, cv) key chain in packed.table_keys.
+    """
+
+    rank: jax.Array
+    cv: jax.Array  # cls << 28 | vid
+
+
+def init_rank(num_peers: int, capacity: int) -> RankTable:
+    # two DISTINCT zero buffers (donation aliasing, as in init_packed)
+    return RankTable(
+        *(jnp.zeros((num_peers, capacity), dtype=jnp.int32) for _ in range(2))
+    )
+
+
+merge_rank_xla = merge_packed_xla  # layout-generic winner-select
+
+
+# ------------------------------------------------------------ conversions
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def pack_to_rank(pt, rank_map: jax.Array) -> RankTable:
+    """PackedTable → RankTable through the vid → rank LUT (absent rows
+    stay 0). The packed buffers are DONATED — at north-star scale both
+    layouts cannot coexist."""
+    vid = pt.cv & VID_MASK
+    present = (pt.cv >> CV_SHIFT) > 0
+    return RankTable(
+        rank=jnp.where(present, rank_map[vid], 0),
+        cv=pt.cv,
+    )
+
+
+@jax.jit
+def rank_to_packed(rt: RankTable, khi_map: jax.Array, klo_map: jax.Array):
+    """RankTable → PackedTable through the vid → (khi, klo) LUTs (for
+    interop/serialization/tests; cv carries cls+vid so it round-trips)."""
+    from .packed import PackedTable
+
+    vid = rt.cv & VID_MASK
+    present = (rt.cv >> CV_SHIFT) > 0
+    z = jnp.zeros_like(rt.cv)
+    return PackedTable(
+        khi=jnp.where(present, khi_map[vid], z),
+        klo=jnp.where(present, klo_map[vid], z),
+        cv=rt.cv,
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def rekey_rank(table: RankTable, rank_map: jax.Array) -> RankTable:
+    """Refresh ranks from vid after a respread (the rank twin of netsim's
+    _rekey_packed; cv is rank-independent so only one field re-gathers)."""
+    vid = table.cv & VID_MASK
+    present = (table.cv >> CV_SHIFT) > 0
+    return RankTable(
+        rank=jnp.where(present, rank_map[vid], table.rank),
+        cv=table.cv,
+    )
+
+
+# --------------------------------------------------------------- flat apply
+
+
+def apply_flat_rank(
+    table: RankTable,
+    peer: jax.Array,
+    slot: jax.Array,
+    rank: jax.Array,
+    cv: jax.Array,
+) -> Tuple[RankTable, jax.Array]:
+    """One-shot flat apply on the rank layout: K ops with UNIQUE (peer,
+    slot) pairs SORTED by (peer, slot) — exactly what reduce_flat_ops_rank
+    emits. Same two-program gather/scatter shape as apply_flat_packed (the
+    fused form would copy the table; see that docstring). DONATES table."""
+    new_vals, applied = _flat_winners(table, peer, slot, (rank, cv))
+    table = _flat_scatter(table, peer, slot, new_vals)
+    return table, applied
+
+
+@jax.jit
+def _unstack_ops4(ops):
+    return ops[0], ops[1], ops[2], ops[3]
+
+
+def apply_flat_rank_stacked(
+    table: RankTable, ops: jax.Array
+) -> Tuple[RankTable, jax.Array]:
+    """apply_flat_rank over a stacked [4, K] op array (rows: peer, slot,
+    rank, cv) — one host→device transfer, split on device."""
+    peer, slot, rank, cv = _unstack_ops4(ops)
+    return apply_flat_rank(table, peer, slot, rank, cv)
+
+
+def reduce_flat_ops_rank(peer, slot, rank, cv, block_shape=None):
+    """Host-side lattice pre-reduction on rank ops: keep the (rank, cv)-max
+    op per (peer, slot).
+
+    The rank layout's win is visible here too: the winner key fuses into
+    ONE int64 (rank·2^32 | cv — both fields are non-negative int32), so a
+    single argsort + one maximum.reduceat replaces the packed path's two
+    fused-key passes. ``block_shape=(p, n)`` emits winners in the blocked
+    apply's (8, 128)-block-major order, as reduce_flat_ops does.
+
+    Returns (peer, slot, rank, cv) winners or None if nothing survives."""
+    keep = (np.asarray(cv) >> CV_SHIFT) > 0
+    peer, slot, rank, cv = (
+        np.asarray(a)[keep] for a in (peer, slot, rank, cv)
+    )
+    if peer.size == 0:
+        return None
+    if block_shape is not None:
+        from .packed import _CG_BN as bn
+
+        p, n = block_shape
+        nb = n // bn
+        block = (peer.astype(np.int64) >> 3) * nb + slot.astype(np.int64) // bn
+        pslot = (
+            (block << 14)
+            | ((peer.astype(np.int64) & 7) << 11)
+            | (slot.astype(np.int64) % bn)
+        )
+    else:
+        bn = nb = 0
+        pslot = (peer.astype(np.int64) << 32) | slot.astype(np.int64)
+    wkey = (rank.astype(np.int64) << 32) | cv.astype(np.int64)
+    order = np.argsort(pslot)
+    ps = pslot[order]
+    first = np.empty(ps.size, dtype=bool)
+    first[0] = True
+    np.not_equal(ps[1:], ps[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    wmax = np.maximum.reduceat(wkey[order], starts)
+    rank_w = (wmax >> 32).astype(np.int32)
+    cv_w = (wmax & np.int64(0xFFFFFFFF)).astype(np.int32)
+    keys = ps[starts]
+    if block_shape is not None:
+        blk = keys >> 14
+        peer_w = ((blk // nb) * 8 + ((keys >> 11) & 7)).astype(np.int32)
+        slot_w = ((blk % nb) * bn + (keys & np.int64(0x7FF))).astype(np.int32)
+    else:
+        peer_w = (keys >> 32).astype(np.int32)
+        slot_w = (keys & np.int64(0xFFFFFFFF)).astype(np.int32)
+    return peer_w, slot_w, rank_w, cv_w
+
+
+# ------------------------------------------------------ host rank index
+
+
+class RankIndex:
+    """Gap ranks over the distinct (cls, khi, klo) triples, indexed by vid.
+
+    The host-side order authority for the rank layout: every interned vid
+    gets a 31-bit rank strictly monotone in its (cls, khi, klo) key. New
+    keys land in the gap between their sorted neighbors (a batch landing in
+    one gap spreads evenly across it); when a gap is exhausted — or any
+    stored key CHANGES order bits (string-rank rebalance) — the whole space
+    respreads evenly and ``needs_rekey`` flags the device tables for a
+    rank_map re-gather (netsim's _maybe_rekey twin).
+
+    Keys are stored as two fused int64 columns (k1 = cls·2^32 | khi_u,
+    k2 = klo_u — the bias-mapped uint halves recombine order-exactly, as in
+    packed.reduce_flat_ops) so the lexicographic insert position falls out
+    of a searchsorted on k1 refined by a searchsorted on k2 within the
+    (rare) equal-k1 run.
+    """
+
+    _BIAS = np.int64(1) << 31
+
+    def __init__(self) -> None:
+        self._rank_of = np.zeros(0, dtype=np.int64)  # by vid
+        self._svids = np.zeros(0, dtype=np.int64)  # vids sorted by key
+        self._sk1 = np.zeros(0, dtype=np.int64)
+        self._sk2 = np.zeros(0, dtype=np.int64)
+        self.needs_rekey = False
+        self.epoch = 0  # bumped on every respread
+
+    def __len__(self) -> int:
+        return len(self._svids)
+
+    def _fuse(self, cls, khi, klo):
+        cls = np.asarray(cls, dtype=np.int64)
+        khi = np.asarray(khi, dtype=np.int64)
+        klo = np.asarray(klo, dtype=np.int64)
+        return (cls << 32) | (khi + self._BIAS), klo + self._BIAS
+
+    def rank_map(self, dtype=np.int32) -> np.ndarray:
+        """vid → rank LUT for device conversion/re-keying."""
+        return self._rank_of.astype(dtype)
+
+    def rank_of(self, vid: int) -> int:
+        return int(self._rank_of[vid])
+
+    def _respread(self) -> None:
+        n = len(self._svids)
+        gap = RANK_SPAN // (n + 1)
+        ranks = (np.arange(1, n + 1, dtype=np.int64)) * gap
+        self._rank_of[self._svids] = ranks
+        self.needs_rekey = True
+        self.epoch += 1
+
+    def refresh_keys(self, cls_map, khi_map, klo_map) -> None:
+        """Re-read every stored key from the interner's current tables
+        (call after a string-rank rebalance: khi/klo bits moved, but the
+        ORDER of existing vids is preserved by the rebalance contract, so
+        the sorted vid sequence — and every rank — stays valid)."""
+        k1, k2 = self._fuse(
+            cls_map[self._svids], khi_map[self._svids], klo_map[self._svids]
+        )
+        self._sk1, self._sk2 = k1, k2
+
+    def insert_batch(self, vids, cls, khi, klo) -> None:
+        """Assign ranks to new vids with keys (cls, khi, klo). Vids must be
+        NEW (never ranked) and HIGHER than every already-ranked vid (the
+        interner assigns vids append-only, which guarantees it).
+
+        Distinct vids CAN share one (cls, khi, klo) triple (e.g. false and
+        0 intern to the same order key — the packed layout breaks that tie
+        by vid). Rank order must therefore refine the triple order by vid:
+        equal keys insert AFTER the existing equal-key run (searchsorted
+        side='right'), and within a batch equal keys sort by vid — so
+        rank order ≡ (cls, khi, klo, vid) order exactly, making the
+        2-key (rank, cv) merge bit-identical to the packed 4-key chain
+        (equal rank ⇒ same vid ⇒ same entry)."""
+        vids = np.asarray(vids, dtype=np.int64)
+        if vids.size == 0:
+            return
+        k1, k2 = self._fuse(cls, khi, klo)
+        need = int(vids.max()) + 1
+        if need > len(self._rank_of):
+            grown = np.zeros(max(need, 2 * len(self._rank_of)), dtype=np.int64)
+            grown[: len(self._rank_of)] = self._rank_of
+            self._rank_of = grown
+
+        if len(self._svids) == 0:
+            order = np.lexsort((vids, k2, k1))
+            self._svids = vids[order]
+            self._sk1, self._sk2 = k1[order], k2[order]
+            self._respread()
+            # a fresh table needs no device re-key (nothing on device yet
+            # references these vids with other ranks) — but callers decide;
+            # keep the flag cheap and honest
+            self.needs_rekey = False
+            return
+
+        # insert position for each new key in the stored sorted order
+        # (side='right' throughout: equal keys land after the existing run,
+        # preserving vid order — see the docstring)
+        left = np.searchsorted(self._sk1, k1, side="left")
+        pos = np.searchsorted(self._sk1, k1, side="right")
+        collide = left != pos
+        if np.any(collide):
+            for i in np.flatnonzero(collide):
+                lo, hi_ = int(left[i]), int(pos[i])
+                pos[i] = lo + int(
+                    np.searchsorted(self._sk2[lo:hi_], k2[i], side="right")
+                )
+        # order new items by (position, key, vid) so same-gap items stack
+        order = np.lexsort((vids, k2, k1, pos))
+        pos, k1, k2, vids = pos[order], k1[order], k2[order], vids[order]
+
+        # neighbor ranks around each insertion gap
+        ranks_sorted = self._rank_of[self._svids]
+        lo_rank = np.where(pos > 0, ranks_sorted[np.maximum(pos - 1, 0)], 0)
+        hi_rank = np.where(
+            pos < len(ranks_sorted),
+            ranks_sorted[np.minimum(pos, len(ranks_sorted) - 1)],
+            RANK_SPAN,
+        )
+        # per-gap even spread: i-th of g items in gap (lo, hi) gets
+        # lo + (hi-lo)*(i+1)/(g+1)
+        first = np.empty(pos.size, dtype=bool)
+        first[0] = True
+        np.not_equal(pos[1:], pos[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, pos.size))
+        within = np.arange(pos.size, dtype=np.int64) - np.repeat(starts, sizes)
+        g = np.repeat(sizes, sizes).astype(np.int64)
+        new_ranks = lo_rank + (hi_rank - lo_rank) * (within + 1) // (g + 1)
+
+        # merge into the sorted arrays
+        self._svids = np.insert(self._svids, pos, vids)
+        self._sk1 = np.insert(self._sk1, pos, k1)
+        self._sk2 = np.insert(self._sk2, pos, k2)
+        self._rank_of[vids] = new_ranks
+
+        # any collision with a neighbor rank ⇒ the gap was exhausted
+        all_ranks = self._rank_of[self._svids]
+        if np.any(all_ranks[1:] <= all_ranks[:-1]) or all_ranks[0] < 1:
+            self._respread()

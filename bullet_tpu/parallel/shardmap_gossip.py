@@ -337,38 +337,37 @@ def generic_round_shardmap(
 # ------------------------------------------------------------------ packed
 
 
-def _ring_block_packed(wrap: bool, *fields):
-    """Packed-layout ring/chain block: the shared exchange body over the
-    3-array (khi, klo, cv) layout."""
-    from ..ops.packed import PackedTable, merge_packed_xla
+def _ring_block_packed(tcls, wrap: bool, *fields):
+    """Packed-family ring/chain block: the shared exchange body over the
+    layout's field tuple (packed 3-array or rank 2-array)."""
+    from ..ops.packed import merge_packed_xla
 
     return _ring_exchange(
-        PackedTable, merge_packed_xla, wrap, PackedTable(*fields)
+        tcls, merge_packed_xla, wrap, tcls(*fields)
     )
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "wrap"))
 def ring_round_shardmap_packed(table, mesh, wrap: bool = True):
-    """One explicit-SPMD ring/chain round on the packed 12 B/entry layout —
-    boundary traffic is 12 B/entry/row over ICI (vs 28 for dense)."""
-    from ..ops.packed import PackedTable
-
+    """One explicit-SPMD ring/chain round on the packed family — boundary
+    traffic is 12 B/entry/row (packed) or 8 (rank) over ICI, vs 28 for
+    dense."""
+    nf, tcls = len(table), type(table)
     fn = jax.shard_map(
-        functools.partial(_ring_block_packed, wrap),
+        functools.partial(_ring_block_packed, tcls, wrap),
         mesh=mesh,
-        in_specs=tuple(P(PEER_AXIS, None) for _ in range(3)),
-        out_specs=(*[P(PEER_AXIS, None)] * 3, P()),
+        in_specs=tuple(P(PEER_AXIS, None) for _ in range(nf)),
+        out_specs=(*[P(PEER_AXIS, None)] * nf, P()),
     )
     *fields, changed = fn(*table)
-    return PackedTable(*fields), changed
+    return tcls(*fields), changed
 
 
-def _mesh_block_packed(steps: int, axis_size: int, *fields):
-    from ..ops.packed import PackedTable, merge_packed_xla
+def _mesh_block_packed(tcls, steps: int, axis_size: int, *fields):
+    from ..ops.packed import merge_packed_xla
 
     return _mesh_exchange(
-        PackedTable, merge_packed_xla, steps, axis_size,
-        PackedTable(*fields),
+        tcls, merge_packed_xla, steps, axis_size, tcls(*fields)
     )
 
 
@@ -377,26 +376,24 @@ def mesh_round_shardmap_packed(table, mesh):
     """One full-mesh round on the packed layout, explicitly SPMD
     (recursive-doubling ppermute; bit-identical to the unsharded packed
     mesh round, change counts included)."""
-    from ..ops.packed import PackedTable
-
-    num_peers = table.khi.shape[0]
+    nf, tcls = len(table), type(table)
+    num_peers = table[0].shape[0]
     steps = max(1, (num_peers - 1).bit_length())
     fn = jax.shard_map(
-        functools.partial(_mesh_block_packed, steps, mesh.devices.size),
+        functools.partial(_mesh_block_packed, tcls, steps, mesh.devices.size),
         mesh=mesh,
-        in_specs=tuple(P(PEER_AXIS, None) for _ in range(3)),
-        out_specs=(*[P(PEER_AXIS, None)] * 3, P()),
+        in_specs=tuple(P(PEER_AXIS, None) for _ in range(nf)),
+        out_specs=(*[P(PEER_AXIS, None)] * nf, P()),
     )
     *fields, changed = fn(*table)
-    return PackedTable(*fields), changed
+    return tcls(*fields), changed
 
 
-def _star_block_packed(hub_dev: int, hub_row: int, *fields):
-    from ..ops.packed import PackedTable, merge_packed_xla
+def _star_block_packed(tcls, hub_dev: int, hub_row: int, *fields):
+    from ..ops.packed import merge_packed_xla
 
     return _star_exchange(
-        PackedTable, merge_packed_xla, hub_dev, hub_row,
-        PackedTable(*fields),
+        tcls, merge_packed_xla, hub_dev, hub_row, tcls(*fields)
     )
 
 
@@ -405,26 +402,25 @@ def star_round_shardmap_packed(table, mesh, hub: int = 0):
     """One star round on the packed layout (lattice all-reduce hub + one-row
     hub broadcast), explicitly SPMD; same change-count convention as the
     dense star collective."""
-    from ..ops.packed import PackedTable
-
-    b = table.khi.shape[0] // mesh.devices.size
+    nf, tcls = len(table), type(table)
+    b = table[0].shape[0] // mesh.devices.size
     hub_dev, hub_row = divmod(hub, b)
     fn = jax.shard_map(
-        functools.partial(_star_block_packed, hub_dev, hub_row),
+        functools.partial(_star_block_packed, tcls, hub_dev, hub_row),
         mesh=mesh,
-        in_specs=tuple(P(PEER_AXIS, None) for _ in range(3)),
-        out_specs=(*[P(PEER_AXIS, None)] * 3, P()),
+        in_specs=tuple(P(PEER_AXIS, None) for _ in range(nf)),
+        out_specs=(*[P(PEER_AXIS, None)] * nf, P()),
     )
     *fields, changed = fn(*table)
-    return PackedTable(*fields), changed
+    return tcls(*fields), changed
 
 
-def _generic_block_packed(*args):
-    from ..ops.packed import PackedTable, merge_packed_xla
+def _generic_block_packed(tcls, *args):
+    from ..ops.packed import merge_packed_xla
 
     neighbors, fields = args[0], args[1:]
     return _generic_exchange(
-        PackedTable, merge_packed_xla, neighbors, PackedTable(*fields)
+        tcls, merge_packed_xla, neighbors, tcls(*fields)
     )
 
 
@@ -432,16 +428,15 @@ def _generic_block_packed(*args):
 def generic_round_shardmap_packed(table, neighbors: jax.Array, mesh):
     """One round over an arbitrary adjacency on the packed layout (masked
     all_gather); bit-identical to the unsharded generic packed round."""
-    from ..ops.packed import PackedTable
-
+    nf, tcls = len(table), type(table)
     fn = jax.shard_map(
-        _generic_block_packed,
+        functools.partial(_generic_block_packed, tcls),
         mesh=mesh,
-        in_specs=(P(), *[P(PEER_AXIS, None)] * 3),
-        out_specs=(*[P(PEER_AXIS, None)] * 3, P()),
+        in_specs=(P(), *[P(PEER_AXIS, None)] * nf),
+        out_specs=(*[P(PEER_AXIS, None)] * nf, P()),
     )
     *fields, changed = fn(neighbors, *table)
-    return PackedTable(*fields), changed
+    return tcls(*fields), changed
 
 
 def shardmap_round_packed(table, topology, mesh):
@@ -465,14 +460,15 @@ def shardmap_round_packed(table, topology, mesh):
     )
 
 
-def _frontier_ring_block_packed(wrap: bool, interpret: bool, ids, *fields):
+def _frontier_ring_block_packed(tcls, wrap: bool, interpret: bool, ids,
+                                *fields):
     """Per-device frontier ring/chain body: ppermute the boundary rows,
     then a local Pallas frontier round over only the stripes in the
     prefetched ``ids`` array; counts psum across devices so every shard
     agrees on the next frontier."""
-    from ..ops.packed import PackedTable, frontier_shard_round_packed
+    from ..ops.packed import frontier_shard_round_packed
 
-    block = PackedTable(*fields)
+    block = tcls(*fields)
     axis_size = jax.lax.axis_size(PEER_AXIS)
     idx = jax.lax.axis_index(PEER_AXIS)
     fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
@@ -492,7 +488,7 @@ def _frontier_ring_block_packed(wrap: bool, interpret: bool, ids, *fields):
         from_next = [
             jnp.where(is_last, jnp.zeros_like(f), f) for f in from_next
         ]
-    n = block.khi.shape[1]
+    n = block[0].shape[1]
     pad7 = jnp.zeros((7, n), jnp.int32)
     tops = tuple(jnp.concatenate([pad7, fp], axis=0) for fp in from_prev)
     bottoms = tuple(jnp.concatenate([fn, pad7], axis=0) for fn in from_next)
@@ -684,17 +680,17 @@ def gossip_frontier_shardmap_dense(
     return finish(fields, rounds, last_changed)
 
 
-def _frontier_ring_block_multiround_packed(wrap: bool, interpret: bool, ids,
-                                           *fields):
+def _frontier_ring_block_multiround_packed(tcls, wrap: bool,
+                                           interpret: bool, ids, *fields):
     """FUSED per-device frontier body: ppermute the FULL 8-row boundary
     blocks once, then run HALO_FUSE rounds entirely in VMEM (trapezoidal
     time-tiling — the 8-row snapshots buy exactly 8 exact rounds for the
     center). One collective round-trip per 8 gossip rounds instead of per
     round: same total boundary bytes, 8x fewer collective latencies and
     block DMAs. Per-round per-stripe counts psum across devices."""
-    from ..ops.packed import PackedTable, frontier_shard_multiround_packed
+    from ..ops.packed import frontier_shard_multiround_packed
 
-    block = PackedTable(*fields)
+    block = tcls(*fields)
     axis_size = jax.lax.axis_size(PEER_AXIS)
     idx = jax.lax.axis_index(PEER_AXIS)
     fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
@@ -755,7 +751,6 @@ def gossip_frontier_shardmap_packed(
     max_rounds; a single-round tail finishes)."""
     from ..ops.packed import (
         HALO_FUSE,
-        PackedTable,
         _stripe_tile_n,
         compact_counts_multiround_packed,
         compact_counts_packed,
@@ -763,20 +758,21 @@ def gossip_frontier_shardmap_packed(
         frontier_ids_compact,
     )
 
+    nf, tcls = len(table), type(table)
     fn = jax.shard_map(
-        functools.partial(_frontier_ring_block_packed, wrap, interpret),
+        functools.partial(_frontier_ring_block_packed, tcls, wrap, interpret),
         mesh=mesh,
-        in_specs=(P(), *[P(PEER_AXIS, None)] * 3),
-        out_specs=(*[P(PEER_AXIS, None)] * 3, P()),
+        in_specs=(P(), *[P(PEER_AXIS, None)] * nf),
+        out_specs=(*[P(PEER_AXIS, None)] * nf, P()),
     )
-    n = table.khi.shape[1]
-    block_p = table.khi.shape[0] // mesh.devices.size
+    n = table[0].shape[1]
+    block_p = table[0].shape[0] // mesh.devices.size
     t_total = n // _stripe_tile_n(block_p, n)
 
     def round1(tbl, ids):
         *fields, counts = fn(ids, *tbl)
         return (
-            PackedTable(*fields),
+            tcls(*fields),
             compact_counts_packed(counts, interpret=interpret),
         )
 
@@ -786,17 +782,17 @@ def gossip_frontier_shardmap_packed(
         )
         fn_m = jax.shard_map(
             functools.partial(
-                _frontier_ring_block_multiround_packed, wrap, interpret
+                _frontier_ring_block_multiround_packed, tcls, wrap, interpret
             ),
             mesh=mesh,
-            in_specs=(P(), *[P(PEER_AXIS, None)] * 3),
-            out_specs=(*[P(PEER_AXIS, None)] * 3, P()),
+            in_specs=(P(), *[P(PEER_AXIS, None)] * nf),
+            out_specs=(*[P(PEER_AXIS, None)] * nf, P()),
         )
 
         def roundm(tbl, ids):
             *fields, counts = fn_m(ids, *tbl)
             return (
-                PackedTable(*fields),
+                tcls(*fields),
                 compact_counts_multiround_packed(
                     counts, interpret=interpret
                 ),

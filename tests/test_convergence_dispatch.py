@@ -29,14 +29,14 @@ def test_every_cell_resolves_to_documented_row():
     """Exhaustive truth table over the cell space. The expectations ARE the
     dispatch contract — update them deliberately when adding a kernel."""
     for layout, rc, frontier, spmd, data_mesh, pallas in itertools.product(
-        ("packed", "dense"), *([(False, True)] * 5)
+        ("packed", "rank", "dense"), *([(False, True)] * 5)
     ):
         cell = ConvergenceCell(
             layout=layout, ring_chain=rc, frontier=frontier, spmd=spmd,
             data_mesh=data_mesh, pallas=pallas,
         )
         name, _ = _pick(cell)
-        if layout == "packed":
+        if layout in ("packed", "rank"):
             if pallas and rc and frontier and spmd:
                 assert name == "packed-frontier-spmd", cell
             elif pallas and rc and frontier and not spmd and not data_mesh:
@@ -58,6 +58,8 @@ def test_first_match_is_unambiguous_for_packed_cells():
     for cell in (
         ConvergenceCell("packed", True, True, True, True, True),
         ConvergenceCell("packed", False, False, False, False, False),
+        ConvergenceCell("rank", True, True, True, True, True),
+        ConvergenceCell("rank", False, False, False, False, False),
     ):
         name, _ = _pick(cell)
         assert name.startswith("packed-")
@@ -68,6 +70,8 @@ def test_first_match_is_unambiguous_for_packed_cells():
     [
         ("packed", "ring", "packed-frontier-local"),
         ("packed", "mesh", "packed-loop"),
+        ("rank", "ring", "packed-frontier-local"),
+        ("rank", "mesh", "packed-loop"),
         ("dense", "chain", "dense-frontier"),
         ("dense", "star", "dense-loop"),
     ],

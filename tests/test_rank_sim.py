@@ -1,0 +1,214 @@
+"""Sim-level rank layout: PeerNetworkSim(layout="rank") must be an exact
+behavioral twin of layout="packed" — converged cv tables bit-identical,
+reads/queries/reconcile/checkpoints agreeing — while storing 8 B/entry.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bullet_tpu.models.netsim import PeerNetworkSim
+from bullet_tpu.ops import rank as rk
+
+
+VALS = ["alice", "bob", 3.5, -7, 0, True, False, None, "zed", 1e300, -0.5]
+
+
+def _seed(sim, rng, n_writes=150, peers=None):
+    peers = peers if peers is not None else sim.num_peers
+    for _ in range(n_writes):
+        peer = int(rng.integers(0, peers))
+        path = f"users/u{int(rng.integers(0, 15))}/f{int(rng.integers(0, 3))}"
+        sim.put(peer, path, VALS[int(rng.integers(0, len(VALS)))])
+
+
+def _pair(topology="ring", n=8, seed=0, **kw):
+    sp = PeerNetworkSim(n, capacity=128, topology=topology,
+                        layout="packed", **kw)
+    sr = PeerNetworkSim(n, capacity=128, topology=topology,
+                        layout="rank", **kw)
+    rng1, rng2 = np.random.default_rng(seed), np.random.default_rng(seed)
+    _seed(sp, rng1)
+    _seed(sr, rng2)
+    return sp, sr
+
+
+def _assert_cv_equal(sp, sr):
+    np.testing.assert_array_equal(
+        np.asarray(sp.table.cv), np.asarray(sr.table.cv)
+    )
+
+
+@pytest.mark.parametrize("topology", ["ring", "chain", "mesh", "star"])
+def test_converged_state_matches_packed(topology):
+    sp, sr = _pair(topology, seed=1)
+    rp = sp.run_until_converged()
+    rr = sr.run_until_converged()
+    assert rp == rr
+    _assert_cv_equal(sp, sr)
+    assert sp.tables_equal() and sr.tables_equal()
+
+
+def test_step_rounds_match_packed():
+    sp, sr = _pair("ring", seed=2)
+    for _ in range(4):
+        a = sp.step(rounds=1)
+        b = sr.step(rounds=1)
+        assert a == b
+        _assert_cv_equal(sp, sr)
+
+
+def test_reads_and_get_bulk_match_packed():
+    sp, sr = _pair("ring", seed=3)
+    sp.run_until_converged()
+    sr.run_until_converged()
+    paths = [f"users/u{u}/f{f}" for u in range(15) for f in range(3)]
+    assert sp.get_bulk(0, paths) == sr.get_bulk(0, paths)
+    assert sp.get(1) == sr.get(1)
+
+
+def test_reconcile_matches_packed_any_topology():
+    from bullet_tpu.parallel import topology as topo
+
+    rng = np.random.default_rng(4)
+    # random directed topology (possibly weak): exercises _reconcile_weak
+    n = 6
+    adj = rng.random((n, n)) < 0.25
+    np.fill_diagonal(adj, False)
+    t = topo.from_adjacency(adj, name="fuzz-directed")
+    sp = PeerNetworkSim(n, capacity=128, topology=t, layout="packed")
+    sr = PeerNetworkSim(n, capacity=128, topology=t, layout="rank")
+    _seed(sp, np.random.default_rng(5), 60)
+    _seed(sr, np.random.default_rng(5), 60)
+    sp.reconcile()
+    sr.reconcile()
+    _assert_cv_equal(sp, sr)
+
+
+def test_rank_respread_mid_stream(monkeypatch):
+    """Tiny RANK_SPAN forces respreads during normal operation; the device
+    re-key must keep the sim bit-identical to packed throughout."""
+    monkeypatch.setattr(rk, "RANK_SPAN", 1023)
+    sp = PeerNetworkSim(4, capacity=128, topology="ring", layout="packed")
+    sr = PeerNetworkSim(4, capacity=128, topology="ring", layout="rank")
+    rng1, rng2 = np.random.default_rng(6), np.random.default_rng(6)
+    for round_ in range(6):
+        for sim, rng in ((sp, rng1), (sr, rng2)):
+            for _ in range(30):
+                peer = int(rng.integers(0, 4))
+                # fresh float values every round: new vids keep landing
+                # between existing ranks until a gap exhausts
+                val = float(rng.random())
+                sim.put(peer, f"m/k{int(rng.integers(0, 9))}", val)
+        sp.run_until_converged()
+        sr.run_until_converged()
+        _assert_cv_equal(sp, sr)
+    assert sr.rank_index.epoch > 1  # at least one respread actually fired
+
+
+def test_string_rebalance_needs_no_device_rekey():
+    """Interning strings out of lexicographic order forces string-rank
+    respreads (host.needs_rekey); the rank table must stay correct with no
+    khi/klo on device."""
+    sp = PeerNetworkSim(4, capacity=256, topology="ring", layout="packed")
+    sr = PeerNetworkSim(4, capacity=256, topology="ring", layout="rank")
+    import random
+
+    names = [f"s{i:04d}" for i in range(300)]
+    random.Random(7).shuffle(names)
+    for i, s in enumerate(names):
+        sp.put(i % 4, f"w/p{i % 37}", s)
+        sr.put(i % 4, f"w/p{i % 37}", s)
+        if i % 90 == 0:
+            sp.run_until_converged()
+            sr.run_until_converged()
+            _assert_cv_equal(sp, sr)
+    sp.run_until_converged()
+    sr.run_until_converged()
+    _assert_cv_equal(sp, sr)
+    assert sp.get(2) == sr.get(2)
+
+
+def test_put_bulk_matches_packed():
+    sp = PeerNetworkSim(8, capacity=1024, topology="ring", layout="packed")
+    sr = PeerNetworkSim(8, capacity=1024, topology="ring", layout="rank")
+    rng = np.random.default_rng(8)
+    k = 5000
+    peers = rng.integers(0, 8, k).astype(np.int32)
+    paths = [f"t/r{i % 700}" for i in range(k)]
+    vals = rng.normal(size=k)
+    sp.put_bulk(peers, paths, vals)
+    sr.put_bulk(peers, paths, vals)
+    sp.run_until_converged()
+    sr.run_until_converged()
+    _assert_cv_equal(sp, sr)
+
+
+def test_queries_match_packed():
+    sp, sr = _pair("ring", seed=9)
+    sp.run_until_converged()
+    sr.run_until_converged()
+    a, b = sp, sr
+    assert a.count(0, "users", "f0") == b.count(0, "users", "f0")
+    ea = a.equals(0, "users", "f0", 3.5)
+    eb = b.equals(0, "users", "f0", 3.5)
+    assert sorted(ea) == sorted(eb)
+    ra = a.range(0, "users", "f1", -10, 10)
+    rb = b.range(0, "users", "f1", -10, 10)
+    assert sorted(ra) == sorted(rb)
+    fa = a.filter(0, "users", lambda v, k: isinstance(v.get("f2"), str))
+    fb = b.filter(0, "users", lambda v, k: isinstance(v.get("f2"), str))
+    assert sorted(fa) == sorted(fb)
+
+
+def test_checkpoint_roundtrip_rank(tmp_path):
+    from bullet_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+
+    sr = PeerNetworkSim(4, capacity=128, topology="ring", layout="rank")
+    _seed(sr, np.random.default_rng(10), 80)
+    sr.run_until_converged()
+    save_checkpoint(sr, str(tmp_path / "ck"))
+    loaded = load_checkpoint(str(tmp_path / "ck"))
+    assert loaded.layout == "rank"
+    np.testing.assert_array_equal(
+        np.asarray(sr.table.cv), np.asarray(loaded.table.cv)
+    )
+    # restored ranks coherent with the rebuilt index
+    cv = np.asarray(loaded.table.cv)
+    present = (cv >> 28) > 0
+    rmap = loaded.rank_index.rank_map()
+    np.testing.assert_array_equal(
+        np.asarray(loaded.table.rank)[present], rmap[cv & ((1 << 28) - 1)][present]
+    )
+    # and the loaded sim keeps working
+    loaded.put(0, "post/restore", 42)
+    loaded.run_until_converged()
+    assert loaded.get(3, "post/restore") == 42
+
+
+def test_spmd_rank_sim_matches_packed():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    kw = dict(mesh_devices=8, use_shard_map=True, use_pallas=True)
+    sp = PeerNetworkSim(64, capacity=256, topology="ring",
+                        layout="packed", **kw)
+    sr = PeerNetworkSim(64, capacity=256, topology="ring",
+                        layout="rank", **kw)
+    rng1, rng2 = np.random.default_rng(11), np.random.default_rng(11)
+    _seed(sp, rng1, 120, peers=64)
+    _seed(sr, rng2, 120, peers=64)
+    name_p, _ = sp._convergence_strategy()
+    name_r, _ = sr._convergence_strategy()
+    assert name_p == name_r == "packed-frontier-spmd"
+    rp = sp.run_until_converged()
+    rr = sr.run_until_converged()
+    assert rp == rr
+    _assert_cv_equal(sp, sr)
+
+
+def test_rank_table_is_two_arrays():
+    sr = PeerNetworkSim(4, capacity=128, topology="ring", layout="rank")
+    assert len(sr.table) == 2
+    assert sr.table._fields == ("rank", "cv")
