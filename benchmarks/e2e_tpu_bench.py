@@ -33,6 +33,10 @@ from bullet_tpu.parallel import topology as topo  # noqa: E402
 def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     packed = os.environ.get("BULLET_PACKED", "0") == "1"
+    # BULLET_LAYOUT=rank runs the 8 B/entry rank layout through the same
+    # packed-family phases (it shares every kernel path; see ops/rank.py)
+    rank = os.environ.get("BULLET_LAYOUT", "") == "rank"
+    packed = packed or rank
     north_star = os.environ.get("BULLET_NORTH_STAR", "0") == "1"
     if north_star:
         # the BASELINE.json target shape: 1,024 peers × 1M-slot graphs.
@@ -49,13 +53,13 @@ def main() -> None:
     lean = (os.environ.get("BULLET_LEAN", "1") != "0" and on_tpu
             and not packed)
 
+    layout = "rank" if rank else ("packed" if packed else "dense")
     out = {"backend": jax.default_backend(), "num_peers": num_peers,
-           "capacity": capacity, "writes": writes,
-           "layout": "packed" if packed else "dense"}
+           "capacity": capacity, "writes": writes, "layout": layout}
 
     sim = PeerNetworkSim(num_peers, capacity=capacity,
                          topology=topo.ring(num_peers), lean_gossip=lean,
-                         layout="packed" if packed else "dense")
+                         layout=layout)
     out["lean"] = lean
 
     t0 = time.time()

@@ -8,6 +8,9 @@ plus compile wall time (Mosaic unrolls M rounds per kernel, so compile cost
 grows with M and gates how big M can reasonably be).
 
 Run: BULLET_SWEEP_SHAPE=1024x1048576 python benchmarks/fuse_sweep.py
+(BULLET_SWEEP_LAYOUT=rank sweeps the 8 B/entry rank layout instead —
+its single-int32-compare merge halves compute per round, so the optimal
+M can differ from packed's.)
 Tunnel notes (CLAUDE.md): block_until_ready is unreliable here — completion
 is forced by a scalar readback; per-dispatch ~10 ms is amortized by fusing
 all rounds into one jit fori_loop.
@@ -27,8 +30,9 @@ import jax.numpy as jnp
 ROUNDS = 240  # divisible by every swept M
 
 
-def build_packed(num_peers, capacity):
+def build_packed(num_peers, capacity, layout="packed"):
     from bullet_tpu.ops.packed import PackedTable
+    from bullet_tpu.ops.rank import RankTable
 
     @jax.jit
     def build():
@@ -39,7 +43,12 @@ def build_packed(num_peers, capacity):
         def mix(salt, mod):
             return ((h ^ salt) * 1664525 & 0x7FFFFFFF) % mod
 
-        cv = (mix(1, 4) << 28) | mix(4, 1 << 20)
+        cls = mix(1, 4)
+        cv = (cls << 28) | mix(4, 1 << 20)
+        if layout == "rank":
+            return RankTable(
+                rank=jnp.where(cls > 0, mix(8, 1 << 30) + 1, 0), cv=cv
+            )
         return PackedTable(
             khi=mix(2, 2000) - 1000, klo=mix(3, 2000) - 1000, cv=cv
         )
@@ -47,7 +56,7 @@ def build_packed(num_peers, capacity):
     return build
 
 
-def time_fuse(num_peers, capacity, fuse):
+def time_fuse(num_peers, capacity, fuse, layout="packed"):
     from bullet_tpu.ops.packed import (
         ring_multiround_packed_traced,
         ring_round_packed_traced,
@@ -65,7 +74,7 @@ def time_fuse(num_peers, capacity, fuse):
         out = jax.lax.fori_loop(0, ROUNDS // fuse, packed_round, t)
         return jnp.sum(out.cv), out
 
-    build = build_packed(num_peers, capacity)
+    build = build_packed(num_peers, capacity, layout)
     t0 = time.perf_counter()
     s, warm = run(build())  # compile + warm
     int(s)
@@ -87,15 +96,16 @@ def time_fuse(num_peers, capacity, fuse):
 
 def main():
     shape = os.environ.get("BULLET_SWEEP_SHAPE", "1024x1048576")
+    layout = os.environ.get("BULLET_SWEEP_LAYOUT", "packed")
     num_peers, capacity = (int(x) for x in shape.split("x"))
     sweep = [int(m) for m in os.environ.get(
         "BULLET_SWEEP_M", "1,5,8,10,12,16").split(",")]
     print(f"# shape P={num_peers} N={capacity} rounds={ROUNDS} "
-          f"backend={jax.default_backend()}", flush=True)
+          f"layout={layout} backend={jax.default_backend()}", flush=True)
     results = []
     for m in sweep:
         assert ROUNDS % m == 0, m
-        merges, dt, compile_s = time_fuse(num_peers, capacity, m)
+        merges, dt, compile_s = time_fuse(num_peers, capacity, m, layout)
         row = {"M": m, "merges_per_s": merges, "run_s": round(dt, 3),
                "compile_s": round(compile_s, 1),
                "us_per_round": round(dt / ROUNDS * 1e6, 2)}

@@ -95,6 +95,35 @@ def main() -> None:
             static_argnames=("wrap", "interpret"),
         ).lower(table, True, False),
     )
+
+    # rank layout (8 B/entry, ~8.6 GB at this shape): the same programs
+    # must hold the ONE-table invariant on the 2-field tables
+    from bullet_tpu.ops.rank import RankTable
+
+    rtable = RankTable(tbl, tbl)
+    audit(
+        "rank frontier fused (fuse=8)",
+        jax.jit(
+            gossip_frontier_packed,
+            static_argnames=("wrap", "max_rounds", "interpret", "fuse"),
+            donate_argnums=(0,),
+        ).lower(rtable, dirty, True, P + 2, False, 8),
+    )
+    audit(
+        "rank reconcile",
+        jax.jit(
+            _reconcile_packed_jit,
+            static_argnames=("interpret",),
+            donate_argnums=(0,),
+        ).lower(rtable, False),
+    )
+    audit(
+        "rank converged() probe",
+        jax.jit(
+            count_changes_round_packed,
+            static_argnames=("wrap", "interpret"),
+        ).lower(rtable, True, False),
+    )
     print("memcheck OK: every north-star program stays within one table")
 
 

@@ -62,14 +62,14 @@ def load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB)
             # a stale library (e.g. preserved timestamps hiding a source
             # change) lacks newer symbols: probe one and rebuild once
-            getattr(lib, "pin_lookup_batch")
+            getattr(lib, "bk_reduce_flat_ops_rank")
         except (OSError, AttributeError):
             if not _build():
                 _load_failed = True
                 return None
             try:
                 lib = ctypes.CDLL(_LIB)
-                getattr(lib, "pin_lookup_batch")
+                getattr(lib, "bk_reduce_flat_ops_rank")
             except (OSError, AttributeError):
                 _load_failed = True
                 return None
@@ -167,6 +167,12 @@ def load() -> Optional[ctypes.CDLL]:
             c_vp, c_vp, c_vp, c_vp, c_vp,
         ]
         lib.bk_reduce_flat_ops.restype = c_i64
+        lib.bk_reduce_flat_ops_rank.argtypes = [
+            c_vp, c_vp, c_vp, c_vp, c_i64,
+            c_i32, c_i64, c_i64, c_i32,
+            c_vp, c_vp, c_vp, c_vp,
+        ]
+        lib.bk_reduce_flat_ops_rank.restype = c_i64
         _lib = lib
         return _lib
 
@@ -241,6 +247,34 @@ def reduce_flat_ops(peer, slot, cls, khi, klo, vid, bn, nb, cv_shift,
         ctypes.c_int64(max(nb, 1)),
         ctypes.c_int32(cv_shift),
         ctypes.c_int64(vid_mask),
+        *(o.ctypes.data_as(ctypes.c_void_p) for o in outs),
+    )
+    if n == 0:
+        return None
+    return tuple(o[:n] for o in outs)
+
+
+def reduce_flat_ops_rank(peer, slot, rank, cv, bn, nb, cv_shift):
+    """Native twin of ops/rank.py::reduce_flat_ops_rank's numpy path (one
+    fused int64 winner key per (peer, slot) group). Same return contract
+    as reduce_flat_ops: 4-tuple of winner arrays, None for an all-filtered
+    batch, NotImplemented when the library is unavailable."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return NotImplemented
+    arrs = [np.ascontiguousarray(a, dtype=np.int32)
+            for a in (peer, slot, rank, cv)]
+    k = len(arrs[0])
+    outs = [np.empty(k, dtype=np.int32) for _ in range(4)]
+    n = lib.bk_reduce_flat_ops_rank(
+        *(a.ctypes.data_as(ctypes.c_void_p) for a in arrs),
+        ctypes.c_int64(k),
+        ctypes.c_int32(1 if bn > 0 else 0),
+        ctypes.c_int64(max(bn, 1)),
+        ctypes.c_int64(max(nb, 1)),
+        ctypes.c_int32(cv_shift),
         *(o.ctypes.data_as(ctypes.c_void_p) for o in outs),
     )
     if n == 0:

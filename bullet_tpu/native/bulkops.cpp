@@ -168,4 +168,73 @@ int64_t bk_reduce_flat_ops(const int32_t* peer, const int32_t* slot,
   return n_out + 1;
 }
 
+// Rank-layout twin of bk_reduce_flat_ops: the winner key fuses into ONE
+// int64 (rank<<32 | cv, both fields non-negative int32), so the grouped
+// scan keeps a single max — bit-identical to
+// ops/rank.py::reduce_flat_ops_rank's numpy path. Keep-filter is the cv
+// class bits (cv>>cv_shift > 0; rank 0 rows are absent padding).
+int64_t bk_reduce_flat_ops_rank(const int32_t* peer, const int32_t* slot,
+                                const int32_t* rank, const int32_t* cv,
+                                int64_t k, int32_t block_mode, int64_t bn,
+                                int64_t nb, int32_t cv_shift,
+                                int32_t* peer_w, int32_t* slot_w,
+                                int32_t* rank_w, int32_t* cv_w) {
+  uint64_t stride = 1;
+  if (!block_mode) {
+    int32_t max_slot = 0;
+    for (int64_t i = 0; i < k; ++i)
+      if (slot[i] > max_slot) max_slot = slot[i];
+    stride = static_cast<uint64_t>(max_slot) + 1;
+  }
+  std::vector<OpRow> rows;
+  rows.reserve(static_cast<size_t>(k));
+  uint64_t max_key = 0;
+  for (int64_t i = 0; i < k; ++i) {
+    if ((cv[i] >> cv_shift) <= 0) continue;
+    uint64_t ps;
+    if (block_mode) {
+      int64_t p = peer[i], s = slot[i];
+      uint64_t block = static_cast<uint64_t>((p >> 3) * nb + s / bn);
+      ps = (block << 14) | (static_cast<uint64_t>(p & 7) << 11) |
+           static_cast<uint64_t>(s % bn);
+    } else {
+      ps = static_cast<uint64_t>(static_cast<uint32_t>(peer[i])) * stride +
+           static_cast<uint32_t>(slot[i]);
+    }
+    if (ps > max_key) max_key = ps;
+    int64_t w = (static_cast<int64_t>(rank[i]) << 32) |
+                static_cast<uint32_t>(cv[i]);
+    rows.push_back({ps, w, 0});
+  }
+  if (rows.empty()) return 0;
+  radix_by_pslot(rows, max_key);
+  int64_t n_out = -1;
+  uint64_t cur = ~0ull;
+  int64_t m1 = 0;
+  auto emit = [&](int64_t at, uint64_t key) {
+    rank_w[at] = static_cast<int32_t>(m1 >> 32);
+    cv_w[at] = static_cast<int32_t>(m1 & 0xFFFFFFFFll);
+    if (block_mode) {
+      uint64_t blk = key >> 14;
+      peer_w[at] = static_cast<int32_t>((blk / nb) * 8 + ((key >> 11) & 7));
+      slot_w[at] = static_cast<int32_t>((blk % nb) * bn + (key & 0x7FF));
+    } else {
+      peer_w[at] = static_cast<int32_t>(key / stride);
+      slot_w[at] = static_cast<int32_t>(key % stride);
+    }
+  };
+  for (const OpRow& r : rows) {
+    if (r.pslot != cur) {
+      if (n_out >= 0) emit(n_out, cur);
+      ++n_out;
+      cur = r.pslot;
+      m1 = r.k1;
+    } else if (r.k1 > m1) {
+      m1 = r.k1;
+    }
+  }
+  emit(n_out, cur);
+  return n_out + 1;
+}
+
 }  // extern "C"

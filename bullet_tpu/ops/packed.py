@@ -93,12 +93,16 @@ def _lex_gt_packed(b_keys, a_keys):
 def table_keys(fields):
     """Lex key chain for a packed-FAMILY field tuple, dispatched on length:
     3 fields = the packed layout (khi, klo, cv) → (cls, khi, klo, vid);
-    2 fields = the rank layout (rank, cv) → (rank, cv) directly — ranks are
-    strictly monotone in (cls, khi, klo), so the 2-key chain realizes the
-    same total order (see ops.rank). Every shared kernel body below keys
-    through this, making the whole kernel zoo layout-generic."""
+    2 fields = the rank layout (rank, cv) → ONE key, the rank. The
+    RankIndex assigns distinct vids distinct ranks in (cls, khi, klo, vid)
+    order (a bijection refining the packed chain — see ops.rank), so equal
+    ranks mean the SAME vid, hence the same cv: the cv tiebreak can never
+    fire, and a single int32 compare decides every merge (~half the VPU
+    ops of a 2-key chain on the compute-bound fused paths). Every shared
+    kernel body keys through this, making the whole kernel zoo
+    layout-generic."""
     if len(fields) == 2:
-        return tuple(fields)
+        return (fields[0],)
     return packed_keys(*fields)
 
 

@@ -166,7 +166,24 @@ def reduce_flat_ops_rank(peer, slot, rank, cv, block_shape=None):
     fused-key passes. ``block_shape=(p, n)`` emits winners in the blocked
     apply's (8, 128)-block-major order, as reduce_flat_ops does.
 
-    Returns (peer, slot, rank, cv) winners or None if nothing survives."""
+    The native radix+scan pass (native.reduce_flat_ops_rank) runs first
+    when available; this numpy body is the bit-identical fallback
+    (tested). Returns (peer, slot, rank, cv) winners or None if nothing
+    survives."""
+    from .. import native
+
+    if block_shape is not None:
+        from .packed import _CG_BN
+
+        nat_bn, nat_nb = _CG_BN, block_shape[1] // _CG_BN
+    else:
+        nat_bn = nat_nb = 0
+    fast = native.reduce_flat_ops_rank(
+        peer, slot, rank, cv, nat_bn, nat_nb, CV_SHIFT
+    )
+    if fast is not NotImplemented:
+        return fast
+
     keep = (np.asarray(cv) >> CV_SHIFT) > 0
     peer, slot, rank, cv = (
         np.asarray(a)[keep] for a in (peer, slot, rank, cv)

@@ -413,3 +413,35 @@ def test_shardmap_frontier_rank_parity(fuse):
     assert_cv_equal(tr, tp)
     assert int(rp) == int(rr)
     assert int(lp) == int(lr)
+
+
+def test_native_reduce_rank_parity():
+    """native.reduce_flat_ops_rank must be bit-identical to the numpy
+    fallback in both winner orders (ascending and block-major)."""
+    from bullet_tpu import native
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(40)
+    k, p, n = 50_000, 32, 2048
+    peer = rng.integers(0, p, k).astype(np.int32)
+    slot = rng.integers(0, n, k).astype(np.int32)
+    rank = rng.integers(0, 1 << 30, k).astype(np.int32)
+    cls = rng.integers(0, 4, k).astype(np.int32)
+    cv = ((cls.astype(np.int64) << pk.CV_SHIFT)
+          | rng.integers(0, 1 << 20, k)).astype(np.int32)
+    import os
+
+    for bs in (None, (p, n)):
+        fast = rk.reduce_flat_ops_rank(peer, slot, rank, cv, block_shape=bs)
+        os.environ["BULLET_NO_NATIVE"] = "1"
+        native._lib, native._load_failed = None, False
+        try:
+            slow = rk.reduce_flat_ops_rank(
+                peer, slot, rank, cv, block_shape=bs
+            )
+        finally:
+            del os.environ["BULLET_NO_NATIVE"]
+            native._lib, native._load_failed = None, False
+        for a, b in zip(fast, slow):
+            np.testing.assert_array_equal(a, b)
