@@ -2,12 +2,14 @@
 tests/test_multihost_smoke.py, one OS process per simulated host).
 
 Each process brings 2 virtual CPU devices; jax.distributed stitches them
-into one 4-device global mesh. The worker covers FOUR multi-chip paths
+into one 4-device global mesh. The worker covers SIX multi-chip paths
 across the real process boundary, each bit-checked against the unsharded
 twin computed locally: a dense shard_map ring round, the packed frontier
 shard_map convergence loop (final state AND round count), the packed
-doubling-join reconcile, and the FUSED dense frontier shard_map loop
-(HALO_FUSE rounds per collective; state AND round count).
+doubling-join reconcile, the FUSED dense frontier shard_map loop
+(HALO_FUSE rounds per collective; state AND round count), and the RANK
+layout's frontier loop + reconcile (8 B/entry tables through the same
+generic collectives).
 """
 
 import os
@@ -207,6 +209,67 @@ def main() -> None:
         int(got_drounds), int(exp_drounds))
     assert int(got_dchanged) == int(exp_dchanged) == 0
     check_shards(got_dtbl, exp_dtbl, TableState._fields)
+
+    # ---- RANK layout (8 B/entry, single-compare merges) across the
+    # process boundary: frontier shard_map loop + doubling-join reconcile,
+    # each bit-checked shard-by-shard against the locally computed
+    # unsharded rank twin (state AND round count). The vid space gets a
+    # DETERMINISTIC synthetic rank order shared by both processes (rank
+    # semantics only need a total order with distinct ranks per vid;
+    # rank-vs-packed state parity is covered by tests/test_rank*.py).
+    from bullet_tpu.ops.rank import RankIndex, RankTable, pack_to_rank
+
+    ridx = RankIndex()  # same synthetic keys on every process
+    n_vals = 1 << 16
+    ridx.insert_batch(
+        np.arange(n_vals), np.ones(n_vals, np.int32),
+        np.zeros(n_vals, np.int32), np.arange(n_vals, dtype=np.int32),
+    )
+    rmap = jnp.asarray(ridx.rank_map())
+    local_rank = pack_to_rank(
+        PackedTable(
+            jnp.asarray(host_packed[0]),
+            jnp.asarray(host_packed[1]),
+            jnp.asarray(cv_np),
+        ),
+        rmap,
+    )
+    host_rank = [np.asarray(local_rank.rank), cv_np]
+    global_rank = RankTable(
+        *(
+            jax.make_array_from_callback(
+                (pp, nn), psharding, lambda idx, f=f: f[idx]
+            )
+            for f in host_rank
+        )
+    )
+    got_rtbl, got_rrounds, got_rchanged = gossip_frontier_shardmap_packed(
+        global_rank, jnp.ones(t_sh, jnp.bool_), mesh, True, 64,
+        interpret=True,
+    )
+    exp_rtbl, exp_rrounds, exp_rchanged = gossip_frontier_packed(
+        RankTable(*(jnp.asarray(f) for f in host_rank)),
+        jnp.ones(t_loc, jnp.bool_), True, 64, interpret=True, fuse=1,
+    )
+    assert int(got_rrounds) == int(exp_rrounds), (
+        int(got_rrounds), int(exp_rrounds))
+    assert int(got_rchanged) == int(exp_rchanged) == 0
+    check_shards(got_rtbl, exp_rtbl, RankTable._fields)
+
+    got_rrec = reconcile_packed_xla(
+        RankTable(
+            *(
+                jax.make_array_from_callback(
+                    (pp, nn), psharding, lambda idx, f=f: f[idx]
+                )
+                for f in host_rank
+            )
+        )
+    )
+    exp_rrec = reconcile_packed_xla(
+        RankTable(*(jnp.asarray(f) for f in host_rank))
+    )
+    check_shards(got_rrec, exp_rrec, RankTable._fields)
 
     print(f"worker {process_id}: OK", flush=True)
 
