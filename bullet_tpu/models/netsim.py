@@ -1913,16 +1913,32 @@ class PeerNetworkSim:
 
     def snapshot(self) -> dict:
         """Host checkpoint of device state (the engine's storage adapter)."""
-        return {
+        snap = {
             "table": [np.asarray(f) for f in self.table],
             "tick": self.tick,
             "clock": self._clock_snapshot(),
             "capacity": self.capacity,
         }
+        if self.layout == "rank":
+            # ranks are only meaningful against ONE RankIndex epoch; stamp
+            # it so restore can detect a respread between snapshot and
+            # restore and re-gather the stale ranks through the fresh LUT
+            snap["rank_epoch"] = self.rank_index.epoch
+        return snap
 
     def restore(self, snap: dict) -> None:
         self._frontier_dirty = None
         self.table = type(self.table)(*(jnp.asarray(f) for f in snap["table"]))
+        if self.layout == "rank" and snap.get("rank_epoch") != (
+            self.rank_index.epoch
+        ):
+            from ..ops.rank import rekey_rank
+
+            self._sync_rank_index()
+            self.rank_index.needs_rekey = False
+            self.table = rekey_rank(
+                self.table, jnp.asarray(self.rank_index.rank_map())
+            )
         if self.mesh is not None:
             self.table = shard_table(self.table, self.mesh)
         self.tick = snap["tick"]

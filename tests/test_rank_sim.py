@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from bullet_tpu.models.netsim import PeerNetworkSim
+from bullet_tpu.ops import packed as pk
 from bullet_tpu.ops import rank as rk
 
 
@@ -212,3 +213,56 @@ def test_rank_table_is_two_arrays():
     sr = PeerNetworkSim(4, capacity=128, topology="ring", layout="rank")
     assert len(sr.table) == 2
     assert sr.table._fields == ("rank", "cv")
+
+
+def test_snapshot_restore_across_respread(monkeypatch):
+    """A snapshot taken before a rank respread must restore correctly
+    after it: restore detects the epoch change and re-gathers ranks."""
+    monkeypatch.setattr(rk, "RANK_SPAN", 2047)
+    sr = PeerNetworkSim(4, capacity=256, topology="ring", layout="rank")
+    sp = PeerNetworkSim(4, capacity=256, topology="ring", layout="packed")
+    rng1, rng2 = np.random.default_rng(13), np.random.default_rng(13)
+    _seed(sr, rng1, 60, peers=4)
+    _seed(sp, rng2, 60, peers=4)
+    # pre-intern every path both sims will touch so the interim writes
+    # (which only sr receives) can't skew slot assignment between the two
+    # sims — slot ids are first-appearance order in the host interner
+    for sim in (sr, sp):
+        for k in range(9):
+            sim.intern_path(f"m/k{k}")
+        for k in range(6):
+            sim.intern_path(f"z/k{k}")
+    sr.run_until_converged()
+    sp.run_until_converged()
+    snap_r = sr.snapshot()
+    snap_p = sp.snapshot()
+    epoch0 = sr.rank_index.epoch
+
+    # new fresh-float writes split gaps until the rank space respreads
+    rng = np.random.default_rng(14)
+    while sr.rank_index.epoch == epoch0:
+        for _ in range(40):
+            peer = int(rng.integers(0, 4))
+            val = float(rng.random())
+            sr.put(peer, f"m/k{int(rng.integers(0, 9))}", val)
+        sr.run_until_converged()
+        assert sr.rank_index.epoch < epoch0 + 50, "respread never fired"
+
+    sr.restore(snap_r)
+    sp.restore(snap_p)
+    # the restored rank table must be coherent with the CURRENT index
+    cv = np.asarray(sr.table.cv)
+    present = (cv >> pk.CV_SHIFT) > 0
+    rmap = sr.rank_index.rank_map()
+    np.testing.assert_array_equal(
+        np.asarray(sr.table.rank)[present],
+        rmap[cv & pk.VID_MASK][present],
+    )
+    # and new writes + convergence still bit-match packed
+    for sim, rg in ((sr, np.random.default_rng(15)),
+                    (sp, np.random.default_rng(15))):
+        for _ in range(30):
+            sim.put(int(rg.integers(0, 4)), f"z/k{int(rg.integers(0, 6))}",
+                    VALS[int(rg.integers(0, len(VALS)))])
+        sim.run_until_converged()
+    _assert_cv_equal(sp, sr)
