@@ -71,9 +71,11 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
 
     impl: "xla" (fused by XLA), "pallas" (generic merge kernel ×2), "fused"
     (single-pass ring-round Pallas kernel), "lean" (4-array value-key
-    variant), "packed" (3-array 12 B/entry layout, in-place stripes), or
+    variant), "packed" (3-array 12 B/entry layout, in-place stripes),
     "rank" (2-array 8 B/entry layout — 16 B/entry/round of HBM traffic and
-    a 2-key lexmax, the fastest layout; see ops/rank.py)."""
+    a single-compare merge), or "rank1" (1-array 4 B/entry layout — the
+    rank bijection alone, 8 B/entry/round and one compare + one select,
+    the fastest layout; see ops/rank.py Rank1Table)."""
     import jax
     import jax.numpy as jnp
 
@@ -85,15 +87,16 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
     from bullet_tpu.ops.packed import packed_ring_supported
     from bullet_tpu.ops.ring_kernel import ring_round_pallas, ring_round_pallas_lean
 
-    if impl in ("packed", "rank"):
+    if impl in ("packed", "rank", "rank1"):
         # the compact layouts bench at the BASELINE.json north-star shape
-        # (1,024 peers × 1M slots: 12.9 GB packed, 8.6 GB rank) — the dense
-        # layouts cannot hold it on one chip, which is the point
+        # (1,024 peers × 1M slots: 12.9 GB packed, 8.6 GB rank, 4.3 GB
+        # rank1) — the dense layouts cannot hold it on one chip, which is
+        # the point
         num_peers, capacity = 1024, 1 << 20
         if not packed_ring_supported(num_peers, capacity):
             raise RuntimeError("packed stripe kernel unsupported at this shape")
         from bullet_tpu.ops.packed import PackedTable
-        from bullet_tpu.ops.rank import RankTable
+        from bullet_tpu.ops.rank import Rank1Table, RankTable
 
         @jax.jit
         def build_packed():
@@ -106,6 +109,13 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
 
             cls = mix(1, 4)
             cv = (cls << 28) | mix(4, 1 << 20)
+            if impl == "rank1":
+                # rank 0 = absent; live ranks spread over the 31-bit gap
+                # space like a real RankIndex would — the rank is the
+                # WHOLE entry (4 B), no payload column
+                return Rank1Table(
+                    rank=jnp.where(cls > 0, mix(8, 1 << 30) + 1, 0)
+                )
             if impl == "rank":
                 # rank 0 = absent (cls 0); live ranks spread over the 31-bit
                 # gap space like a real RankIndex would
@@ -143,13 +153,13 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_packed(t):
             out = jax.lax.fori_loop(0, rounds // fuse, packed_round, t)
-            return jnp.sum(out.cv), out
+            return jnp.sum(out[-1]), out
 
         s, warm_out = run_packed(build_packed())  # compile + warm
         int(s)
         del warm_out
         ptable = build_packed()
-        int(jnp.sum(ptable.cv[:1, :128]))  # force build before timing
+        int(jnp.sum(ptable[-1][:1, :128]))  # force build before timing
         t0 = time.perf_counter()
         s, out = run_packed(ptable)
         int(s)  # scalar readback = real completion
@@ -196,9 +206,10 @@ def main() -> None:
         num_peers, capacity, rounds = 256, 1 << 18, 32
         # ordered best-first; the rest are FALLBACKS only (each impl costs
         # minutes of compile through the tunnel, and the measured order is
-        # stable: rank (8 B/entry, 2-key lexmax) > packed+fused 93.7B >
+        # stable: rank1 (4 B/entry, one compare + one select) > rank
+        # (8 B/entry, single-compare) 235-238B > packed+fused 93.7B >
         # lean 17.6B > fused 9.7B > xla 5.1B)
-        impls = ["rank", "packed", "lean", "fused", "xla"]
+        impls = ["rank1", "rank", "packed", "lean", "fused", "xla"]
     else:  # CPU smoke sizing
         num_peers, capacity, rounds = 16, 1 << 14, 5
         impls = ["xla"]

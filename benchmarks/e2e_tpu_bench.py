@@ -33,9 +33,10 @@ from bullet_tpu.parallel import topology as topo  # noqa: E402
 def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     packed = os.environ.get("BULLET_PACKED", "0") == "1"
-    # BULLET_LAYOUT=rank runs the 8 B/entry rank layout through the same
-    # packed-family phases (it shares every kernel path; see ops/rank.py)
-    rank = os.environ.get("BULLET_LAYOUT", "") == "rank"
+    # BULLET_LAYOUT=rank / rank1 runs the 8 B / 4 B per-entry rank layouts
+    # through the same packed-family phases (they share every kernel path;
+    # see ops/rank.py)
+    rank = os.environ.get("BULLET_LAYOUT", "") in ("rank", "rank1")
     packed = packed or rank
     north_star = os.environ.get("BULLET_NORTH_STAR", "0") == "1"
     if north_star:
@@ -53,7 +54,10 @@ def main() -> None:
     lean = (os.environ.get("BULLET_LEAN", "1") != "0" and on_tpu
             and not packed)
 
-    layout = "rank" if rank else ("packed" if packed else "dense")
+    layout = (
+        os.environ["BULLET_LAYOUT"] if rank
+        else ("packed" if packed else "dense")
+    )
     out = {"backend": jax.default_backend(), "num_peers": num_peers,
            "capacity": capacity, "writes": writes, "layout": layout}
 
@@ -87,7 +91,7 @@ def main() -> None:
         # convergence after fresh writes (same compiled while_loop, hot)
         t0 = time.time()
         rounds0 = sim.run_until_converged(max_rounds=num_peers + 2)
-        _ = int(np.asarray(sim.table.cv[0, 0]))
+        _ = int(np.asarray(sim.table[-1][0, 0]))
         out["compile_s"] = round(time.time() - t0, 3)
         print("# warmed (cold converge)", out["compile_s"], flush=True)
 
@@ -101,7 +105,7 @@ def main() -> None:
         out["ingest_ops_per_s"] = round(writes / max(out["ingest_s"], 1e-9))
         t0 = time.time()
         rounds = sim.run_until_converged(max_rounds=num_peers + 2)
-        _ = int(np.asarray(sim.table.cv[0, 0]))
+        _ = int(np.asarray(sim.table[-1][0, 0]))
         out["converge_s"] = round(time.time() - t0, 3)
         out["rounds"] = rounds0 + rounds
         rounds = max(rounds, 1)
@@ -114,7 +118,7 @@ def main() -> None:
         # table (idempotent: the fixed point is already reached, so the
         # warm-up is state-free); the timed run covers apply + join.
         sim.reconcile()
-        _ = int(np.asarray(sim.table.cv[0, 0]))
+        _ = int(np.asarray(sim.table[-1][0, 0]))
         sim.put_bulk(
             rng.integers(0, num_peers, writes).astype(np.int32),
             slots[rng.integers(0, keys, writes)],
@@ -122,7 +126,7 @@ def main() -> None:
         )
         t0 = time.time()
         sim.reconcile()
-        _ = int(np.asarray(sim.table.cv[0, 0]))
+        _ = int(np.asarray(sim.table[-1][0, 0]))
         out["reconcile_s"] = round(time.time() - t0, 3)
         print("# reconciled", out["reconcile_s"], flush=True)
 
@@ -131,7 +135,7 @@ def main() -> None:
         # that the timed run above also pays
         t0 = time.time()
         sim.reconcile()
-        _ = int(np.asarray(sim.table.cv[0, 0]))
+        _ = int(np.asarray(sim.table[-1][0, 0]))
         out["reconcile_join_s"] = round(time.time() - t0, 3)
         print("# reconcile join only", out["reconcile_join_s"], flush=True)
     else:

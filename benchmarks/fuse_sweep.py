@@ -8,7 +8,7 @@ plus compile wall time (Mosaic unrolls M rounds per kernel, so compile cost
 grows with M and gates how big M can reasonably be).
 
 Run: BULLET_SWEEP_SHAPE=1024x1048576 python benchmarks/fuse_sweep.py
-(BULLET_SWEEP_LAYOUT=rank sweeps the 8 B/entry rank layout instead —
+(BULLET_SWEEP_LAYOUT=rank / rank1 sweeps the 8 B / 4 B rank layouts instead —
 its single-int32-compare merge halves compute per round, so the optimal
 M can differ from packed's.)
 Tunnel notes (CLAUDE.md): block_until_ready is unreliable here — completion
@@ -32,7 +32,7 @@ ROUNDS = 240  # divisible by every swept M
 
 def build_packed(num_peers, capacity, layout="packed"):
     from bullet_tpu.ops.packed import PackedTable
-    from bullet_tpu.ops.rank import RankTable
+    from bullet_tpu.ops.rank import Rank1Table, RankTable
 
     @jax.jit
     def build():
@@ -45,6 +45,10 @@ def build_packed(num_peers, capacity, layout="packed"):
 
         cls = mix(1, 4)
         cv = (cls << 28) | mix(4, 1 << 20)
+        if layout == "rank1":
+            return Rank1Table(
+                rank=jnp.where(cls > 0, mix(8, 1 << 30) + 1, 0)
+            )
         if layout == "rank":
             return RankTable(
                 rank=jnp.where(cls > 0, mix(8, 1 << 30) + 1, 0), cv=cv
@@ -72,7 +76,7 @@ def time_fuse(num_peers, capacity, fuse, layout="packed"):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(t):
         out = jax.lax.fori_loop(0, ROUNDS // fuse, packed_round, t)
-        return jnp.sum(out.cv), out
+        return jnp.sum(out[-1]), out
 
     build = build_packed(num_peers, capacity, layout)
     t0 = time.perf_counter()
@@ -84,7 +88,7 @@ def time_fuse(num_peers, capacity, fuse, layout="packed"):
     best = float("inf")
     for _ in range(2):
         table = build()
-        int(jnp.sum(table.cv[:1, :128]))  # force build before timing
+        int(jnp.sum(table[-1][:1, :128]))  # force build before timing
         t0 = time.perf_counter()
         s, out = run(table)
         int(s)  # scalar readback = real completion on the tunnel

@@ -31,17 +31,26 @@ def save_checkpoint(sim, directory: str, backend: str = "npz") -> None:
     sim._sync_device_state()
     os.makedirs(directory, exist_ok=True)
     fields = sim.table._fields
+    extras = {"clock": sim._clock_snapshot()}
+    if getattr(sim, "layout", "dense") == "rank1":
+        # rank1 stores no vid bits on device: the checkpoint must carry its
+        # OWN epoch's rank -> vid inverse so load can decode the stored
+        # ranks onto the replayed index's (differently spread) ranks
+        sim._sync_rank_index()
+        sr, sv = sim.rank_index.inverse_arrays()
+        extras["rank_inv_ranks"] = sr.copy()
+        extras["rank_inv_vids"] = sv.copy()
     if backend == "orbax":
         import orbax.checkpoint as ocp
 
         state = {name: f for name, f in zip(fields, sim.table)}
-        state["clock"] = sim._clock_snapshot()
+        state.update(extras)
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(os.path.join(os.path.abspath(directory), "orbax"), state)
             ckptr.wait_until_finished()
     else:
         arrays = {name: np.asarray(f) for name, f in zip(fields, sim.table)}
-        arrays["clock"] = sim._clock_snapshot()
+        arrays.update(extras)
         np.savez_compressed(os.path.join(directory, "state.npz"), **arrays)
 
     host = sim.host
@@ -110,6 +119,13 @@ def load_checkpoint(directory: str, mesh_devices: Optional[int] = None):
 
         template = {name: np.asarray(f) for name, f in zip(fields, sim.table)}
         template["clock"] = sim._clock_snapshot()
+        if meta.get("layout") == "rank1":
+            # the replayed index holds the same value count, so the saved
+            # inverse arrays restore into same-shaped templates
+            sim._sync_rank_index()
+            sr, sv = sim.rank_index.inverse_arrays()
+            template["rank_inv_ranks"] = sr
+            template["rank_inv_vids"] = sv
         with ocp.StandardCheckpointer() as ckptr:
             data = ckptr.restore(
                 os.path.join(os.path.abspath(directory), "orbax"), template
@@ -130,6 +146,20 @@ def load_checkpoint(directory: str, mesh_devices: Optional[int] = None):
         sim.table = rekey_rank(
             sim.table, jnp.asarray(sim.rank_index.rank_map())
         )
+    elif meta.get("layout") == "rank1":
+        # same replay-respread mismatch, but the stored ranks decode
+        # through the CHECKPOINT's saved inverse instead of a vid column
+        from ..ops.rank import rekey_rank1
+
+        sim._sync_rank_index()
+        sim.rank_index.needs_rekey = False
+        osr = np.asarray(data["rank_inv_ranks"])
+        osv = np.asarray(data["rank_inv_vids"])
+        if len(osr):
+            sim.table = rekey_rank1(
+                sim.table, jnp.asarray(osr), jnp.asarray(osv),
+                jnp.asarray(sim.rank_index.rank_map()),
+            )
     if sim.mesh is not None:
         from ..parallel.mesh import shard_table
 

@@ -37,12 +37,18 @@ from .table import MISSING, GraphHost, flatten_value
 
 TopologyLike = Union[str, topo.Topology]
 
+# the layouts that share the packed-family kernel zoo (ops/packed.py key
+# chains dispatched on field-tuple arity: 3 = packed, 2 = rank, 1 = rank1)
+PACKED_FAMILY = ("packed", "rank", "rank1")
+# the layouts whose merge order rides a host-maintained RankIndex
+RANK_FAMILY = ("rank", "rank1")
+
 
 class ConvergenceCell(NamedTuple):
     """The dispatch-relevant shape of a convergence request. Built by
     ``PeerNetworkSim._convergence_cell``; consumed by the strategy table."""
 
-    layout: str  # "packed" | "rank" | "dense"
+    layout: str  # "packed" | "rank" | "rank1" | "dense"
     ring_chain: bool  # topology kind is ring or chain
     frontier: bool  # a frontier-capable kernel tiles this shape (f_tile > 0)
     spmd: bool  # engine shard_map mesh active
@@ -59,19 +65,19 @@ class ConvergenceCell(NamedTuple):
 CONVERGENCE_STRATEGIES: Tuple[Tuple[str, Callable, str], ...] = (
     (
         "packed-frontier-spmd",  # shard_map frontier loop, per-device Pallas
-        lambda c: c.layout in ("packed", "rank") and c.spmd and c.frontier
+        lambda c: c.layout in PACKED_FAMILY and c.spmd and c.frontier
         and c.ring_chain and c.pallas,
         "_converge_frontier_spmd",
     ),
     (
         "packed-frontier-local",  # single-chip compacting frontier (fused)
-        lambda c: c.layout in ("packed", "rank") and not c.spmd
+        lambda c: c.layout in PACKED_FAMILY and not c.spmd
         and not c.data_mesh and c.frontier and c.ring_chain and c.pallas,
         "_converge_frontier_local",
     ),
     (
         "packed-loop",  # whole-table while_loop (XLA or stripe/halo Pallas)
-        lambda c: c.layout in ("packed", "rank"),
+        lambda c: c.layout in PACKED_FAMILY,
         "_converge_packed_loop",
     ),
     (
@@ -324,6 +330,32 @@ def _peer_row_packed(table, peer):
 
 
 @jax.jit
+def _gather_ranks_pairs(table, peers, slots):
+    """rank1 point reads: the raw ranks (host decodes via RankIndex)."""
+    return table.rank[peers, slots]
+
+
+@jax.jit
+def _peer_row_rank1(table, peer, sranks, svids, cls_map, khi_map, klo_map):
+    """rank1 row view: ranks decode to vids through the sorted-inverse
+    binary search (ops.rank.decode_vids_rank1), then cls/khi/klo rebuild
+    through the interner LUTs — the same RowView contract as the other
+    layouts (absent ⇒ cls 0, vid 0)."""
+    from ..ops.rank import decode_vids_rank1
+
+    rank = table.rank[peer]
+    present, vid = decode_vids_rank1(rank, sranks, svids)
+    z = jnp.zeros_like(rank)
+    vid = jnp.where(present, vid, z)
+    return scans.RowView(
+        cls=jnp.where(present, cls_map[vid], z),
+        khi=jnp.where(present, khi_map[vid], z),
+        klo=jnp.where(present, klo_map[vid], z),
+        vid=vid,
+    )
+
+
+@jax.jit
 def _peer_row_rank(table, peer, khi_map, klo_map):
     """Rank-layout row view: the table stores no key bits, so the row's
     khi/klo rebuild from vid through the interner LUTs (row-sized gather —
@@ -370,9 +402,9 @@ class PeerNetworkSim:
         lean_gossip: bool = False,
         layout: str = "dense",
     ) -> None:
-        if layout not in ("dense", "packed", "rank"):
+        if layout not in ("dense",) + PACKED_FAMILY:
             raise ValueError(f"unknown layout: {layout}")
-        if layout in ("packed", "rank") and mode != "reference":
+        if layout in PACKED_FAMILY and mode != "reference":
             raise ValueError(f"{layout} layout supports reference mode only "
                              "(no writer/ctr metadata for lww priority)")
         self.layout = layout
@@ -396,11 +428,12 @@ class PeerNetworkSim:
             from ..ops.packed import init_packed
 
             self.table = init_packed(num_peers, capacity)
-        elif layout == "rank":
-            from ..ops.rank import RankIndex, init_rank
+        elif layout in RANK_FAMILY:
+            from ..ops.rank import RankIndex, init_rank, init_rank1
 
-            self.table = init_rank(num_peers, capacity)
-            # host order authority for the 8 B/entry layout: vid -> 31-bit
+            init = init_rank1 if layout == "rank1" else init_rank
+            self.table = init(num_peers, capacity)
+            # host order authority for the rank layouts: vid -> 31-bit
             # gap rank, strictly monotone in (cls, khi, klo, vid)
             self.rank_index = RankIndex()
             self._rank_str_epoch = -1
@@ -819,7 +852,7 @@ class PeerNetworkSim:
     def _maybe_rekey(self) -> None:
         if not self.host.needs_rekey:
             return
-        if self.layout == "rank":
+        if self.layout in RANK_FAMILY:
             # a string-rank rebalance moves khi/klo BITS but preserves the
             # value ORDER, and the rank table stores no key bits at all —
             # the device state is already correct. The RankIndex's stored
@@ -843,8 +876,10 @@ class PeerNetworkSim:
         assign ranks to newly interned vids, and — if a gap exhausted and
         the rank space respread — re-gather the device table's ranks
         through the fresh vid -> rank LUT so ops and table always compare
-        under ONE map version."""
-        from ..ops.rank import rekey_rank
+        under ONE map version. The rank1 layout has no vid column to
+        re-gather through; its stale ranks decode via the PRE-respread
+        inverse the RankIndex snapshots (prev_inverse → rekey_rank1)."""
+        from ..ops.rank import rekey_rank, rekey_rank1
 
         vals = self.host.values
         if self._rank_str_epoch != vals.epoch:
@@ -859,14 +894,21 @@ class PeerNetworkSim:
                 new, cls_map[new], khi_map[new], klo_map[new]
             )
         if self.rank_index.needs_rekey:
-            self.table = rekey_rank(
-                self.table, jnp.asarray(self.rank_index.rank_map())
-            )
+            if self.layout == "rank1":
+                osr, osv = self.rank_index.prev_inverse
+                self.table = rekey_rank1(
+                    self.table, jnp.asarray(osr), jnp.asarray(osv),
+                    jnp.asarray(self.rank_index.rank_map()),
+                )
+            else:
+                self.table = rekey_rank(
+                    self.table, jnp.asarray(self.rank_index.rank_map())
+                )
             self.rank_index.needs_rekey = False
 
     def _apply_pending(self) -> int:
         """Drain + ingress + apply, layout-dispatched; returns applied count."""
-        if self.layout in ("packed", "rank"):
+        if self.layout in PACKED_FAMILY:
             return self._apply_pending_packed()
         drained = self._drain_ops()
         if drained is None:
@@ -946,7 +988,7 @@ class PeerNetworkSim:
                 np.asarray(ops.slot), np.asarray(ops.cls),
                 np.asarray(ops.khi), np.asarray(ops.klo), np.asarray(ops.vid),
             )
-        if self.layout == "rank":
+        if self.layout in RANK_FAMILY:
             from ..ops.packed import CV_SHIFT
 
             # rank stamping must see every new vid AND a device table
@@ -972,13 +1014,18 @@ class PeerNetworkSim:
             and jax.default_backend() == "tpu"
             and self.use_pallas is not False
         )
-        if self.layout == "rank":
+        if self.layout in RANK_FAMILY:
             from ..ops.rank import reduce_flat_ops_rank
 
             reduced = reduce_flat_ops_rank(
                 peer, slot, rank_f, cv_f,
                 block_shape=(p_, n_) if use_blocked else None,
             )
+            if reduced is not None and self.layout == "rank1":
+                # rank decides the winner alone (bijection refining the
+                # packed chain); the cv column is payload the 4 B/entry
+                # layout simply doesn't store
+                reduced = reduced[:3]
         else:
             reduced = reduce_flat_ops(
                 peer, slot, cls, khi, klo, vid,
@@ -1022,7 +1069,13 @@ class PeerNetworkSim:
         # ONE stacked h2d transfer for the whole reduced batch (the tunnel
         # charges per-transfer latency; five separate array uploads cost
         # noticeably more than one [5, K] block)
-        if self.layout == "rank":
+        if self.layout == "rank1":
+            from ..ops.rank import apply_flat_rank1_stacked
+
+            self.table, applied = apply_flat_rank1_stacked(
+                self.table, jnp.asarray(np.stack(reduced))
+            )
+        elif self.layout == "rank":
             from ..ops.rank import apply_flat_rank_stacked
 
             self.table, applied = apply_flat_rank_stacked(
@@ -1039,7 +1092,7 @@ class PeerNetworkSim:
         current shape — the per-DEVICE local shape when the shard_map mesh
         is active (each device tiles its own peer block); 0 = no frontier
         kernel fits and dirty-stripe bookkeeping is pointless."""
-        if self.layout in ("packed", "rank"):
+        if self.layout in PACKED_FAMILY:
             from ..ops.packed import frontier_tile_n, frontier_tile_n_sharded
 
             p, n = self.table[0].shape
@@ -1063,7 +1116,7 @@ class PeerNetworkSim:
         return frontier_tile_n_dense(p, n, self.lean_gossip)
 
     def _one_round(self):
-        if self.layout in ("packed", "rank"):
+        if self.layout in PACKED_FAMILY:
             from ..ops.packed import gossip_round_packed
 
             return gossip_round_packed(
@@ -1333,7 +1386,7 @@ class PeerNetworkSim:
         self.hooks.fire_after_puts()
         if not self.topology.is_connected():
             self._reconcile_weak()
-        elif self.layout in ("packed", "rank"):
+        elif self.layout in PACKED_FAMILY:
             from ..ops.packed import (
                 _reconcile_packed_jit,
                 packed_ring_supported,
@@ -1397,7 +1450,7 @@ class PeerNetworkSim:
             mem_arr = jnp.asarray(
                 np.asarray(mem + [mem[0]] * (m - len(mem)), np.int32)
             )
-            if self.layout in ("packed", "rank"):
+            if self.layout in PACKED_FAMILY:
                 self.table = _closure_join_packed(
                     self.table, idx_arr, mem_arr
                 )
@@ -1429,7 +1482,7 @@ class PeerNetworkSim:
         north-star shape where a scratch-copy round would not fit HBM;
         other configurations probe on a scratch copy."""
         if (
-            self.layout in ("packed", "rank")
+            self.layout in PACKED_FAMILY
             and self.topology.kind in ("ring", "chain")
             and self.mesh is None
             and self.use_pallas is not False  # explicit opt-out honored
@@ -1466,7 +1519,20 @@ class PeerNetworkSim:
             return {}
         self._sync_device_state()
         arr = jnp.asarray(np.asarray(slots, dtype=np.int32))
-        if self.layout in ("packed", "rank"):
+        if self.layout == "rank1":
+            ranks = np.asarray(
+                _gather_ranks_pairs(self.table, jnp.int32(peer), arr)
+            )
+            vids = self.rank_index.decode_ranks(ranks)
+            out1: Dict[int, Any] = {}
+            for slot, v in zip(slots, vids):
+                if v >= 0:
+                    out1[slot] = (
+                        None if v == VID_NULL
+                        else self.host.values.decode(int(v))
+                    )
+            return out1
+        if self.layout in PACKED_FAMILY:
             cls, vid = _gather_entries_packed(self.table, jnp.int32(peer), arr)
         else:
             cls, _khi, _klo, vid, *_ = _gather_entries(
@@ -1526,16 +1592,23 @@ class PeerNetworkSim:
             np.asarray(peers, dtype=np.int32), (k,)
         ).astype(np.int32)
         self._sync_device_state()
-        gather = (
-            _gather_pairs_packed
-            if self.layout in ("packed", "rank") else _gather_pairs
-        )
-        cls, vid = gather(
-            self.table, jnp.asarray(peers_arr), jnp.asarray(slots)
-        )
-        cls = np.asarray(cls)
-        vid = np.asarray(vid)
-        present = valid & (cls != CLS_ABSENT) & (vid != VID_NULL)
+        if self.layout == "rank1":
+            ranks = np.asarray(_gather_ranks_pairs(
+                self.table, jnp.asarray(peers_arr), jnp.asarray(slots)
+            ))
+            vid = self.rank_index.decode_ranks(ranks)
+            present = valid & (vid >= 0) & (vid != VID_NULL)
+        else:
+            gather = (
+                _gather_pairs_packed
+                if self.layout in PACKED_FAMILY else _gather_pairs
+            )
+            cls, vid = gather(
+                self.table, jnp.asarray(peers_arr), jnp.asarray(slots)
+            )
+            cls = np.asarray(cls)
+            vid = np.asarray(vid)
+            present = valid & (cls != CLS_ABSENT) & (vid != VID_NULL)
         out_arr = np.full(k, None, dtype=object)
         if present.any():
             uniq, inverse = np.unique(vid[present], return_inverse=True)
@@ -1875,7 +1948,14 @@ class PeerNetworkSim:
             return np.empty((0,), dtype=np.int64)
         peers = jnp.asarray(self._watch_peers)
         slots = jnp.asarray(self._watch_slots)
-        if self.layout in ("packed", "rank"):
+        if self.layout == "rank1":
+            # the rank IS the entry (bijection), so rank diffs ≡ cv diffs
+            # within one epoch; a respread re-ranks everything and fires
+            # one spurious diff pass, which _fire_subscriptions absorbs
+            # (callbacks only fire when the materialized value changed)
+            rank = _gather_ranks_pairs(self.table, peers, slots)
+            return np.asarray(rank, dtype=np.int64)
+        if self.layout in PACKED_FAMILY:
             cv = _gather_watch_packed(self.table, peers, slots)
             return np.asarray(cv, dtype=np.int64)
         cls, vid = _gather_watch_dense(self.table, peers, slots)
@@ -1919,26 +1999,44 @@ class PeerNetworkSim:
             "clock": self._clock_snapshot(),
             "capacity": self.capacity,
         }
-        if self.layout == "rank":
+        if self.layout in RANK_FAMILY:
             # ranks are only meaningful against ONE RankIndex epoch; stamp
             # it so restore can detect a respread between snapshot and
             # restore and re-gather the stale ranks through the fresh LUT
             snap["rank_epoch"] = self.rank_index.epoch
+            if self.layout == "rank1":
+                # rank1 has no vid column to decode stale ranks through —
+                # the snapshot carries its OWN epoch's inverse (tiny: two
+                # arrays over the live value count)
+                sr, sv = self.rank_index.inverse_arrays()
+                snap["rank_inverse"] = (sr.copy(), sv.copy())
         return snap
 
     def restore(self, snap: dict) -> None:
         self._frontier_dirty = None
+        if self.layout in RANK_FAMILY:
+            # bring the index current BEFORE swapping tables: a pending
+            # insert could respread and re-key the live table, and for
+            # rank1 that re-key decodes through prev_inverse — which only
+            # matches the CURRENT table's epoch, not the snapshot's
+            self._sync_rank_index()
         self.table = type(self.table)(*(jnp.asarray(f) for f in snap["table"]))
-        if self.layout == "rank" and snap.get("rank_epoch") != (
+        if self.layout in RANK_FAMILY and snap.get("rank_epoch") != (
             self.rank_index.epoch
         ):
-            from ..ops.rank import rekey_rank
+            from ..ops.rank import rekey_rank, rekey_rank1
 
-            self._sync_rank_index()
-            self.rank_index.needs_rekey = False
-            self.table = rekey_rank(
-                self.table, jnp.asarray(self.rank_index.rank_map())
-            )
+            if self.layout == "rank1":
+                osr, osv = snap["rank_inverse"]
+                if len(osr):  # empty inverse ⇔ all-absent snapshot table
+                    self.table = rekey_rank1(
+                        self.table, jnp.asarray(osr), jnp.asarray(osv),
+                        jnp.asarray(self.rank_index.rank_map()),
+                    )
+            else:
+                self.table = rekey_rank(
+                    self.table, jnp.asarray(self.rank_index.rank_map())
+                )
         if self.mesh is not None:
             self.table = shard_table(self.table, self.mesh)
         self.tick = snap["tick"]
@@ -1954,15 +2052,19 @@ class PeerNetworkSim:
         def _equal(vid, cls):
             return jnp.all(vid == vid[0:1]) & jnp.all(cls == cls[0:1])
 
-        if self.layout in ("packed", "rank"):
-            # compare cv directly (cv equal ⇔ (cls, vid) equal) in ONE fused
-            # jit — eager &/>> would each allocate a table-sized temp, which
-            # does not fit next to the north-star table
+        if self.layout in PACKED_FAMILY:
+            # compare ONE field in ONE fused jit — eager &/>> would each
+            # allocate a table-sized temp, which does not fit next to the
+            # north-star table. cv equal ⇔ (cls, vid) equal; for rank1 the
+            # rank is a bijection over entries so rank equal ⇔ entry equal
             @jax.jit
             def _equal_cv(cv):
                 return jnp.all(cv == cv[0:1])
 
-            return bool(_equal_cv(self.table.cv))
+            field = (
+                self.table.rank if self.layout == "rank1" else self.table.cv
+            )
+            return bool(_equal_cv(field))
         return bool(_equal(self.table.vid, self.table.cls))
 
     def _peer_row(self, peer: int) -> scans.RowView:
@@ -1974,6 +2076,19 @@ class PeerNetworkSim:
             return _peer_row_rank(
                 self.table, jnp.int32(peer),
                 jnp.asarray(khi_map), jnp.asarray(klo_map),
+            )
+        if self.layout == "rank1":
+            if len(self.rank_index) == 0:
+                # nothing ranked ⇒ nothing on device: an all-absent view
+                z = jnp.zeros_like(self.table.rank[peer])
+                return scans.RowView(cls=z, khi=z, klo=z, vid=z)
+            cls_map, khi_map, klo_map = self.host.key_tables()
+            sranks, svids = self.rank_index.inverse_arrays()
+            return _peer_row_rank1(
+                self.table, jnp.int32(peer),
+                jnp.asarray(sranks), jnp.asarray(svids),
+                jnp.asarray(cls_map), jnp.asarray(khi_map),
+                jnp.asarray(klo_map),
             )
         return scans.peer_row(self.table, jnp.int32(peer))
 

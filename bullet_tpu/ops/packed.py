@@ -93,7 +93,8 @@ def _lex_gt_packed(b_keys, a_keys):
 def table_keys(fields):
     """Lex key chain for a packed-FAMILY field tuple, dispatched on length:
     3 fields = the packed layout (khi, klo, cv) → (cls, khi, klo, vid);
-    2 fields = the rank layout (rank, cv) → ONE key, the rank. The
+    2 fields = the rank layout (rank, cv) → ONE key, the rank;
+    1 field = the rank1 layout (rank alone) → the same single key. The
     RankIndex assigns distinct vids distinct ranks in (cls, khi, klo, vid)
     order (a bijection refining the packed chain — see ops.rank), so equal
     ranks mean the SAME vid, hence the same cv: the cv tiebreak can never
@@ -101,9 +102,19 @@ def table_keys(fields):
     ops of a 2-key chain on the compute-bound fused paths). Every shared
     kernel body keys through this, making the whole kernel zoo
     layout-generic."""
-    if len(fields) == 2:
+    if len(fields) <= 2:
         return (fields[0],)
     return packed_keys(*fields)
+
+
+def op_present(vals):
+    """Live-op guard for a packed-family op/entry field tuple. Arity 1 is
+    the rank1 layout: the single field IS the rank, and rank 0 = absent
+    (live ranks are ≥ 1 by RankIndex construction). Otherwise the last
+    field is cv, whose top bits carry cls (cls 0 = absent)."""
+    if len(vals) == 1:
+        return vals[0] > 0
+    return (vals[-1] >> CV_SHIFT) > 0
 
 
 def merge_packed_xla(
@@ -170,7 +181,7 @@ def _flat_winners(table, peer, slot, vals):
     cur = tuple(f[peer, slot] for f in table)
     win = _lex_gt_packed(
         table_keys(vals), table_keys(cur)
-    ) & ((vals[-1] >> CV_SHIFT) > 0)
+    ) & op_present(vals)
     return (
         tuple(jnp.where(win, v, c) for v, c in zip(vals, cur)),
         jnp.sum(win.astype(jnp.int32)),
@@ -378,7 +389,7 @@ def _chunk_apply_kernel(nf: int, *refs):
         onehot = (row_i == r) & (col_i == c) & (i < cnt)
         beats = _lex_gt_packed(
             table_keys(ovals), table_keys(tuple(blk))
-        ) & ((ovals[-1] >> CV_SHIFT) > 0)
+        ) & op_present(ovals)
         win = onehot & beats
         blk = [jnp.where(win, ov, b) for ov, b in zip(ovals, blk)]
         applied += jnp.sum(win.astype(jnp.int32))
@@ -616,7 +627,7 @@ def _window_apply_kernel(nf: int, *refs):
     blk = tuple(o[...] for o in out_refs)
     win = _lex_gt_packed(
         table_keys(u_vals), table_keys(blk)
-    ) & ((u_vals[-1] >> CV_SHIFT) > 0)
+    ) & op_present(u_vals)
     for o, u, b in zip(out_refs, u_vals, blk):
         o[...] = jnp.where(win, u, b)
     count_ref[0, 0] += jnp.sum(win.astype(jnp.int32))

@@ -35,6 +35,9 @@ Wins vs packed: single-round gossip moves 16 B/entry/round instead of 24
 (DMA-bound paths ~1.5×), and a fused neighbor-merge is a 2-key lexmax
 instead of 4 (~2× fewer VPU ops on the compute-bound fused paths). The
 north-star table shrinks 12.9 GB → 8.6 GB.
+
+Rank1Table goes one further: the rank alone, 4 B/entry (see its class
+docstring) — cv decoding moves to the RankIndex inverse at read time.
 """
 
 from __future__ import annotations
@@ -69,11 +72,38 @@ class RankTable(NamedTuple):
     cv: jax.Array  # cls << 28 | vid
 
 
+class Rank1Table(NamedTuple):
+    """Reference-mode replica tables at 4 B/entry — the rank layout with
+    the cv payload column dropped entirely.
+
+    The rank is a BIJECTION over live entries (RankIndex gives every vid a
+    distinct rank in (cls, khi, klo, vid) order), so the rank alone IS the
+    entry: a merge is one int32 compare + one select, a gossip round moves
+    8 B/entry of HBM instead of 16, and the fused stripe fits twice the
+    peers in VMEM. Rank 0 = absent (live ranks ≥ 1), which doubles as the
+    padding-never-wins invariant — no presence bits needed.
+
+    What the 2-array layout kept cv for — decoding vid at read time —
+    moves to an inverse lookup through the RankIndex: sorted live ranks ↔
+    vids (``RankIndex.inverse_arrays``), a binary search per read. Reads
+    and queries are rare next to merge rounds; the round is the north-star
+    metric. Reference semantics unchanged: same converged states as the
+    packed layout (bullet-crt.js:164-279), projected through the rank
+    bijection.
+    """
+
+    rank: jax.Array
+
+
 def init_rank(num_peers: int, capacity: int) -> RankTable:
     # two DISTINCT zero buffers (donation aliasing, as in init_packed)
     return RankTable(
         *(jnp.zeros((num_peers, capacity), dtype=jnp.int32) for _ in range(2))
     )
+
+
+def init_rank1(num_peers: int, capacity: int) -> Rank1Table:
+    return Rank1Table(jnp.zeros((num_peers, capacity), dtype=jnp.int32))
 
 
 merge_rank_xla = merge_packed_xla  # layout-generic winner-select
@@ -123,6 +153,65 @@ def rekey_rank(table: RankTable, rank_map: jax.Array) -> RankTable:
     )
 
 
+# ------------------------------------------------------- rank1 conversions
+
+
+@jax.jit
+def decode_vids_rank1(rank: jax.Array, sranks: jax.Array, svids: jax.Array):
+    """(present, vid) for rank1 entries: binary-search each rank in the
+    sorted live-rank array and read the matching vid. Ranks on device
+    always come from the same RankIndex epoch as (sranks, svids), so the
+    search hits exactly; absent entries (rank 0) decode to garbage and
+    must be masked with ``present``."""
+    idx = jnp.clip(
+        jnp.searchsorted(sranks, rank), 0, svids.shape[0] - 1
+    )
+    return rank > 0, svids[idx]
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def pack_to_rank1(pt, rank_map: jax.Array) -> Rank1Table:
+    """PackedTable → Rank1Table through the vid → rank LUT (donates)."""
+    vid = pt.cv & VID_MASK
+    present = (pt.cv >> CV_SHIFT) > 0
+    return Rank1Table(rank=jnp.where(present, rank_map[vid], 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def rank_to_rank1(rt: RankTable) -> Rank1Table:
+    return Rank1Table(rank=rt.rank)
+
+
+@jax.jit
+def rank1_to_rank(
+    rt: Rank1Table, sranks: jax.Array, svids: jax.Array, cls_map: jax.Array
+) -> RankTable:
+    """Rank1Table → RankTable by rebuilding cv through the inverse LUT
+    (for interop/serialization/tests)."""
+    present, vid = decode_vids_rank1(rt.rank, sranks, svids)
+    cv = jnp.where(
+        present, (cls_map[vid] << CV_SHIFT) | vid, jnp.zeros_like(rt.rank)
+    )
+    return RankTable(rank=rt.rank, cv=cv)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def rekey_rank1(
+    table: Rank1Table,
+    old_sranks: jax.Array,
+    old_svids: jax.Array,
+    rank_map: jax.Array,
+) -> Rank1Table:
+    """Re-gather a rank1 table onto a fresh rank epoch: decode each stale
+    rank to its vid through the PRE-respread inverse (RankIndex snapshots
+    it as ``prev_inverse`` when a respread fires), then gather the new
+    rank. Donates the table (one field, updated in place)."""
+    present, vid = decode_vids_rank1(table.rank, old_sranks, old_svids)
+    return Rank1Table(
+        rank=jnp.where(present, rank_map[vid], jnp.zeros_like(table.rank))
+    )
+
+
 # --------------------------------------------------------------- flat apply
 
 
@@ -154,6 +243,32 @@ def apply_flat_rank_stacked(
     rank, cv) — one host→device transfer, split on device."""
     peer, slot, rank, cv = _unstack_ops4(ops)
     return apply_flat_rank(table, peer, slot, rank, cv)
+
+
+def apply_flat_rank1(
+    table: Rank1Table, peer: jax.Array, slot: jax.Array, rank: jax.Array
+) -> Tuple[Rank1Table, jax.Array]:
+    """One-shot flat apply on the rank1 layout: the winner test is the
+    single rank compare (op lands iff rank > current — rank 0 ops are
+    guarded absent by packed.op_present). Ops must be unique-(peer, slot)
+    sorted, as reduce_flat_ops_rank emits. DONATES table."""
+    new_vals, applied = _flat_winners(table, peer, slot, (rank,))
+    table = _flat_scatter(table, peer, slot, new_vals)
+    return table, applied
+
+
+@jax.jit
+def _unstack_ops3(ops):
+    return ops[0], ops[1], ops[2]
+
+
+def apply_flat_rank1_stacked(
+    table: Rank1Table, ops: jax.Array
+) -> Tuple[Rank1Table, jax.Array]:
+    """apply_flat_rank1 over a stacked [3, K] op array (rows: peer, slot,
+    rank) — one host→device transfer, split on device."""
+    peer, slot, rank = _unstack_ops3(ops)
+    return apply_flat_rank1(table, peer, slot, rank)
 
 
 def reduce_flat_ops_rank(peer, slot, rank, cv, block_shape=None):
@@ -255,6 +370,11 @@ class RankIndex:
         self._sk2 = np.zeros(0, dtype=np.int64)
         self.needs_rekey = False
         self.epoch = 0  # bumped on every respread
+        # (sorted ranks, vids) as of the moment the LAST respread fired —
+        # the inverse the rank1 layout needs to decode a device table that
+        # still holds the pre-respread ranks (see rekey_rank1). None until
+        # the first respread over a non-empty index.
+        self.prev_inverse: "tuple[np.ndarray, np.ndarray] | None" = None
 
     def __len__(self) -> int:
         return len(self._svids)
@@ -271,6 +391,26 @@ class RankIndex:
 
     def rank_of(self, vid: int) -> int:
         return int(self._rank_of[vid])
+
+    def inverse_arrays(self, dtype=np.int32):
+        """(sorted live ranks, matching vids) — the rank → vid inverse for
+        the rank1 layout (binary-searchable; ranks are strictly increasing
+        along the key-sorted vid order by construction)."""
+        return (
+            self._rank_of[self._svids].astype(dtype),
+            self._svids.astype(dtype),
+        )
+
+    def decode_ranks(self, ranks: np.ndarray) -> np.ndarray:
+        """Host-side rank → vid decode (current epoch). Rank 0 (absent)
+        decodes to -1; callers mask on it."""
+        ranks = np.asarray(ranks, dtype=np.int64)
+        sranks = self._rank_of[self._svids]
+        idx = np.searchsorted(sranks, ranks)
+        idx = np.clip(idx, 0, max(len(self._svids) - 1, 0))
+        if len(self._svids) == 0:
+            return np.full(ranks.shape, -1, dtype=np.int64)
+        return np.where(ranks > 0, self._svids[idx], -1)
 
     def _respread(self) -> None:
         n = len(self._svids)
@@ -324,6 +464,12 @@ class RankIndex:
             self.needs_rekey = False
             return
 
+        # pre-insert inverse snapshot: if this batch exhausts a gap and the
+        # space respreads, a rank1 device table still holds THESE ranks —
+        # rekey_rank1 decodes through them (the gather is already a copy)
+        old_svids = self._svids
+        old_ranks = self._rank_of[old_svids]
+
         # insert position for each new key in the stored sorted order
         # (side='right' throughout: equal keys land after the existing run,
         # preserving vid order — see the docstring)
@@ -369,3 +515,6 @@ class RankIndex:
         all_ranks = self._rank_of[self._svids]
         if np.any(all_ranks[1:] <= all_ranks[:-1]) or all_ranks[0] < 1:
             self._respread()
+            self.prev_inverse = (
+                old_ranks.astype(np.int32), old_svids.astype(np.int32)
+            )

@@ -29,14 +29,14 @@ def test_every_cell_resolves_to_documented_row():
     """Exhaustive truth table over the cell space. The expectations ARE the
     dispatch contract — update them deliberately when adding a kernel."""
     for layout, rc, frontier, spmd, data_mesh, pallas in itertools.product(
-        ("packed", "rank", "dense"), *([(False, True)] * 5)
+        ("packed", "rank", "rank1", "dense"), *([(False, True)] * 5)
     ):
         cell = ConvergenceCell(
             layout=layout, ring_chain=rc, frontier=frontier, spmd=spmd,
             data_mesh=data_mesh, pallas=pallas,
         )
         name, _ = _pick(cell)
-        if layout in ("packed", "rank"):
+        if layout in ("packed", "rank", "rank1"):
             if pallas and rc and frontier and spmd:
                 assert name == "packed-frontier-spmd", cell
             elif pallas and rc and frontier and not spmd and not data_mesh:
@@ -60,6 +60,8 @@ def test_first_match_is_unambiguous_for_packed_cells():
         ConvergenceCell("packed", False, False, False, False, False),
         ConvergenceCell("rank", True, True, True, True, True),
         ConvergenceCell("rank", False, False, False, False, False),
+        ConvergenceCell("rank1", True, True, True, True, True),
+        ConvergenceCell("rank1", False, False, False, False, False),
     ):
         name, _ = _pick(cell)
         assert name.startswith("packed-")
@@ -72,6 +74,8 @@ def test_first_match_is_unambiguous_for_packed_cells():
         ("packed", "mesh", "packed-loop"),
         ("rank", "ring", "packed-frontier-local"),
         ("rank", "mesh", "packed-loop"),
+        ("rank1", "ring", "packed-frontier-local"),
+        ("rank1", "mesh", "packed-loop"),
         ("dense", "chain", "dense-frontier"),
         ("dense", "star", "dense-loop"),
     ],
@@ -94,7 +98,8 @@ def test_live_sims_pick_expected_rows(layout, topology, want):
 
 @pytest.mark.parametrize(
     "layout,want",
-    [("packed", "packed-frontier-spmd"), ("dense", "dense-frontier-spmd")],
+    [("packed", "packed-frontier-spmd"), ("rank1", "packed-frontier-spmd"),
+     ("dense", "dense-frontier-spmd")],
 )
 def test_live_sim_mesh_spmd_row(layout, want):
     import jax

@@ -1,6 +1,7 @@
-"""Sim-level rank layout: PeerNetworkSim(layout="rank") must be an exact
-behavioral twin of layout="packed" — converged cv tables bit-identical,
-reads/queries/reconcile/checkpoints agreeing — while storing 8 B/entry.
+"""Sim-level rank layouts: PeerNetworkSim(layout="rank"/"rank1") must be
+exact behavioral twins of layout="packed" — converged cv tables
+bit-identical, reads/queries/reconcile/checkpoints agreeing — while
+storing 8 B/entry (rank) or 4 B/entry (rank1).
 """
 
 import numpy as np
@@ -16,6 +17,8 @@ from bullet_tpu.ops import rank as rk
 
 VALS = ["alice", "bob", 3.5, -7, 0, True, False, None, "zed", 1e300, -0.5]
 
+LAYOUTS = ["rank", "rank1"]
+
 
 def _seed(sim, rng, n_writes=150, peers=None):
     peers = peers if peers is not None else sim.num_peers
@@ -25,26 +28,40 @@ def _seed(sim, rng, n_writes=150, peers=None):
         sim.put(peer, path, VALS[int(rng.integers(0, len(VALS)))])
 
 
-def _pair(topology="ring", n=8, seed=0, **kw):
+def _pair(topology="ring", n=8, seed=0, layout="rank", **kw):
     sp = PeerNetworkSim(n, capacity=128, topology=topology,
                         layout="packed", **kw)
     sr = PeerNetworkSim(n, capacity=128, topology=topology,
-                        layout="rank", **kw)
+                        layout=layout, **kw)
     rng1, rng2 = np.random.default_rng(seed), np.random.default_rng(seed)
     _seed(sp, rng1)
     _seed(sr, rng2)
     return sp, sr
 
 
+def _cv_of(sim):
+    """The [P, N] cv array in every layout: rank1 rebuilds it through the
+    RankIndex inverse (rank is a bijection over entries)."""
+    t = sim.table
+    if hasattr(t, "cv"):
+        return np.asarray(t.cv)
+    rank = np.asarray(t.rank)
+    vid = sim.rank_index.decode_ranks(rank)
+    cls_map, _, _ = sim.host.key_tables()
+    safe = np.maximum(vid, 0)
+    return np.where(
+        vid >= 0, (cls_map[safe].astype(np.int64) << pk.CV_SHIFT) | safe, 0
+    ).astype(np.int32)
+
+
 def _assert_cv_equal(sp, sr):
-    np.testing.assert_array_equal(
-        np.asarray(sp.table.cv), np.asarray(sr.table.cv)
-    )
+    np.testing.assert_array_equal(_cv_of(sp), _cv_of(sr))
 
 
+@pytest.mark.parametrize("layout", LAYOUTS)
 @pytest.mark.parametrize("topology", ["ring", "chain", "mesh", "star"])
-def test_converged_state_matches_packed(topology):
-    sp, sr = _pair(topology, seed=1)
+def test_converged_state_matches_packed(topology, layout):
+    sp, sr = _pair(topology, seed=1, layout=layout)
     rp = sp.run_until_converged()
     rr = sr.run_until_converged()
     assert rp == rr
@@ -52,8 +69,9 @@ def test_converged_state_matches_packed(topology):
     assert sp.tables_equal() and sr.tables_equal()
 
 
-def test_step_rounds_match_packed():
-    sp, sr = _pair("ring", seed=2)
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_step_rounds_match_packed(layout):
+    sp, sr = _pair("ring", seed=2, layout=layout)
     for _ in range(4):
         a = sp.step(rounds=1)
         b = sr.step(rounds=1)
@@ -61,8 +79,9 @@ def test_step_rounds_match_packed():
         _assert_cv_equal(sp, sr)
 
 
-def test_reads_and_get_bulk_match_packed():
-    sp, sr = _pair("ring", seed=3)
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_reads_and_get_bulk_match_packed(layout):
+    sp, sr = _pair("ring", seed=3, layout=layout)
     sp.run_until_converged()
     sr.run_until_converged()
     paths = [f"users/u{u}/f{f}" for u in range(15) for f in range(3)]
@@ -70,7 +89,8 @@ def test_reads_and_get_bulk_match_packed():
     assert sp.get(1) == sr.get(1)
 
 
-def test_reconcile_matches_packed_any_topology():
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_reconcile_matches_packed_any_topology(layout):
     from bullet_tpu.parallel import topology as topo
 
     rng = np.random.default_rng(4)
@@ -80,7 +100,7 @@ def test_reconcile_matches_packed_any_topology():
     np.fill_diagonal(adj, False)
     t = topo.from_adjacency(adj, name="fuzz-directed")
     sp = PeerNetworkSim(n, capacity=128, topology=t, layout="packed")
-    sr = PeerNetworkSim(n, capacity=128, topology=t, layout="rank")
+    sr = PeerNetworkSim(n, capacity=128, topology=t, layout=layout)
     _seed(sp, np.random.default_rng(5), 60)
     _seed(sr, np.random.default_rng(5), 60)
     sp.reconcile()
@@ -88,12 +108,13 @@ def test_reconcile_matches_packed_any_topology():
     _assert_cv_equal(sp, sr)
 
 
-def test_rank_respread_mid_stream(monkeypatch):
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_rank_respread_mid_stream(monkeypatch, layout):
     """Tiny RANK_SPAN forces respreads during normal operation; the device
     re-key must keep the sim bit-identical to packed throughout."""
     monkeypatch.setattr(rk, "RANK_SPAN", 1023)
     sp = PeerNetworkSim(4, capacity=128, topology="ring", layout="packed")
-    sr = PeerNetworkSim(4, capacity=128, topology="ring", layout="rank")
+    sr = PeerNetworkSim(4, capacity=128, topology="ring", layout=layout)
     rng1, rng2 = np.random.default_rng(6), np.random.default_rng(6)
     for round_ in range(6):
         for sim, rng in ((sp, rng1), (sr, rng2)):
@@ -109,12 +130,13 @@ def test_rank_respread_mid_stream(monkeypatch):
     assert sr.rank_index.epoch > 1  # at least one respread actually fired
 
 
-def test_string_rebalance_needs_no_device_rekey():
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_string_rebalance_needs_no_device_rekey(layout):
     """Interning strings out of lexicographic order forces string-rank
     respreads (host.needs_rekey); the rank table must stay correct with no
     khi/klo on device."""
     sp = PeerNetworkSim(4, capacity=256, topology="ring", layout="packed")
-    sr = PeerNetworkSim(4, capacity=256, topology="ring", layout="rank")
+    sr = PeerNetworkSim(4, capacity=256, topology="ring", layout=layout)
     import random
 
     names = [f"s{i:04d}" for i in range(300)]
@@ -132,9 +154,10 @@ def test_string_rebalance_needs_no_device_rekey():
     assert sp.get(2) == sr.get(2)
 
 
-def test_put_bulk_matches_packed():
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_put_bulk_matches_packed(layout):
     sp = PeerNetworkSim(8, capacity=1024, topology="ring", layout="packed")
-    sr = PeerNetworkSim(8, capacity=1024, topology="ring", layout="rank")
+    sr = PeerNetworkSim(8, capacity=1024, topology="ring", layout=layout)
     rng = np.random.default_rng(8)
     k = 5000
     peers = rng.integers(0, 8, k).astype(np.int32)
@@ -147,8 +170,9 @@ def test_put_bulk_matches_packed():
     _assert_cv_equal(sp, sr)
 
 
-def test_queries_match_packed():
-    sp, sr = _pair("ring", seed=9)
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_queries_match_packed(layout):
+    sp, sr = _pair("ring", seed=9, layout=layout)
     sp.run_until_converged()
     sr.run_until_converged()
     a, b = sp, sr
@@ -164,39 +188,41 @@ def test_queries_match_packed():
     assert sorted(fa) == sorted(fb)
 
 
-def test_checkpoint_roundtrip_rank(tmp_path):
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_checkpoint_roundtrip_rank(tmp_path, layout):
     from bullet_tpu.models.checkpoint import load_checkpoint, save_checkpoint
 
-    sr = PeerNetworkSim(4, capacity=128, topology="ring", layout="rank")
+    sr = PeerNetworkSim(4, capacity=128, topology="ring", layout=layout)
     _seed(sr, np.random.default_rng(10), 80)
     sr.run_until_converged()
     save_checkpoint(sr, str(tmp_path / "ck"))
     loaded = load_checkpoint(str(tmp_path / "ck"))
-    assert loaded.layout == "rank"
-    np.testing.assert_array_equal(
-        np.asarray(sr.table.cv), np.asarray(loaded.table.cv)
-    )
-    # restored ranks coherent with the rebuilt index
-    cv = np.asarray(loaded.table.cv)
-    present = (cv >> 28) > 0
-    rmap = loaded.rank_index.rank_map()
-    np.testing.assert_array_equal(
-        np.asarray(loaded.table.rank)[present], rmap[cv & ((1 << 28) - 1)][present]
-    )
+    assert loaded.layout == layout
+    np.testing.assert_array_equal(_cv_of(sr), _cv_of(loaded))
+    if layout == "rank":
+        # restored ranks coherent with the rebuilt index
+        cv = np.asarray(loaded.table.cv)
+        present = (cv >> 28) > 0
+        rmap = loaded.rank_index.rank_map()
+        np.testing.assert_array_equal(
+            np.asarray(loaded.table.rank)[present],
+            rmap[cv & ((1 << 28) - 1)][present],
+        )
     # and the loaded sim keeps working
     loaded.put(0, "post/restore", 42)
     loaded.run_until_converged()
     assert loaded.get(3, "post/restore") == 42
 
 
-def test_spmd_rank_sim_matches_packed():
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_spmd_rank_sim_matches_packed(layout):
     if len(jax.devices()) < 8:
         pytest.skip("needs the virtual 8-device mesh")
     kw = dict(mesh_devices=8, use_shard_map=True, use_pallas=True)
     sp = PeerNetworkSim(64, capacity=256, topology="ring",
                         layout="packed", **kw)
     sr = PeerNetworkSim(64, capacity=256, topology="ring",
-                        layout="rank", **kw)
+                        layout=layout, **kw)
     rng1, rng2 = np.random.default_rng(11), np.random.default_rng(11)
     _seed(sp, rng1, 120, peers=64)
     _seed(sr, rng2, 120, peers=64)
@@ -209,17 +235,22 @@ def test_spmd_rank_sim_matches_packed():
     _assert_cv_equal(sp, sr)
 
 
-def test_rank_table_is_two_arrays():
+def test_rank_table_arity():
     sr = PeerNetworkSim(4, capacity=128, topology="ring", layout="rank")
     assert len(sr.table) == 2
     assert sr.table._fields == ("rank", "cv")
+    s1 = PeerNetworkSim(4, capacity=128, topology="ring", layout="rank1")
+    assert len(s1.table) == 1
+    assert s1.table._fields == ("rank",)
 
 
-def test_snapshot_restore_across_respread(monkeypatch):
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_snapshot_restore_across_respread(monkeypatch, layout):
     """A snapshot taken before a rank respread must restore correctly
-    after it: restore detects the epoch change and re-gathers ranks."""
+    after it: restore detects the epoch change and re-gathers ranks (via
+    the cv column for rank, via the snapshot's own inverse for rank1)."""
     monkeypatch.setattr(rk, "RANK_SPAN", 2047)
-    sr = PeerNetworkSim(4, capacity=256, topology="ring", layout="rank")
+    sr = PeerNetworkSim(4, capacity=256, topology="ring", layout=layout)
     sp = PeerNetworkSim(4, capacity=256, topology="ring", layout="packed")
     rng1, rng2 = np.random.default_rng(13), np.random.default_rng(13)
     _seed(sr, rng1, 60, peers=4)
@@ -250,14 +281,17 @@ def test_snapshot_restore_across_respread(monkeypatch):
 
     sr.restore(snap_r)
     sp.restore(snap_p)
-    # the restored rank table must be coherent with the CURRENT index
-    cv = np.asarray(sr.table.cv)
-    present = (cv >> pk.CV_SHIFT) > 0
-    rmap = sr.rank_index.rank_map()
-    np.testing.assert_array_equal(
-        np.asarray(sr.table.rank)[present],
-        rmap[cv & pk.VID_MASK][present],
-    )
+    # the restored table must decode identically to the packed restore
+    _assert_cv_equal(sp, sr)
+    if layout == "rank":
+        # and the rank column must be coherent with the CURRENT index
+        cv = np.asarray(sr.table.cv)
+        present = (cv >> pk.CV_SHIFT) > 0
+        rmap = sr.rank_index.rank_map()
+        np.testing.assert_array_equal(
+            np.asarray(sr.table.rank)[present],
+            rmap[cv & pk.VID_MASK][present],
+        )
     # and new writes + convergence still bit-match packed
     for sim, rg in ((sr, np.random.default_rng(15)),
                     (sp, np.random.default_rng(15))):
