@@ -271,6 +271,46 @@ def main() -> None:
     )
     check_shards(got_rrec, exp_rrec, RankTable._fields)
 
+    # ---- RANK1 layout (4 B/entry, the rank alone) across the process
+    # boundary: the 1-field table through the same frontier shard_map loop
+    # and reconcile, bit-checked against the unsharded rank1 twin.
+    from bullet_tpu.ops.rank import Rank1Table
+
+    host_rank1 = [np.asarray(local_rank.rank)]
+    global_rank1 = Rank1Table(
+        jax.make_array_from_callback(
+            (pp, nn), psharding, lambda idx: host_rank1[0][idx]
+        )
+    )
+    got_1tbl, got_1rounds, got_1changed = gossip_frontier_shardmap_packed(
+        global_rank1, jnp.ones(t_sh, jnp.bool_), mesh, True, 64,
+        interpret=True,
+    )
+    exp_1tbl, exp_1rounds, exp_1changed = gossip_frontier_packed(
+        Rank1Table(jnp.asarray(host_rank1[0])),
+        jnp.ones(t_loc, jnp.bool_), True, 64, interpret=True, fuse=1,
+    )
+    assert int(got_1rounds) == int(exp_1rounds) == int(exp_rrounds), (
+        int(got_1rounds), int(exp_1rounds), int(exp_rrounds))
+    assert int(got_1changed) == int(exp_1changed) == 0
+    check_shards(got_1tbl, exp_1tbl, Rank1Table._fields)
+    # the rank1 frontier landed on the SAME ranks as the 2-field run
+    # (compare the LOCAL unsharded twins — the global arrays' remote
+    # shards are not addressable from this process)
+    np.testing.assert_array_equal(
+        np.asarray(exp_1tbl.rank), np.asarray(exp_rtbl.rank)
+    )
+
+    got_1rec = reconcile_packed_xla(
+        Rank1Table(
+            jax.make_array_from_callback(
+                (pp, nn), psharding, lambda idx: host_rank1[0][idx]
+            )
+        )
+    )
+    exp_1rec = reconcile_packed_xla(Rank1Table(jnp.asarray(host_rank1[0])))
+    check_shards(got_1rec, exp_1rec, Rank1Table._fields)
+
     print(f"worker {process_id}: OK", flush=True)
 
 
