@@ -1659,6 +1659,29 @@ class PeerNetworkSim:
         _, _, _, vid = self.host.encode_value(value)
         self._sync_device_state()
         struct = self.host.struct()
+        if self.layout == "rank1":
+            # rank-native equals: value identity ≡ ONE rank compare (ranks
+            # are a bijection over vids) — no RowView rebuild, no gathers
+            rank = self._probe_rank(vid)
+            if rank == 0:
+                return []  # value never ranked ⇒ never applied anywhere
+            rank_row = self.table.rank[jnp.int32(peer)]
+            if field is not None:
+                fid = self.host.seg_lookup(field)
+                if fid < 0:
+                    return []
+                mask = scans.equals_field_mask_rank(
+                    rank_row, struct, jnp.int32(base_pid), jnp.int32(fid),
+                    jnp.int32(rank),
+                )
+                return sorted(
+                    self.host.paths.path(self.host.paths.parent(int(s)))
+                    for s in np.nonzero(np.asarray(mask))[0]
+                )
+            mask = scans.equals_leaf_mask_rank(
+                rank_row, struct, jnp.int32(base_pid), jnp.int32(rank)
+            )
+            return sorted(self._mask_paths_row(mask))
         row = self._peer_row(peer)
         if field is not None:
             fid = self.host.seg_lookup(field)
@@ -1676,6 +1699,13 @@ class PeerNetworkSim:
         )
         return sorted(self._mask_paths_row(mask))
 
+    def _probe_rank(self, vid: int) -> int:
+        """The query-probe rank for a vid (rank1): 0 if the vid was never
+        ranked — i.e. the value was never applied on any peer, so an
+        equality scan cannot match (live table ranks are ≥ 1)."""
+        rmap = self.rank_index.rank_map()
+        return int(rmap[vid]) if vid < len(rmap) else 0
+
     def range(self, peer: int, base: str, field, lo=MISSING, hi=MISSING):
         """Vectorized numeric range scan (reference: bullet-query.js:221-261)."""
         if hi is MISSING:
@@ -1689,6 +1719,36 @@ class PeerNetworkSim:
         hi_hi, hi_lo = number_key(float(hi))
         self._sync_device_state()
         struct = self.host.struct()
+        if self.layout == "rank1":
+            # rank-native range: keys in [lo, hi] within the number class
+            # form ONE contiguous rank run (ranks are lexicographic in
+            # (cls, khi, klo, vid)); the host computes the run's bounds
+            from ..utils.encode import CLS_NUMBER
+
+            bounds = self.rank_index.rank_bounds(
+                CLS_NUMBER, lo_hi, lo_lo, hi_hi, hi_lo
+            )
+            if bounds is None:
+                return []
+            lo_rank, hi_rank = bounds
+            rank_row = self.table.rank[jnp.int32(peer)]
+            if field is not None:
+                fid = self.host.seg_lookup(field)
+                if fid < 0:
+                    return []
+                mask = scans.range_field_mask_rank(
+                    rank_row, struct, jnp.int32(base_pid), jnp.int32(fid),
+                    jnp.int32(lo_rank), jnp.int32(hi_rank),
+                )
+                return sorted(
+                    self.host.paths.path(self.host.paths.parent(int(s)))
+                    for s in np.nonzero(np.asarray(mask))[0]
+                )
+            mask = scans.range_leaf_mask_rank(
+                rank_row, struct, jnp.int32(base_pid),
+                jnp.int32(lo_rank), jnp.int32(hi_rank),
+            )
+            return sorted(self._mask_paths_row(mask))
         args = (
             jnp.int32(lo_hi),
             jnp.int32(lo_lo),
@@ -1722,6 +1782,22 @@ class PeerNetworkSim:
         _, _, _, vid = self.host.encode_value(value)
         self._sync_device_state()
         struct = self.host.struct()
+        if self.layout == "rank1":
+            rank = self._probe_rank(vid)
+            if rank == 0:
+                return 0
+            rank_row = self.table.rank[jnp.int32(peer)]
+            if field is not None:
+                fid = self.host.seg_lookup(field)
+                if fid < 0:
+                    return 0
+                return int(scans.equals_field_count_rank(
+                    rank_row, struct, jnp.int32(base_pid), jnp.int32(fid),
+                    jnp.int32(rank)
+                ))
+            return int(scans.equals_leaf_count_rank(
+                rank_row, struct, jnp.int32(base_pid), jnp.int32(rank)
+            ))
         row = self._peer_row(peer)
         if field is not None:
             fid = self.host.seg_lookup(field)

@@ -166,3 +166,53 @@ def subtree_leaf_mask(table: TableState, member: jax.Array) -> jax.Array:
     """[P, N] mask of present leaves restricted to a precomputed membership
     mask [N] (host-computed descendants of a path)."""
     return member[None, :] & (table.cls > 0)
+
+
+# ------------------------------------------------------- rank-native rows
+# The rank1 layout's queries skip the RowView rebuild entirely: ranks are
+# strictly monotone in (cls, khi, klo, vid), so value equality is ONE rank
+# compare and a numeric range is ONE rank interval (bounds computed on the
+# host by RankIndex.rank_bounds). No LUT gathers, no device binary search.
+
+
+@jax.jit
+def equals_field_mask_rank(rank_row, struct: PathStruct, base, field, rank):
+    structural = (struct.parent2 == base) & (struct.seg == field)
+    return structural & (rank_row == rank)
+
+
+@jax.jit
+def equals_leaf_mask_rank(rank_row, struct: PathStruct, base, rank):
+    return (struct.parent == base) & (rank_row == rank)
+
+
+@jax.jit
+def range_field_mask_rank(rank_row, struct: PathStruct, base, field,
+                          lo_rank, hi_rank):
+    structural = (struct.parent2 == base) & (struct.seg == field)
+    return structural & (rank_row >= lo_rank) & (rank_row <= hi_rank)
+
+
+@jax.jit
+def range_leaf_mask_rank(rank_row, struct: PathStruct, base,
+                         lo_rank, hi_rank):
+    return (
+        (struct.parent == base) & (rank_row >= lo_rank)
+        & (rank_row <= hi_rank)
+    )
+
+
+@jax.jit
+def equals_field_count_rank(rank_row, struct: PathStruct, base, field, rank):
+    return jnp.sum(
+        equals_field_mask_rank(rank_row, struct, base, field, rank).astype(
+            jnp.int32
+        )
+    )
+
+
+@jax.jit
+def equals_leaf_count_rank(rank_row, struct: PathStruct, base, rank):
+    return jnp.sum(
+        equals_leaf_mask_rank(rank_row, struct, base, rank).astype(jnp.int32)
+    )

@@ -188,6 +188,38 @@ def test_queries_match_packed(layout):
     assert sorted(fa) == sorted(fb)
 
 
+def test_rank1_rank_native_queries_edge_cases():
+    """The rank1 equals/range/count path compares RANKS, not keys — pin
+    the edge cases: unseen values, boolean-vs-0 identity (same order key,
+    different vids), uninterned range bounds, empty intervals."""
+    sp = PeerNetworkSim(4, capacity=256, topology="ring", layout="packed")
+    s1 = PeerNetworkSim(4, capacity=256, topology="ring", layout="rank1")
+    rng = np.random.default_rng(21)
+    vals = [0, False, True, 1, -0.5, 2.25, 7, 1e300, "x", None, 3.5]
+    for i in range(120):
+        peer = int(rng.integers(0, 4))
+        path = f"q/i{int(rng.integers(0, 20))}/v"
+        v = vals[int(rng.integers(0, len(vals)))]
+        sp.put(peer, path, v)
+        s1.put(peer, path, v)
+    sp.run_until_converged()
+    s1.run_until_converged()
+    for probe in vals + [99, "unseen", 2.250001]:
+        assert sp.equals(0, "q", "v", probe) == s1.equals(0, "q", "v", probe), probe
+        assert sp.count(0, "q", "v", probe) == s1.count(0, "q", "v", probe), probe
+    for lo, hi in [(0, 1), (-1, 0), (0.5, 3), (-1e309, 1e309), (5, 4),
+                   (2.25, 2.25), (1e299, 1e301)]:
+        assert sp.range(0, "q", "v", lo, hi) == s1.range(0, "q", "v", lo, hi), (lo, hi)
+    # leaf (no-field) forms
+    sp.put(0, "r/leaf", 5)
+    s1.put(0, "r/leaf", 5)
+    sp.run_until_converged()
+    s1.run_until_converged()
+    assert sp.equals(1, "r", 5) == s1.equals(1, "r", 5)
+    assert sp.range(1, "r", 4, 6) == s1.range(1, "r", 4, 6)
+    assert sp.count(1, "r", 5) == s1.count(1, "r", 5)
+
+
 @pytest.mark.parametrize("layout", LAYOUTS)
 def test_checkpoint_roundtrip_rank(tmp_path, layout):
     from bullet_tpu.models.checkpoint import load_checkpoint, save_checkpoint
