@@ -188,6 +188,81 @@ def test_queries_match_packed(layout):
     assert sorted(fa) == sorted(fb)
 
 
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_ingress_validation_and_hooks_match_packed(layout):
+    """Schema vetoes and traced put transforms run BEFORE rank stamping —
+    vetoed ops (cls=0) must never land on the rank layouts, and mutated
+    values must intern + rank exactly like packed's."""
+    def build(lay):
+        s = PeerNetworkSim(4, capacity=256, topology="ring", layout=lay)
+        s.define_schema("aged", {"properties": {"age": {"type": "number"}}})
+        s.apply_schema("users", "aged")
+        return s
+
+    sp, sr = build("packed"), build(layout)
+    for s in (sp, sr):
+        assert s.put(0, "users/u1/age", 30)
+        assert not s.put(1, "users/u2/age", "nope")  # typed veto
+        s.put_bulk(
+            np.array([0, 1], dtype=np.int32),
+            ["users/u3/age", "users/u4/age"],
+            np.array([40.0, 55.5]),
+        )
+        s.run_until_converged()
+    assert sp.stats["ops_rejected"] == sr.stats["ops_rejected"]
+    _assert_cv_equal(sp, sr)
+    assert sr.get(3, "users/u2/age") is None
+    assert sr.get(3, "users/u4/age") == 55.5
+
+    # traced put transform (the jit pipeline between drain and apply):
+    # clamp numbers to 100 — vetoes/mutations happen before rank stamping
+    import jax.numpy as jnp
+
+    from bullet_tpu.utils.encode import CLS_NUMBER, number_key
+
+    sp2, sr2 = build("packed"), build(layout)
+    cap_hi, cap_lo = number_key(100.0)
+    for s in (sp2, sr2):
+        cap_vid = s.host.encode_value(100.0)[3]
+
+        def clamp(ops, struct, cv=cap_vid):
+            too_big = (ops.cls == CLS_NUMBER) & (
+                (ops.khi > cap_hi)
+                | ((ops.khi == cap_hi) & (ops.klo > cap_lo))
+            )
+            return ops._replace(
+                khi=jnp.where(too_big, cap_hi, ops.khi),
+                klo=jnp.where(too_big, cap_lo, ops.klo),
+                vid=jnp.where(too_big, cv, ops.vid),
+            )
+
+        s.use_traced_put(clamp)
+        s.put(0, "m/a", 50)
+        s.put(0, "m/b", 12345)
+        s.run_until_converged()
+    _assert_cv_equal(sp2, sr2)
+    assert sr2.get(1, "m/a") == 50
+    assert sr2.get(1, "m/b") == 100
+
+
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_serializer_and_remove_match_packed(layout):
+    sp = PeerNetworkSim(2, capacity=128, topology="ring", layout="packed")
+    sr = PeerNetworkSim(2, capacity=128, topology="ring", layout=layout)
+    for s in (sp, sr):
+        s.put(0, "cfg/name", "alpha")
+        s.put(0, "cfg/n", 7)
+        s.put(1, "cfg/flag", True)
+        s.run_until_converged()
+    assert sp.export_to_json(0) == sr.export_to_json(0)
+    assert sp.export_to_xml(0, "cfg") == sr.export_to_xml(0, "cfg")
+    for s in (sp, sr):
+        assert s.remove(0, "cfg/name")
+        s.run_until_converged()
+    _assert_cv_equal(sp, sr)
+    assert sp.get(1, "cfg") == sr.get(1, "cfg")
+
+
 def test_rank1_rank_native_queries_edge_cases():
     """The rank1 equals/range/count path compares RANKS, not keys — pin
     the edge cases: unseen values, boolean-vs-0 identity (same order key,
