@@ -38,20 +38,31 @@ def seeded(layout: str, seed: int = 7) -> PeerNetworkSim:
 def main() -> None:
     packed = seeded("packed")
     ranked = seeded("rank")
+    rank1 = seeded("rank1")
 
     rp = packed.run_until_converged()
     rr = ranked.run_until_converged()
-    assert rp == rr, (rp, rr)
+    r1 = rank1.run_until_converged()
+    assert rp == rr == r1, (rp, rr, r1)
     assert np.array_equal(
         np.asarray(packed.table.cv), np.asarray(ranked.table.cv)
     ), "rank and packed disagree"
+    # rank1 stores ONLY the rank — its ranks must match the 2-array rank
+    # sim's, and its reads decode to the same values
+    assert np.array_equal(
+        np.asarray(rank1.table.rank), np.asarray(ranked.table.rank)
+    ), "rank1 and rank disagree"
+    assert rank1.get(5) == packed.get(5)
     assert packed.tables_equal() and ranked.tables_equal()
+    assert rank1.tables_equal()
 
     bytes_packed = sum(np.asarray(f).nbytes for f in packed.table)
     bytes_rank = sum(np.asarray(f).nbytes for f in ranked.table)
+    bytes_rank1 = sum(np.asarray(f).nbytes for f in rank1.table)
     print(f"converged in {rr} rounds; tables bit-identical")
     print(f"device bytes: packed {bytes_packed:,} vs rank {bytes_rank:,} "
-          f"({bytes_packed / bytes_rank:.2f}x smaller)")
+          f"vs rank1 {bytes_rank1:,} "
+          f"({bytes_packed / bytes_rank1:.2f}x smaller than packed)")
 
     # --- forced rank respread: shrink the gap space so inserts exhaust it
     rank_ops_span = rank_ops.RANK_SPAN
