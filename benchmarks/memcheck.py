@@ -124,6 +124,35 @@ def main() -> None:
             static_argnames=("wrap", "interpret"),
         ).lower(rtable, True, False),
     )
+
+    # rank1 layout (4 B/entry, ~4.3 GB at this shape): the 1-field table
+    # through the same programs
+    from bullet_tpu.ops.rank import Rank1Table
+
+    r1table = Rank1Table(tbl)
+    audit(
+        "rank1 frontier fused (fuse=8)",
+        jax.jit(
+            gossip_frontier_packed,
+            static_argnames=("wrap", "max_rounds", "interpret", "fuse"),
+            donate_argnums=(0,),
+        ).lower(r1table, dirty, True, P + 2, False, 8),
+    )
+    audit(
+        "rank1 reconcile",
+        jax.jit(
+            _reconcile_packed_jit,
+            static_argnames=("interpret",),
+            donate_argnums=(0,),
+        ).lower(r1table, False),
+    )
+    audit(
+        "rank1 converged() probe",
+        jax.jit(
+            count_changes_round_packed,
+            static_argnames=("wrap", "interpret"),
+        ).lower(r1table, True, False),
+    )
     print("memcheck OK: every north-star program stays within one table")
 
 
