@@ -328,6 +328,8 @@ def test_reconcile_matches_converged_state():
     for kw, topo_name in (
         (dict(layout="packed"), "ring"),
         (dict(layout="packed"), "star"),
+        (dict(layout="rank"), "star"),
+        (dict(layout="rank1"), "ring"),
         (dict(layout="dense", mode="reference"), "chain"),
         (dict(layout="dense", mode="lww"), "mesh"),
         (dict(layout="dense", mode="reference", lean_gossip=True), "ring"),
@@ -425,7 +427,7 @@ def test_get_bulk_matches_get():
     """get_bulk: one gather for K (peer, path) pairs — values must match
     per-pair get() across layouts, including absent/unknown/null paths,
     interior nodes (None), int-slot form, and single-int peer broadcast."""
-    for layout in ("dense", "packed"):
+    for layout in ("dense", "packed", "rank", "rank1"):
         sim = PeerNetworkSim(4, capacity=256, topology="ring", layout=layout)
         sim.put(0, "a/x", 1)
         sim.put(1, "a/y", 2.5)
