@@ -246,6 +246,68 @@ def test_ingress_validation_and_hooks_match_packed(layout):
 
 
 @pytest.mark.parametrize("layout", LAYOUTS)
+def test_interleaved_soak_matches_packed(monkeypatch, layout):
+    """Randomized interleaving of puts (floats/strings/dicts/nulls), bare
+    steps, convergences, reconciles, snapshots, and restores — with a tiny
+    RANK_SPAN so respreads fire mid-soak and capacity growth triggers.
+    Every checkpoint compares the decoded cv tables against packed."""
+    monkeypatch.setattr(rk, "RANK_SPAN", 8191)
+    rng = np.random.default_rng(42)
+    sp = PeerNetworkSim(5, capacity=64, topology="mesh", layout="packed")
+    sr = PeerNetworkSim(5, capacity=64, topology="mesh", layout=layout)
+    strings = [f"s{i:03d}" for i in range(200)]
+    rng.shuffle(strings)
+    si = 0
+    snapshots = []
+    for step in range(60):
+        action = rng.random()
+        if action < 0.55:
+            for _ in range(int(rng.integers(1, 20))):
+                peer = int(rng.integers(0, 5))
+                path = f"d{int(rng.integers(0, 4))}/k{int(rng.integers(0, 50))}"
+                r = rng.random()
+                if r < 0.4:
+                    v = float(rng.random())
+                elif r < 0.6 and si < len(strings):
+                    v = strings[si]
+                    si += 1
+                elif r < 0.7:
+                    v = {"a": int(rng.integers(5)), "b": bool(rng.integers(2))}
+                elif r < 0.8:
+                    v = None
+                else:
+                    v = int(rng.integers(-5, 5))
+                sp.put(peer, path, v)
+                sr.put(peer, path, v)
+        elif action < 0.7:
+            n = int(rng.integers(0, 3))
+            sp.step(rounds=n)
+            sr.step(rounds=n)
+        elif action < 0.82:
+            sp.run_until_converged()
+            sr.run_until_converged()
+            _assert_cv_equal(sp, sr)
+        elif action < 0.9:
+            sp.reconcile()
+            sr.reconcile()
+            _assert_cv_equal(sp, sr)
+        elif action < 0.95 and snapshots:
+            a, b = snapshots[int(rng.integers(0, len(snapshots)))]
+            sp.restore(a)
+            sr.restore(b)
+            _assert_cv_equal(sp, sr)
+        else:
+            snapshots.append((sp.snapshot(), sr.snapshot()))
+            if len(snapshots) > 3:
+                snapshots.pop(0)
+    sp.run_until_converged()
+    sr.run_until_converged()
+    _assert_cv_equal(sp, sr)
+    assert sp.get(0) == sr.get(0)
+    assert sr.rank_index.epoch >= 1
+
+
+@pytest.mark.parametrize("layout", LAYOUTS)
 def test_serializer_and_remove_match_packed(layout):
     sp = PeerNetworkSim(2, capacity=128, topology="ring", layout="packed")
     sr = PeerNetworkSim(2, capacity=128, topology="ring", layout=layout)
