@@ -176,6 +176,9 @@ def test_mixed_type_fuzz_dense_vs_packed_vs_oracle(seed, topology):
     dense_sim, dense = run("dense")
     _, packed = run("packed")
     assert dense == packed
+    _, ranked = run("rank")
+    _, ranked1 = run("rank1")
+    assert ranked == packed and ranked1 == packed
 
     # oracle: fold under the engine's encode order (cls, khi, klo, vid)
     host = dense_sim.host
@@ -244,6 +247,8 @@ def test_mixed_ingestion_fuzz_converge_vs_reconcile(seed):
         ("packed", lambda s: s.reconcile()),
         ("dense", lambda s: s.run_until_converged()),
         ("dense", lambda s: s.reconcile()),
+        ("rank", lambda s: s.run_until_converged()),
+        ("rank1", lambda s: s.reconcile()),
     ):
         got = final_state(layout, finish)
         assert got == ref, (layout, seed)
