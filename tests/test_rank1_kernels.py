@@ -77,6 +77,63 @@ def test_halo_round_parity():
     assert int(c1) == int(c2)
 
 
+def test_halo_multiround_fused_parity():
+    """HALO_FUSE trapezoidal time-tiling on a halo shape, arity 1 vs 2."""
+    p, n = 64, 256
+    t1, t2, *_ = _tables(p, n, seed=12)
+    from bullet_tpu.ops.packed import _halo_tiles_packed
+
+    tile_p, tile_n = _halo_tiles_packed(p, n)
+    assert tile_n > 0
+    t_total = n // tile_n
+    ids = jnp.concatenate(
+        [
+            pk.frontier_ids_compact(jnp.ones(t_total, bool), t_total),
+            jnp.zeros((2,), jnp.int32),
+        ]
+    )
+    f1, i1 = pk.frontier_halo_multiround_packed_traced(t1, ids, True, True)
+    f2, i2 = pk.frontier_halo_multiround_packed_traced(t2, ids, True, True)
+    _assert_rank_equal(f1, f2)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_fused_spmd_frontier_parity():
+    """The fused multi-chip frontier (8 rounds per collective) on the
+    virtual mesh: rank1 must match rank in state AND round count."""
+    import jax as _jax
+    import pytest as _pytest
+
+    if len(_jax.devices()) < 8:
+        _pytest.skip("needs the virtual 8-device mesh")
+    from bullet_tpu.ops.packed import HALO_FUSE
+    from bullet_tpu.parallel.mesh import make_mesh, shard_table
+    from bullet_tpu.parallel.shardmap_gossip import (
+        gossip_frontier_shardmap_packed,
+    )
+
+    t1, t2, *_ = _tables(64, 256, seed=13)
+    mesh = make_mesh(8)
+    t_total = 256 // 128
+    dirty = jnp.ones(t_total * 1, dtype=jnp.bool_)
+    # per-device tile count: ask the real helper
+    from bullet_tpu.ops.packed import frontier_tile_n_sharded
+
+    tile = frontier_tile_n_sharded(64, 256, 8)
+    assert tile > 0
+    dirty = jnp.ones(256 // tile, dtype=jnp.bool_)
+    s1 = shard_table(t1, mesh)
+    s2 = shard_table(t2, mesh)
+    o1, r1, c1 = gossip_frontier_shardmap_packed(
+        s1, dirty, mesh, True, 64, interpret=True, fuse=HALO_FUSE
+    )
+    o2, r2, c2 = gossip_frontier_shardmap_packed(
+        s2, dirty, mesh, True, 64, interpret=True, fuse=HALO_FUSE
+    )
+    assert int(r1) == int(r2) and int(c1) == int(c2)
+    _assert_rank_equal(o1, o2)
+
+
 def test_reconcile_parity():
     t1, t2, *_ = _tables(16, 512, seed=4)
     r1 = pk.reconcile_packed_xla(t1)
