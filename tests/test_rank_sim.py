@@ -404,6 +404,23 @@ def test_spmd_rank_sim_matches_packed(layout):
     _assert_cv_equal(sp, sr)
 
 
+@pytest.mark.parametrize("layout", LAYOUTS)
+def test_data_mesh_without_shardmap(layout):
+    """mesh_devices WITHOUT use_shard_map: the whole-table packed-loop
+    row on a device-put sharded table (XLA-inferred collectives)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    sim = PeerNetworkSim(16, capacity=128, topology="ring", layout=layout,
+                         mesh_devices=8)
+    assert sim._convergence_strategy()[0] == "packed-loop"
+    for p in range(16):
+        sim.put(p, f"n/p{p}", p * 2)
+    sim.run_until_converged()
+    assert sim.tables_equal()
+    assert len(sim.table[0].devices()) == 8
+    assert sim.get(0, "n/p15") == 30
+
+
 def test_rank_table_arity():
     sr = PeerNetworkSim(4, capacity=128, topology="ring", layout="rank")
     assert len(sr.table) == 2
