@@ -36,9 +36,8 @@ def time_budget(num_peers, capacity, scale, fuse, layout):
 
     from bullet_tpu.ops import packed as pk
 
-    base = 1 << 17
     old = pk._STRIPE_MAX_ELEMS
-    pk._STRIPE_MAX_ELEMS = int(base * scale)
+    pk._STRIPE_MAX_ELEMS = int(old * scale)
     try:
         if not pk.packed_ring_supported(num_peers, capacity):
             return None

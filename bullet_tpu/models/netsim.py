@@ -336,6 +336,17 @@ def _gather_ranks_pairs(table, peers, slots):
 
 
 @jax.jit
+def _rows_equal_one(field):
+    """All peer rows of ONE field identical (tables_equal fast path)."""
+    return jnp.all(field == field[0:1])
+
+
+@jax.jit
+def _rows_equal_two(vid, cls):
+    return jnp.all(vid == vid[0:1]) & jnp.all(cls == cls[0:1])
+
+
+@jax.jit
 def _peer_row_rank1(table, peer, sranks, svids, cls_map, khi_map, klo_map):
     """rank1 row view: ranks decode to vids through the sorted-inverse
     binary search (ops.rank.decode_vids_rank1), then cls/khi/klo rebuild
@@ -1702,9 +1713,11 @@ class PeerNetworkSim:
     def _probe_rank(self, vid: int) -> int:
         """The query-probe rank for a vid (rank1): 0 if the vid was never
         ranked — i.e. the value was never applied on any peer, so an
-        equality scan cannot match (live table ranks are ≥ 1)."""
-        rmap = self.rank_index.rank_map()
-        return int(rmap[vid]) if vid < len(rmap) else 0
+        equality scan cannot match (live table ranks are ≥ 1). O(1): no
+        rank_map() copy (that LUT is O(#interned values))."""
+        if vid < len(self.rank_index._rank_of):
+            return self.rank_index.rank_of(vid)
+        return 0
 
     def range(self, peer: int, base: str, field, lo=MISSING, hi=MISSING):
         """Vectorized numeric range scan (reference: bullet-query.js:221-261)."""
@@ -2123,25 +2136,17 @@ class PeerNetworkSim:
     def tables_equal(self) -> bool:
         """All peers bit-identical (the convergence acceptance check).
         Computed on-device — only one scalar crosses to the host."""
-
-        @jax.jit
-        def _equal(vid, cls):
-            return jnp.all(vid == vid[0:1]) & jnp.all(cls == cls[0:1])
-
         if self.layout in PACKED_FAMILY:
-            # compare ONE field in ONE fused jit — eager &/>> would each
+            # compare ONE field in ONE fused jit (module-level: the jit
+            # cache must hit across calls) — eager &/>> would each
             # allocate a table-sized temp, which does not fit next to the
             # north-star table. cv equal ⇔ (cls, vid) equal; for rank1 the
             # rank is a bijection over entries so rank equal ⇔ entry equal
-            @jax.jit
-            def _equal_cv(cv):
-                return jnp.all(cv == cv[0:1])
-
             field = (
                 self.table.rank if self.layout == "rank1" else self.table.cv
             )
-            return bool(_equal_cv(field))
-        return bool(_equal(self.table.vid, self.table.cls))
+            return bool(_rows_equal_one(field))
+        return bool(_rows_equal_two(self.table.vid, self.table.cls))
 
     def _peer_row(self, peer: int) -> scans.RowView:
         """One replica row as a query RowView, layout-independent."""

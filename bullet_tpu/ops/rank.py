@@ -160,13 +160,14 @@ def rekey_rank(table: RankTable, rank_map: jax.Array) -> RankTable:
 def decode_vids_rank1(rank: jax.Array, sranks: jax.Array, svids: jax.Array):
     """(present, vid) for rank1 entries: binary-search each rank in the
     sorted live-rank array and read the matching vid. Ranks on device
-    always come from the same RankIndex epoch as (sranks, svids), so the
-    search hits exactly; absent entries (rank 0) decode to garbage and
-    must be masked with ``present``."""
+    always come from the same RankIndex epoch as (sranks, svids) — but
+    ``present`` additionally demands an EXACT hit, so an epoch-coherence
+    regression (a stale rank that no longer exists in the inverse)
+    surfaces as absence rather than decoding to a nearby wrong vid."""
     idx = jnp.clip(
         jnp.searchsorted(sranks, rank), 0, svids.shape[0] - 1
     )
-    return rank > 0, svids[idx]
+    return (rank > 0) & (sranks[idx] == rank), svids[idx]
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -370,6 +371,7 @@ class RankIndex:
         self._sk2 = np.zeros(0, dtype=np.int64)
         self.needs_rekey = False
         self.epoch = 0  # bumped on every respread
+        self._inv_cache = None  # (sranks, svids), invalidated on insert
         # (sorted ranks, vids) as of the moment the LAST respread fired —
         # the inverse the rank1 layout needs to decode a device table that
         # still holds the pre-respread ranks (see rekey_rank1). None until
@@ -392,14 +394,21 @@ class RankIndex:
     def rank_of(self, vid: int) -> int:
         return int(self._rank_of[vid])
 
+    def _inverse(self):
+        """Cached (sorted ranks int64, vids int64) — rebuilt only after an
+        insert/respread (reads on the rank1 layout hit this per call)."""
+        if self._inv_cache is None:
+            self._inv_cache = (
+                self._rank_of[self._svids], self._svids
+            )
+        return self._inv_cache
+
     def inverse_arrays(self, dtype=np.int32):
         """(sorted live ranks, matching vids) — the rank → vid inverse for
         the rank1 layout (binary-searchable; ranks are strictly increasing
         along the key-sorted vid order by construction)."""
-        return (
-            self._rank_of[self._svids].astype(dtype),
-            self._svids.astype(dtype),
-        )
+        sranks, svids = self._inverse()
+        return sranks.astype(dtype), svids.astype(dtype)
 
     def rank_bounds(self, cls, lo_khi, lo_klo, hi_khi, hi_klo):
         """(lo_rank, hi_rank) covering exactly the ranked vids whose
@@ -423,25 +432,28 @@ class RankIndex:
             r = s
         if p >= r:
             return None
-        ranks = self._rank_of[self._svids]
+        ranks, _ = self._inverse()
         return int(ranks[p]), int(ranks[r - 1])
 
     def decode_ranks(self, ranks: np.ndarray) -> np.ndarray:
         """Host-side rank → vid decode (current epoch). Rank 0 (absent)
-        decodes to -1; callers mask on it."""
+        and any rank with no EXACT inverse entry decode to -1 — a stale
+        rank must read as absent, never as a nearby wrong vid."""
         ranks = np.asarray(ranks, dtype=np.int64)
-        sranks = self._rank_of[self._svids]
-        idx = np.searchsorted(sranks, ranks)
-        idx = np.clip(idx, 0, max(len(self._svids) - 1, 0))
         if len(self._svids) == 0:
             return np.full(ranks.shape, -1, dtype=np.int64)
-        return np.where(ranks > 0, self._svids[idx], -1)
+        sranks, svids = self._inverse()
+        idx = np.searchsorted(sranks, ranks)
+        idx = np.clip(idx, 0, len(svids) - 1)
+        hit = (ranks > 0) & (sranks[idx] == ranks)
+        return np.where(hit, svids[idx], -1)
 
     def _respread(self) -> None:
         n = len(self._svids)
         gap = RANK_SPAN // (n + 1)
         ranks = (np.arange(1, n + 1, dtype=np.int64)) * gap
         self._rank_of[self._svids] = ranks
+        self._inv_cache = None
         self.needs_rekey = True
         self.epoch += 1
 
@@ -471,6 +483,7 @@ class RankIndex:
         vids = np.asarray(vids, dtype=np.int64)
         if vids.size == 0:
             return
+        self._inv_cache = None
         k1, k2 = self._fuse(cls, khi, klo)
         need = int(vids.max()) + 1
         if need > len(self._rank_of):
