@@ -78,3 +78,43 @@ def _count_leaves(obj) -> int:
     if not isinstance(obj, dict):
         return 1
     return sum(_count_leaves(v) for v in obj.values()) or 0
+
+
+def attach_live_bridge(bullet, sim, peer: int = 0):
+    """Stream every ACCEPTED write on a live Bullet instance — local puts
+    AND network-applied updates (flood or sync) — into the engine as leaf
+    puts at ``peer``. The hook rides ``_apply_update`` (the single point
+    every resolved write passes through, twin of bullet.js:184-220), so
+    the engine mirror follows the db's post-CRT state: a wire-connected
+    peer (bullet-js interop included) becomes a TPU-resident replica.
+
+    Semantics: dict values decompose into leaf puts like the sync wire
+    format (bullet-network-sync.js:592-646) — the mirror is leaf-merge,
+    not subtree-replace, exactly like remote sync application. Call
+    ``sim.step(rounds=0)`` / ``run_until_converged()`` (or the returned
+    handle's ``flush()``) to apply queued mirror writes on device.
+
+    Returns a handle with ``detach()`` (restore the original hook) and
+    ``flush()`` (apply + converge). Thread-safe: network reader threads
+    and the app thread both hit the forwarder."""
+    import threading
+
+    orig = bullet._apply_update
+    lock = threading.Lock()
+
+    def forward(path, value, vector_clock, from_network):
+        orig(path, value, vector_clock, from_network)
+        with lock:
+            sim.put(peer, path, value)
+
+    bullet._apply_update = forward
+
+    class _Handle:
+        def detach(self) -> None:
+            bullet._apply_update = orig
+
+        def flush(self) -> int:
+            with lock:
+                return sim.run_until_converged()
+
+    return _Handle()

@@ -31,6 +31,51 @@ def wait_for(predicate, timeout=20.0):
     return False
 
 
+@pytest.mark.parametrize("layout", ["packed", "rank1"])
+def test_live_bridge_mirrors_wire_traffic(layout):
+    """attach_live_bridge: a wire-connected db peer becomes a TPU-resident
+    replica — local puts AND network-applied updates stream into the
+    engine as they are accepted, and flush() materializes the mirror."""
+    from bullet_tpu.models.bridge import attach_live_bridge
+
+    sim = PeerNetworkSim(2, capacity=256, topology="ring", layout=layout)
+    p1 = bt.create({"storage": False, "host": "127.0.0.1", "port": 0,
+                    "connect_sync_delay": 600})
+    p2 = bt.create({"storage": False, "host": "127.0.0.1", "port": 0,
+                    "peers": [f"tcp://127.0.0.1:{p1.network.port}"],
+                    "connect_sync_delay": 600})
+    handle = attach_live_bridge(p1, sim, peer=0)
+    try:
+        assert wait_for(lambda: p1.network.peers and p2.network.peers)
+        # local writes on the bridged peer
+        p1.get("m/local").put(11)
+        p1.get("m/obj").put({"a": 1, "b": "x"})
+        # remote writes arriving over the real socket (flood)
+        p2.get("m/remote").put(22)
+        p2.get("m/deep/leaf").put(True)
+        assert wait_for(lambda: p1.store.get("m", {}).get("remote") == 22)
+        assert wait_for(
+            lambda: (p1.store.get("m", {}).get("deep") or {}).get("leaf")
+            is True
+        )
+        handle.flush()
+        assert sim.get(0, "m/local") == 11
+        assert sim.get(0, "m/obj") == {"a": 1, "b": "x"}
+        assert sim.get(0, "m/remote") == 22
+        assert sim.get(0, "m/deep/leaf") is True
+        # both engine replicas converged to the mirror
+        assert sim.tables_equal()
+        # detach stops the stream
+        handle.detach()
+        p2.get("m/after").put(99)
+        assert wait_for(lambda: p1.store.get("m", {}).get("after") == 99)
+        sim.run_until_converged()
+        assert sim.get(0, "m/after") is None
+    finally:
+        p1.close()
+        p2.close()
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_engine_matches_networked_db_pair(seed):
     rng = np.random.default_rng(seed)
