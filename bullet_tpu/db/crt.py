@@ -133,7 +133,14 @@ class BulletCRT:
         merged_clock = merge_vector_clocks(incoming_clock, current_clock)
         self.vector_clocks[key] = merged_clock
 
-        if comparison == 0 and json.dumps(incoming_clock) == json.dumps(current_clock):
+        # identity first: quirk Q2 aliases incoming and current to ONE dict
+        # on local re-puts, making the reference's JSON.stringify equality
+        # (insertion-order sensitive — bullet-crt.js:188) trivially true
+        # without the two dumps (hot: every local put resolves here)
+        if comparison == 0 and (
+            incoming_clock is current_clock
+            or json.dumps(incoming_clock) == json.dumps(current_clock)
+        ):
             value_cmp = self.compare(incoming_value, current_value)
             if value_cmp == 0:
                 return Decision(
