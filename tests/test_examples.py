@@ -22,6 +22,7 @@ EXAMPLES = [
     "engine_pipeline_example.py",
     "ws_interop_example.py",
     "incremental_example.py",
+    "serving_example.py",
 ]
 
 EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
