@@ -221,3 +221,34 @@ def test_wss_tls_dial(tmp_path):
     finally:
         p.close()
         listener.close()
+
+
+def test_ws_peer_feeds_live_engine_bridge():
+    """Composition: a real ws:// link (bullet-js wire) feeding the live
+    engine bridge — flooded writes land in a rank1 device replica."""
+    from bullet_tpu.models.bridge import attach_live_bridge
+    from bullet_tpu.models.netsim import PeerNetworkSim
+
+    sim = PeerNetworkSim(2, capacity=128, topology="ring", layout="rank1")
+    p1 = make_peer(connect_sync_delay=600)
+    p2 = make_peer(peers=[f"ws://127.0.0.1:{p1.network.port}"],
+                   connect_sync_delay=600)
+    handle = attach_live_bridge(p1, sim, peer=0)
+    try:
+        assert wait_for(lambda: p1.network.peers and p2.network.peers, 10)
+        assert next(iter(p2.network.peers.values())).framing == "ws-client"
+        p2.get("w/x").put(7)
+        p2.get("w/obj").put({"s": "over-ws"})
+        assert wait_for(lambda: p1.store.get("w", {}).get("x") == 7)
+        assert wait_for(
+            lambda: (p1.store.get("w", {}).get("obj") or {}).get("s")
+            == "over-ws"
+        )
+        handle.flush()
+        assert sim.get(0, "w/x") == 7
+        assert sim.get(0, "w/obj/s") == "over-ws"
+        assert sim.tables_equal()
+    finally:
+        handle.detach()
+        p1.close()
+        p2.close()
