@@ -94,6 +94,15 @@ def attach_live_bridge(bullet, sim, peer: int = 0):
     ``sim.step(rounds=0)`` / ``run_until_converged()`` (or the returned
     handle's ``flush()``) to apply queued mirror writes on device.
 
+    Contract: the mirror applies the db's RESOLVED values under the
+    engine's reference-mode order (value-max — the Node reference's
+    converged scalar semantics). The one flow where db state and mirror
+    can differ is a clock-DOMINANT update that regresses a path to a
+    smaller value (possible after an anti-entropy clock exchange): the
+    db replaces, the mirror keeps the larger value until something
+    greater lands. Concurrent-clock traffic — the steady state of flood
+    networks — resolves by value on both sides and stays identical.
+
     Returns a handle with ``detach()`` (restore the original hook) and
     ``flush()`` (apply + converge). Thread-safe: network reader threads
     and the app thread both hit the forwarder."""

@@ -76,6 +76,46 @@ def test_live_bridge_mirrors_wire_traffic(layout):
         p2.close()
 
 
+def test_live_bridge_dominant_regression_contract():
+    """Pin the documented live-bridge contract: a clock-DOMINANT network
+    update that regresses a leaf to a smaller value replaces it in the db,
+    while the engine mirror (reference value-max) keeps the larger value
+    until something greater lands. Local re-puts (Q2 aliased clocks =
+    value-max on both sides) stay identical."""
+    from bullet_tpu.models.bridge import attach_live_bridge
+
+    sim = PeerNetworkSim(2, capacity=128, topology="ring", layout="packed")
+    b = bt.create({"storage": False, "disable_network": True})
+    handle = attach_live_bridge(b, sim, peer=0)
+    try:
+        b.get("k").put({"v": 50})
+        handle.flush()
+        assert sim.get(0, "k/v") == 50
+
+        # a network update whose clock DOMINATES the stored one, carrying
+        # a SMALLER value (what a post-sync remote writer can send) —
+        # exactly the wire form network.py feeds to set_data
+        clock = {pid: n + 1 for pid, n in b.crt.get_vector_clock("k").items()}
+        clock["remote-peer"] = 1
+        b.set_data(
+            "k",
+            {"__fromNetwork": True, "__vectorClock": clock, "v": 3},
+            broadcast=False,
+        )
+        assert b.get("k/v").value() == 3          # db regressed (dominance)
+        handle.flush()
+        assert sim.get(0, "k/v") == 50            # mirror kept value-max
+
+        # a greater write re-synchronizes both sides
+        b.get("k").put({"v": 60})
+        assert b.get("k/v").value() == 60
+        handle.flush()
+        assert sim.get(0, "k/v") == 60
+    finally:
+        handle.detach()
+        b.close()
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_engine_matches_networked_db_pair(seed):
     rng = np.random.default_rng(seed)
