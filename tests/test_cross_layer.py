@@ -76,6 +76,42 @@ def test_live_bridge_mirrors_wire_traffic(layout):
         p2.close()
 
 
+def test_live_bridge_multi_writer_convergence_fabric():
+    """Two UNCONNECTED db peers each live-bridged to a different engine
+    row: the engine's gossip becomes the convergence fabric, merging both
+    write streams under reference semantics, and the result dumps back
+    into a fresh db instance."""
+    from bullet_tpu.models.bridge import attach_live_bridge, dump_sim_into_bullet
+
+    sim = PeerNetworkSim(2, capacity=256, topology="ring", layout="rank1")
+    a = bt.create({"storage": False, "disable_network": True})
+    b = bt.create({"storage": False, "disable_network": True})
+    ha = attach_live_bridge(a, sim, peer=0)
+    hb = attach_live_bridge(b, sim, peer=1)
+    try:
+        a.get("doc/title").put("alpha")
+        b.get("doc/title").put("beta")      # conflicting write, other peer
+        a.get("doc/by_a").put(1)
+        b.get("doc/by_b").put(2)
+        ha.flush()
+        assert sim.tables_equal()
+        # reference value-max: "beta" > "alpha"
+        assert sim.get(0, "doc/title") == "beta"
+        assert sim.get(1, "doc/title") == "beta"
+        assert sim.get(0, "doc/by_a") == 1 and sim.get(0, "doc/by_b") == 2
+
+        out = bt.create({"storage": False, "disable_network": True})
+        n = dump_sim_into_bullet(sim, out, peer=0)
+        assert n >= 3
+        assert out.get("doc/title").value() == "beta"
+        out.close()
+    finally:
+        ha.detach()
+        hb.detach()
+        a.close()
+        b.close()
+
+
 def test_live_bridge_dominant_regression_contract():
     """Pin the documented live-bridge contract: a clock-DOMINANT network
     update that regresses a leaf to a smaller value replaces it in the db,
