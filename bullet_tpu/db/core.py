@@ -244,7 +244,20 @@ class Bullet:
                 )
                 if not self.validation.check_write(path, check_data):
                     return False
-            old_data = deep_copy(self._get_data_raw(path))
+            # old_data is only observable through afterPut hooks and
+            # "write"/"all" event listeners — skip the deep copy (hot:
+            # every put pays it, and subtrees can be large) when nothing
+            # can see it
+            mw = self.middleware
+            old_data = (
+                deep_copy(self._get_data_raw(path))
+                if mw is not None and (
+                    mw.middleware["afterPut"]
+                    or mw.event_listeners.get("write")
+                    or mw.event_listeners.get("all")
+                )
+                else None
+            )
             result = self.crt.handle_update(path, data, from_network)
 
             if result["doUpdate"]:

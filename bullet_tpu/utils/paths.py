@@ -12,12 +12,21 @@ from __future__ import annotations
 from typing import Dict, Iterator, List, Optional, Tuple
 
 
-def split_path(path: str) -> List[str]:
+_SPLIT_CACHE: Dict[str, Tuple[str, ...]] = {}
+
+
+def split_path(path: str) -> Tuple[str, ...]:
     """Split a path into non-empty segments (mirrors ``path.split("/").filter(Boolean)``,
-    /root/reference/src/bullet.js:118)."""
-    if not path:
-        return []
-    return [p for p in path.split("/") if p]
+    /root/reference/src/bullet.js:118). Memoized — the write path splits
+    the same paths 6+ times per put; the immutable tuple makes the cache
+    alias-safe. Bounded (clears at 64k entries)."""
+    parts = _SPLIT_CACHE.get(path)
+    if parts is None:
+        if len(_SPLIT_CACHE) >= 1 << 16:
+            _SPLIT_CACHE.clear()
+        parts = tuple(p for p in path.split("/") if p)
+        _SPLIT_CACHE[path] = parts
+    return parts
 
 
 def join_path(parts) -> str:
