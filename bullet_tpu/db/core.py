@@ -320,6 +320,17 @@ class Bullet:
     def _notify(self, path: str, data: Any) -> None:
         """Exact + ancestor listener dispatch (bullet.js:227-266) and the
         debounced save for non-file storage."""
+        if not self.listeners:
+            # no listeners anywhere: skip the ancestor walk (hot — every
+            # put pays ~depth joins otherwise); the debounce below still
+            # runs for storage-backed instances
+            if self.storage is not None and self.options["storage_type"] != "file":
+                if self._save_timer is not None:
+                    self._save_timer.cancel()
+                self._save_timer = threading.Timer(1.0, self.storage.save)
+                self._save_timer.daemon = True
+                self._save_timer.start()
+            return
         for callback in list(self.listeners.get(path, ())):
             try:
                 callback(data)
