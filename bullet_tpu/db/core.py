@@ -216,7 +216,18 @@ class Bullet:
         """Middleware-wrapped read (bullet-middleware.js:27-68): get hooks may
         rewrite the path (errors are caught and reported), afterGet hooks may
         rewrite the data, then a "read" event fires."""
-        if self.middleware is None:
+        mw = self.middleware
+        if mw is None:
+            return self._get_data_raw(path)
+        if (
+            not mw.middleware["get"]
+            and not mw.middleware["afterGet"]
+            and not mw.event_listeners.get("read")
+            and not mw.event_listeners.get("all")
+        ):
+            # nothing can observe the pipeline: skip the hook loops and
+            # the listener-less "read" event (hot — every read and every
+            # CRT handle_update pays this)
             return self._get_data_raw(path)
         return self.middleware.wrapped_get(path, self._get_data_raw)
 
