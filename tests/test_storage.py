@@ -129,3 +129,16 @@ def test_storage_events(tmp_path):
     assert "storage:save:start" in events
     assert "storage:save:complete" in events
     b.close()
+
+
+def test_debounced_save_fires_with_no_listeners(bullet_factory):
+    """The listener-free _notify early-out must still arm the debounced
+    autosave for non-file storage (regression guard for the fast path)."""
+    b = bullet_factory(storage=True, storage_type="memory")
+    assert not b.listeners
+    b.get("d").put({"x": 7})
+    assert b._save_timer is not None
+    # run the pending save synchronously instead of sleeping out the timer
+    b._save_timer.cancel()
+    b.storage.save()
+    assert b.storage.persisted["store"]["d"] == {"x": 7}
