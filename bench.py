@@ -128,16 +128,20 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
 
         from bullet_tpu.ops.packed import ring_multiround_packed_traced
 
-        # STRIPE_FUSE rounds fuse per block-load: the full-P stripe holds
-        # every peer in VMEM, so consecutive rounds amortize the block's
-        # HBM read+write (DMA-bound ~55 B/s -> compute-bound ~94 B/s on
-        # v5e; swept in benchmarks/fuse_sweep.py); states stay
-        # bit-identical to M sequential rounds (tested)
-        from bullet_tpu.ops.packed import STRIPE_FUSE
+        # stripe_fuse(nf) rounds fuse per block-load: the full-P stripe
+        # holds every peer in VMEM, so consecutive rounds amortize the
+        # block's HBM read+write (swept per arity in
+        # benchmarks/fuse_sweep.py: packed 55.8 B/s at M=1 -> 93.7 B at
+        # M=8; rank1's single-compare merge plateaus at ~664 B at M=40);
+        # states stay bit-identical to M sequential rounds (tested)
+        from bullet_tpu.ops.packed import stripe_fuse
 
-        fuse = STRIPE_FUSE
-        while rounds % fuse:
-            fuse -= 1
+        fuse = stripe_fuse({"packed": 3, "rank": 2, "rank1": 1}[impl])
+        # >= 6 fused blocks (multiple of the fuse depth): the ~60 ms of
+        # fixed dispatch+readback overhead through the tunnel must be
+        # amortized or it shaves ~20% off the steady-state rate
+        rounds = max(rounds, 6 * fuse)
+        rounds -= rounds % fuse
 
         def packed_round(_, t):
             # traced (not the jit wrapper): the pallas in->out aliasing makes
@@ -200,14 +204,13 @@ def main() -> None:
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     if on_tpu:
-        # rounds must be a multiple of STRIPE_FUSE=8 so the packed impl
-        # runs the tuned fuse depth (the while loop would silently degrade
-        # an indivisible count)
+        # the compact-layout impls round this up to >= 2 fused blocks of
+        # their tuned per-arity fuse depth (stripe_fuse)
         num_peers, capacity, rounds = 256, 1 << 18, 32
         # ordered best-first; the rest are FALLBACKS only (each impl costs
         # minutes of compile through the tunnel, and the measured order is
-        # stable: rank1 (4 B/entry, one compare + one select) > rank
-        # (8 B/entry, single-compare) 235-238B > packed+fused 93.7B >
+        # stable: rank1 (4 B/entry, one compare + one select) ~660B >
+        # rank (8 B/entry, single-compare) 235-238B > packed+fused 93.7B >
         # lean 17.6B > fused 9.7B > xla 5.1B)
         impls = ["rank1", "rank", "packed", "lean", "fused", "xla"]
     else:  # CPU smoke sizing

@@ -29,6 +29,7 @@ from bullet_tpu.ops.packed import (  # noqa: E402
     PackedTable,
     _reconcile_packed_jit,
     count_changes_round_packed,
+    frontier_fuse,
     gossip_frontier_packed,
     gossip_until_converged_packed,
 )
@@ -57,12 +58,12 @@ def main() -> None:
     nb = jax.ShapeDtypeStruct((P, 2), jnp.int32)
 
     audit(
-        "frontier fused (fuse=5)",
+        f"frontier fused (fuse={frontier_fuse(3)})",
         jax.jit(
             gossip_frontier_packed,
             static_argnames=("wrap", "max_rounds", "interpret", "fuse"),
             donate_argnums=(0,),
-        ).lower(table, dirty, True, P + 2, False, 5),
+        ).lower(table, dirty, True, P + 2, False, frontier_fuse(3)),
     )
     audit(
         "frontier single-round",
@@ -101,13 +102,15 @@ def main() -> None:
     from bullet_tpu.ops.rank import RankTable
 
     rtable = RankTable(tbl, tbl)
+    # rank's fuse is capped at 5 by the frontier body's scoped-vmem stack
+    # (~2 MB per unrolled round on nf=2; 16 MB limit) — frontier_fuse(2)
     audit(
-        "rank frontier fused (fuse=8)",
+        f"rank frontier fused (fuse={frontier_fuse(2)})",
         jax.jit(
             gossip_frontier_packed,
             static_argnames=("wrap", "max_rounds", "interpret", "fuse"),
             donate_argnums=(0,),
-        ).lower(rtable, dirty, True, P + 2, False, 8),
+        ).lower(rtable, dirty, True, P + 2, False, frontier_fuse(2)),
     )
     audit(
         "rank reconcile",
@@ -131,12 +134,12 @@ def main() -> None:
 
     r1table = Rank1Table(tbl)
     audit(
-        "rank1 frontier fused (fuse=8)",
+        f"rank1 frontier fused (fuse={frontier_fuse(1)})",
         jax.jit(
             gossip_frontier_packed,
             static_argnames=("wrap", "max_rounds", "interpret", "fuse"),
             donate_argnums=(0,),
-        ).lower(r1table, dirty, True, P + 2, False, 8),
+        ).lower(r1table, dirty, True, P + 2, False, frontier_fuse(1)),
     )
     audit(
         "rank1 reconcile",

@@ -1260,14 +1260,14 @@ class PeerNetworkSim:
         interpret the fusion has no DMA to amortize and only multiplies
         compute, so it stays hardware-only (the fused paths are covered by
         dedicated parity tests in interpret mode)."""
-        from ..ops.packed import STRIPE_FUSE, gossip_frontier_packed
+        from ..ops.packed import frontier_fuse, gossip_frontier_packed
 
         t_total = self.table[0].shape[1] // self._frontier_tile()
         interp = jax.default_backend() != "tpu"
         self.table, rounds, final_changed = gossip_frontier_packed(
             self.table, self._frontier_seed(t_total),
             self.topology.kind == "ring", max_rounds, interpret=interp,
-            fuse=1 if interp else STRIPE_FUSE,
+            fuse=1 if interp else frontier_fuse(len(self.table)),
         )
         self._finish_frontier(t_total, rounds, final_changed, max_rounds)
         return self._finish_converge(rounds, final_changed, sync_clocks=False)

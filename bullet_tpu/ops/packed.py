@@ -1415,6 +1415,32 @@ HALO_FUSE = 8
 STRIPE_FUSE = 8
 
 
+def stripe_fuse(nf: int) -> int:
+    """Tuned fused-round depth for the full-P ring stripe multiround
+    kernel, per field-tuple arity (benchmarks/fuse_sweep.py on v5e at the
+    1024x1M north-star shape). packed nf=3: plateau 93.7 B merges/s at
+    M=8 (flat 5-12, degrades past 12). rank1 nf=1: the single-compare
+    merge cuts compute per round ~3x, so the plateau sits much deeper —
+    M=8 617 B, M=24 643 B, M=30/40/48 661/663/664 B; ship M=40 (within
+    noise of 48, compile 6.6 s hot-cache). rank nf=2 keeps M=8 (235-238 B
+    measured; its frontier twin is scoped-vmem-capped at 5 anyway, see
+    frontier_fuse)."""
+    return {1: 40, 2: 8}.get(nf, STRIPE_FUSE)
+
+
+def frontier_fuse(nf: int) -> int:
+    """Fused depth for the COMPACTING FRONTIER multiround kernel
+    (_frontier_multiround_kernel_packed) per field-tuple arity. Same
+    tuning as stripe_fuse except rank nf=2: the frontier body (per-round
+    stripe_last tracking on top of the merge) makes Mosaic's scoped-vmem
+    stack grow ~2 MB per unrolled round on the 2-field layout and blow
+    the 16 MB limit at M>=6 at the north-star shape (AOT-verified:
+    fuse=5 fits, 6 over by 0.8 MB, 8 by 4.8 MB) — rank caps at 5.
+    packed nf=3 and rank1 nf=1 fit at their stripe depths (rank1
+    AOT-verified through M=40)."""
+    return {1: 40, 2: 5}.get(nf, STRIPE_FUSE)
+
+
 def _merge_ext_round(ext, wrap: bool, tile_p: int, num_peers: int, i):
     """One ring/chain round on an EXTENDED halo tile (8 snapshot rows +
     tile_p center rows + 8 snapshot rows). Rolls wrap inside the extended
