@@ -515,11 +515,25 @@ class RankIndex:
         pos = np.searchsorted(self._sk1, k1, side="right")
         collide = left != pos
         if np.any(collide):
-            for i in np.flatnonzero(collide):
-                lo, hi_ = int(left[i]), int(pos[i])
-                pos[i] = lo + int(
-                    np.searchsorted(self._sk2[lo:hi_], k2[i], side="right")
-                )
+            # vectorized within-run refinement (a per-key Python loop here
+            # cost ~10 s per 1M-op apply at the north-star shape: float
+            # values share k1 high words, so most keys collide). Encode
+            # each stored element as run_id·2^32 + k2 — run_id is the
+            # index of its equal-k1 run, k2 ∈ [0, 2^32) — which is
+            # globally sorted, so ONE searchsorted over the encoding
+            # yields the absolute refined position: elements of earlier
+            # runs all encode smaller, same-run elements order by k2.
+            # run_id ≤ len(svids) ≤ 2^28 (MAX_VID) keeps the fuse in
+            # int64.
+            m = len(self._sk1)
+            new_run = np.empty(m, dtype=bool)
+            new_run[0] = True
+            np.not_equal(self._sk1[1:], self._sk1[:-1], out=new_run[1:])
+            run_id = np.cumsum(new_run, dtype=np.int64) - 1
+            enc_stored = (run_id << 32) | self._sk2
+            qrun = run_id[left[collide]]
+            enc_q = (qrun << 32) | k2[collide]
+            pos[collide] = np.searchsorted(enc_stored, enc_q, side="right")
         # order new items by (position, key, vid) so same-gap items stack
         order = np.lexsort((vids, k2, k1, pos))
         pos, k1, k2, vids = pos[order], k1[order], k2[order], vids[order]
