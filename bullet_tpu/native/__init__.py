@@ -62,14 +62,14 @@ def load() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_LIB)
             # a stale library (e.g. preserved timestamps hiding a source
             # change) lacks newer symbols: probe one and rebuild once
-            getattr(lib, "bk_reduce_flat_ops_rank")
+            getattr(lib, "bk_rank_insert_batch")
         except (OSError, AttributeError):
             if not _build():
                 _load_failed = True
                 return None
             try:
                 lib = ctypes.CDLL(_LIB)
-                getattr(lib, "bk_reduce_flat_ops_rank")
+                getattr(lib, "bk_rank_insert_batch")
             except (OSError, AttributeError):
                 _load_failed = True
                 return None
@@ -173,6 +173,12 @@ def load() -> Optional[ctypes.CDLL]:
             c_vp, c_vp, c_vp, c_vp,
         ]
         lib.bk_reduce_flat_ops_rank.restype = c_i64
+        lib.bk_rank_insert_batch.argtypes = [
+            c_vp, c_vp, c_vp, c_vp, c_i64,
+            c_vp, c_vp, c_vp, c_vp, c_i64, c_i64, c_i64,
+            c_vp, c_vp, c_vp, c_vp,
+        ]
+        lib.bk_rank_insert_batch.restype = c_i32
         _lib = lib
         return _lib
 
@@ -280,6 +286,52 @@ def reduce_flat_ops_rank(peer, slot, rank, cv, bn, nb, cv_shift):
     if n == 0:
         return None
     return tuple(o[:n] for o in outs)
+
+
+def rank_insert_batch(sk1, sk2, svids, sranks, cls, khi, klo, vids, bias,
+                      rank_span):
+    """Native single-pass sort-merge twin of ops/rank.py::
+    RankIndex.insert_batch's numpy chain (_fuse + searchsorted/lexsort/
+    np.insert); the (cls, khi, klo) → (k1, k2) fuse happens in C. Returns
+    (merged_k1, merged_k2, merged_svids, new_ranks[input order],
+    need_respread) or None when the library is unavailable."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    sk1 = np.ascontiguousarray(sk1, dtype=np.int64)
+    sk2 = np.ascontiguousarray(sk2, dtype=np.int64)
+    svids = np.ascontiguousarray(svids, dtype=np.int64)
+    sranks = np.ascontiguousarray(sranks, dtype=np.int64)
+    cls = np.ascontiguousarray(cls, dtype=np.int32)
+    khi = np.ascontiguousarray(khi, dtype=np.int32)
+    klo = np.ascontiguousarray(klo, dtype=np.int32)
+    vids = np.ascontiguousarray(vids, dtype=np.int64)
+    m, k = len(sk1), len(vids)
+    out_k1 = np.empty(m + k, dtype=np.int64)
+    out_k2 = np.empty(m + k, dtype=np.int64)
+    out_svids = np.empty(m + k, dtype=np.int64)
+    new_ranks = np.empty(k, dtype=np.int64)
+    flag = lib.bk_rank_insert_batch(
+        sk1.ctypes.data_as(ctypes.c_void_p),
+        sk2.ctypes.data_as(ctypes.c_void_p),
+        svids.ctypes.data_as(ctypes.c_void_p),
+        sranks.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(m),
+        cls.ctypes.data_as(ctypes.c_void_p),
+        khi.ctypes.data_as(ctypes.c_void_p),
+        klo.ctypes.data_as(ctypes.c_void_p),
+        vids.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(k),
+        ctypes.c_int64(bias),
+        ctypes.c_int64(rank_span),
+        out_k1.ctypes.data_as(ctypes.c_void_p),
+        out_k2.ctypes.data_as(ctypes.c_void_p),
+        out_svids.ctypes.data_as(ctypes.c_void_p),
+        new_ranks.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out_k1, out_k2, out_svids, new_ranks, bool(flag)
 
 
 class NativeStringOrderIndex:

@@ -9,6 +9,7 @@
 
 //  * bk_reduce_flat_ops   <-> ops/packed.py::reduce_flat_ops (numpy path)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -235,6 +236,143 @@ int64_t bk_reduce_flat_ops_rank(const int32_t* peer, const int32_t* slot,
   }
   emit(n_out, cur);
   return n_out + 1;
+}
+
+// Single-pass sort-merge twin of ops/rank.py::RankIndex.insert_batch's
+// numpy chain (searchsorted x3 + lexsort + np.insert x3 + gap spread +
+// monotonicity check — ~4.4 s per 1M-value insert at the north-star
+// shape; this pass is ~10x). BIT-IDENTICAL contract:
+//  * batch sorted by (k1, k2, vid) — vid order preserved for equal keys;
+//  * equal (k1, k2) ties with STORED elements land after the stored run
+//    (numpy side='right');
+//  * the t-th of g items in gap (lo, hi) gets lo + (hi-lo)*(t+1)/(g+1)
+//    (non-negative int64 floor division, same as numpy's //);
+//  * returns 1 when the merged rank sequence is not strictly increasing
+//    from >= 1 (the caller respreads), else 0.
+// out_new_ranks is aligned with the INPUT batch order (the caller does
+// rank_of[vids] = out_new_ranks on the unsorted vids array). The batch
+// keys arrive as raw int32 (cls, khi, klo) triples and fuse inline (k1 =
+// cls·2^32 | (khi + bias), k2 = klo + bias — RankIndex._fuse exactly),
+// saving the Python-side int64 conversion passes.
+int32_t bk_rank_insert_batch(
+    const int64_t* sk1, const int64_t* sk2, const int64_t* svids,
+    const int64_t* sranks, int64_t m,
+    const int32_t* cls, const int32_t* khi, const int32_t* klo,
+    const int64_t* bvids, int64_t k,
+    int64_t bias, int64_t rank_span,
+    int64_t* out_k1, int64_t* out_k2, int64_t* out_svids,
+    int64_t* out_new_ranks) {
+  // stable LSD radix by (k1, k2): k2-low passes first, then k1. The fused
+  // keys are non-negative (k2 = klo + 2^31 bias < 2^32, k1 = cls·2^32 +
+  // biased khi < ~2^35), and vids ascend in input order, so stability
+  // alone yields the (k1, k2, vid) order. ~5 counting passes beat a
+  // comparator sort ~5x at 1M rows.
+  struct RankRow {
+    uint64_t k1, k2;
+    int64_t idx;
+  };
+  std::vector<int64_t> fk1(k), fk2(k);
+  std::vector<RankRow> rows(k);
+  uint64_t max_k1 = 0, max_k2 = 0;
+  for (int64_t i = 0; i < k; ++i) {
+    fk1[i] = (static_cast<int64_t>(cls[i]) << 32) |
+             (static_cast<int64_t>(khi[i]) + bias);
+    fk2[i] = static_cast<int64_t>(klo[i]) + bias;
+    rows[i] = {static_cast<uint64_t>(fk1[i]), static_cast<uint64_t>(fk2[i]),
+               i};
+    if (rows[i].k1 > max_k1) max_k1 = rows[i].k1;
+    if (rows[i].k2 > max_k2) max_k2 = rows[i].k2;
+  }
+  const int64_t* bk1 = fk1.data();
+  const int64_t* bk2 = fk2.data();
+  {
+    std::vector<RankRow> tmp(k);
+    uint64_t count[1 << 16];
+    auto pass = [&](auto key_of) {
+      std::memset(count, 0, sizeof(count));
+      for (const RankRow& r : rows) ++count[key_of(r)];
+      uint64_t pos = 0;
+      for (int d = 0; d < (1 << 16); ++d) {
+        uint64_t c = count[d];
+        count[d] = pos;
+        pos += c;
+      }
+      for (const RankRow& r : rows) tmp[count[key_of(r)]++] = r;
+      rows.swap(tmp);
+    };
+    bool vids_ascending = true;
+    for (int64_t i = 1; i < k && vids_ascending; ++i)
+      vids_ascending = bvids[i - 1] <= bvids[i];
+    if (!vids_ascending) {
+      // callers outside _sync_rank_index may pass unordered vids; the
+      // equal-key tiebreak is vid, so seed stability with vid passes
+      uint64_t max_vid = 0;
+      for (int64_t i = 0; i < k; ++i)
+        if (static_cast<uint64_t>(bvids[i]) > max_vid)
+          max_vid = static_cast<uint64_t>(bvids[i]);
+      for (int shift = 0; shift < 64 && (max_vid >> shift); shift += 16)
+        pass([shift, bvids](const RankRow& r) {
+          return (static_cast<uint64_t>(bvids[r.idx]) >> shift) & 0xFFFF;
+        });
+    }
+    for (int shift = 0; shift < 64 && (max_k2 >> shift); shift += 16)
+      pass([shift](const RankRow& r) { return (r.k2 >> shift) & 0xFFFF; });
+    for (int shift = 0; shift < 64 && (max_k1 >> shift); shift += 16)
+      pass([shift](const RankRow& r) { return (r.k1 >> shift) & 0xFFFF; });
+  }
+  std::vector<int64_t> idx(k);
+  for (int64_t i = 0; i < k; ++i) idx[i] = rows[i].idx;
+  int64_t i = 0, o = 0, j = 0;
+  int64_t prev_rank = 0;  // first emitted rank must be >= 1
+  int32_t respread = 0;
+  while (j < k) {
+    const int64_t q = idx[j];
+    // stored elements <= the next batch key (stored wins ties)
+    while (i < m &&
+           (sk1[i] < bk1[q] || (sk1[i] == bk1[q] && sk2[i] <= bk2[q]))) {
+      out_k1[o] = sk1[i];
+      out_k2[o] = sk2[i];
+      out_svids[o] = svids[i];
+      if (sranks[i] <= prev_rank) respread = 1;
+      prev_rank = sranks[i];
+      ++i;
+      ++o;
+    }
+    // the run of batch items landing in this gap (all strictly below
+    // stored[i]; the run is non-empty — the advance above stopped on q)
+    const int64_t lo = i > 0 ? sranks[i - 1] : 0;
+    const int64_t hi = i < m ? sranks[i] : rank_span;
+    int64_t g = 0;
+    while (j + g < k) {
+      const int64_t q2 = idx[j + g];
+      if (i < m && !(bk1[q2] < sk1[i] ||
+                     (bk1[q2] == sk1[i] && bk2[q2] < sk2[i])))
+        break;
+      ++g;
+    }
+    for (int64_t t = 0; t < g; ++t) {
+      const int64_t q2 = idx[j + t];
+      const int64_t r = lo + (hi - lo) * (t + 1) / (g + 1);
+      out_new_ranks[q2] = r;
+      out_k1[o] = bk1[q2];
+      out_k2[o] = bk2[q2];
+      out_svids[o] = bvids[q2];
+      if (r <= prev_rank) respread = 1;
+      prev_rank = r;
+      ++o;
+    }
+    j += g;
+  }
+  while (i < m) {
+    out_k1[o] = sk1[i];
+    out_k2[o] = sk2[i];
+    out_svids[o] = svids[i];
+    if (sranks[i] <= prev_rank) respread = 1;
+    prev_rank = sranks[i];
+    ++i;
+    ++o;
+  }
+  return respread;
 }
 
 }  // extern "C"

@@ -445,3 +445,61 @@ def test_native_reduce_rank_parity():
             native._lib, native._load_failed = None, False
         for a, b in zip(fast, slow):
             np.testing.assert_array_equal(a, b)
+
+
+def test_native_rank_insert_batch_parity():
+    """native.rank_insert_batch must leave the RankIndex bit-identical to
+    the numpy insert path: merged sorted arrays, assigned ranks, respread
+    decisions, epochs, and prev_inverse snapshots — under heavy key
+    collisions, permuted input vid order, and gap-exhaustion pressure."""
+    from bullet_tpu import native
+
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+
+    def snap(ri):
+        return (
+            ri._svids.copy(), ri._sk1.copy(), ri._sk2.copy(),
+            ri._rank_of.copy(), ri.epoch, ri.needs_rekey,
+            None if ri.prev_inverse is None else tuple(
+                a.copy() for a in ri.prev_inverse
+            ),
+        )
+
+    rng = np.random.default_rng(41)
+    orig = native.rank_insert_batch
+    try:
+        for trial in range(25):
+            span = int(rng.choice([rk.RANK_SPAN, 8191, 127]))
+            old_span, rk.RANK_SPAN = rk.RANK_SPAN, span
+            try:
+                a, b = rk.RankIndex(), rk.RankIndex()
+                next_vid = 0
+                for _ in range(int(rng.integers(1, 5))):
+                    k = int(rng.integers(1, 200))
+                    vids = np.arange(
+                        next_vid, next_vid + k, dtype=np.int64
+                    )
+                    next_vid += k
+                    if rng.random() < 0.3:
+                        vids = rng.permutation(vids)
+                    cls = rng.integers(1, 4, k).astype(np.int64)
+                    khi = rng.integers(-3, 3, k).astype(np.int64)
+                    klo = rng.integers(-2, 2, k).astype(np.int64)
+                    native.rank_insert_batch = orig
+                    a.insert_batch(vids, cls, khi, klo)
+                    native.rank_insert_batch = lambda *args: None
+                    b.insert_batch(vids, cls, khi, klo)
+                    for x, y in zip(snap(a), snap(b)):
+                        if isinstance(x, np.ndarray):
+                            np.testing.assert_array_equal(x, y)
+                        elif isinstance(x, tuple):
+                            assert y is not None
+                            for p_, q_ in zip(x, y):
+                                np.testing.assert_array_equal(p_, q_)
+                        else:
+                            assert x == y
+            finally:
+                rk.RANK_SPAN = old_span
+    finally:
+        native.rank_insert_batch = orig
