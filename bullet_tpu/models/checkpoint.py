@@ -54,9 +54,11 @@ def save_checkpoint(sim, directory: str, backend: str = "npz") -> None:
         np.savez_compressed(os.path.join(directory, "state.npz"), **arrays)
 
     host = sim.host
-    values = []
-    for vid in range(2, len(host.values)):  # skip absent/null sentinels
-        values.append(host.values.decode(vid))
+    # skip absent/null sentinels; one vectorized pass (per-vid decode cost
+    # ~0.4 s per 100k lazy numbers)
+    values = host.values.decode_batch(
+        np.arange(2, len(host.values))
+    ).tolist()
     meta = {
         "format": "bullet-tpu-checkpoint",
         "version": 1,

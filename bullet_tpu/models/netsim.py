@@ -1059,16 +1059,16 @@ class PeerNetworkSim:
             # (128 ops per step); sparse batches the chunk grid (16-op
             # steps over (8, 128) blocks, compact transfer).
             from ..ops.packed import (
-                WINDOW_MIN_DENSITY,
                 apply_flat_windowed,
                 dense_batch_density,
                 window_apply_supported,
                 window_block_ops,
+                window_min_density,
             )
 
             if window_apply_supported(p_, n_) and dense_batch_density(
                 reduced[0], reduced[1], n_
-            ) >= WINDOW_MIN_DENSITY:
+            ) >= window_min_density(len(self.table)):
                 self.table, applied = apply_flat_windowed(
                     self.table, *window_block_ops(*reduced, p_, n_)
                 )
@@ -1535,13 +1535,15 @@ class PeerNetworkSim:
                 _gather_ranks_pairs(self.table, jnp.int32(peer), arr)
             )
             vids = self.rank_index.decode_ranks(ranks)
+            sel = vids >= 0
+            dec = self.host.values.decode_batch(
+                np.where(vids[sel] == VID_NULL, 0, vids[sel])
+            )
             out1: Dict[int, Any] = {}
-            for slot, v in zip(slots, vids):
-                if v >= 0:
-                    out1[slot] = (
-                        None if v == VID_NULL
-                        else self.host.values.decode(int(v))
-                    )
+            for slot, v, d in zip(
+                np.asarray(slots)[sel].tolist(), vids[sel].tolist(), dec
+            ):
+                out1[slot] = None if v == VID_NULL else d
             return out1
         if self.layout in PACKED_FAMILY:
             cls, vid = _gather_entries_packed(self.table, jnp.int32(peer), arr)
@@ -1551,10 +1553,15 @@ class PeerNetworkSim:
             )
         cls = np.asarray(cls)
         vid = np.asarray(vid)
+        sel2 = cls != CLS_ABSENT
+        dec2 = self.host.values.decode_batch(
+            np.where(vid[sel2] == VID_NULL, 0, vid[sel2])
+        )
         out: Dict[int, Any] = {}
-        for slot, c, v in zip(slots, cls, vid):
-            if c != CLS_ABSENT:
-                out[slot] = None if v == VID_NULL else self.host.values.decode(int(v))
+        for slot, v, d in zip(
+            np.asarray(slots)[sel2].tolist(), vid[sel2].tolist(), dec2
+        ):
+            out[slot] = None if v == VID_NULL else d
         return out
 
     def get(self, peer: int, path: str = "") -> Any:
@@ -1623,9 +1630,7 @@ class PeerNetworkSim:
         out_arr = np.full(k, None, dtype=object)
         if present.any():
             uniq, inverse = np.unique(vid[present], return_inverse=True)
-            decoded = np.empty(len(uniq), dtype=object)
-            decode = self.host.values.decode
-            decoded[:] = [decode(int(v)) for v in uniq]
+            decoded = self.host.values.decode_batch(uniq)
             out_arr[present] = decoded[inverse]
         out: List[Any] = out_arr.tolist()
         if self.hooks.active and path_strs is not None:

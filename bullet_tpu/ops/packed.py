@@ -720,6 +720,18 @@ def _apply_flat_windowed_jit(
 WINDOW_MIN_DENSITY = 24
 
 
+def window_min_density(nf: int) -> int:
+    """Windowed-vs-chunk routing density per field-tuple arity, measured
+    on v5e at 1024×1M with 1M reduced ops (min of 3, hot): packed (nf=3)
+    crosses between density 8 and 32 (24 keeps the historic choice;
+    rows within noise at 32+). rank1 (nf=1) crosses HIGHER — at density
+    31.9 the chunk grid wins 820 vs 1059 ms, at 63.8 windowed wins 683
+    vs 838 — because the windowed kernel's fixed per-window cost is
+    schedule- not transfer-bound, so halving nf doesn't shrink it while
+    the chunk grid's compact 16-op steps get cheaper."""
+    return {1: 48}.get(nf, WINDOW_MIN_DENSITY)
+
+
 def dense_batch_density(peer, slot, n: int) -> float:
     """Mean ops per occupied (8, _WIN_BN) block (reduced, block-sorted
     ops): routes between the chunk-grid and windowed apply paths."""

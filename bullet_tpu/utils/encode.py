@@ -342,6 +342,50 @@ class ValueInterner:
             self._value_of[vid] = v  # memoize
         return v
 
+    def decode_batch(self, vids) -> np.ndarray:
+        """Vectorized ``decode`` over a vid array → object ndarray (same
+        values and memoization). Lazily-stored numbers materialize in one
+        numpy pass over their (khi, klo) keys instead of per-vid struct
+        pack/unpack (which cost ~0.4 s per 100k reads in get_bulk)."""
+        vids_l = np.asarray(vids, dtype=np.int64).tolist()
+        vals = self._value_of
+        out = np.empty(len(vids_l), dtype=object)
+        lazy_pos = []
+        for i, v in enumerate(vids_l):
+            s = vals[v]
+            if s is _LAZY:
+                lazy_pos.append(i)
+            else:
+                out[i] = s
+        if lazy_pos:
+            lv = np.asarray([vids_l[i] for i in lazy_pos], dtype=np.int64)
+            khi = self._khi.view()[lv].astype(np.int64)
+            klo = self._klo.view()[lv].astype(np.int64)
+            u = (
+                ((khi + _INT32_BIAS) << 32) | (klo + _INT32_BIAS)
+            ).astype(np.uint64)
+            # invert number_key's sign-flip transform (_materialize_number)
+            u = np.where(
+                (u >> np.uint64(63)) != 0,
+                u & np.uint64(_MASK64 >> 1),
+                ~u,
+            )
+            f = u.view(np.float64)
+            # _canonical_number: integral finite |f| < 2^63 → int (covers
+            # ±0.0 → 0); everything else stays float (NaN/inf included)
+            finite = np.isfinite(f)
+            is_int = np.zeros(len(f), dtype=bool)
+            is_int[finite] = (f[finite] == np.floor(f[finite])) & (
+                np.abs(f[finite]) < 2.0**63
+            )
+            fl = f.tolist()
+            ii = is_int.tolist()
+            for j, i in enumerate(lazy_pos):
+                v = int(fl[j]) if ii[j] else fl[j]
+                out[i] = v
+                vals[vids_l[i]] = v  # memoize, like decode()
+        return out
+
     def key_of(self, vid: int) -> Tuple[int, int, int]:
         return self._cls[vid], self._khi[vid], self._klo[vid]
 

@@ -290,3 +290,33 @@ def test_string_order_index_batch_matches_python_fallback():
     assert reb_nat == reb_py
     np.testing.assert_array_equal(r_nat, r_py)
     np.testing.assert_array_equal(nat.rank_batch(strings), py.rank_batch(strings))
+
+
+def test_decode_batch_matches_scalar_decode():
+    """decode_batch must return the same Python objects (values AND types)
+    as per-vid decode, including the lazy-number materialization +
+    canonicalization corner cases, and memoize identically."""
+    import numpy as np
+
+    from bullet_tpu.utils.encode import ValueInterner
+
+    rng = np.random.default_rng(3)
+    vals = (
+        [float(x) * (10.0 ** int(e)) for x, e in
+         zip(rng.standard_normal(100), rng.integers(-6, 7, 100))]
+        + [0.0, -0.0, 1.0, -1.0, 2.0**62, -(2.0**62), 2.0**63,
+           float("inf"), float("-inf"), float("nan"), 3, -7, 2**40,
+           True, False, None, "abc", "", [1, 2], [u"\U0001F600"]]
+    )
+    a, b = ValueInterner(), ValueInterner()
+    vids_a = [a.encode(v)[3] for v in vals]
+    vids_b = [b.encode(v)[3] for v in vals]
+    batch = a.decode_batch(np.asarray(vids_a))        # batch first
+    singles = [b.decode(v) for v in vids_b]           # scalar-only twin
+    again = [a.decode(v) for v in vids_a]             # memoized re-read
+    for x, y, z in zip(batch.tolist(), singles, again):
+        if isinstance(y, float) and np.isnan(y):
+            assert np.isnan(x) and np.isnan(z)
+        else:
+            assert x == y and x == z
+        assert type(x) is type(y)
