@@ -32,6 +32,8 @@ from bullet_tpu.ops.packed import (  # noqa: E402
     frontier_fuse,
     gossip_frontier_packed,
     gossip_until_converged_packed,
+    ring_multiround_packed_traced,
+    stripe_fuse,
 )
 
 P, N = 1024, 1 << 20
@@ -48,6 +50,22 @@ def audit(name, lowered):
         flush=True,
     )
     assert mem.temp_size_in_bytes < TEMP_CAP, (name, mem.temp_size_in_bytes)
+
+
+def audit_stripe(name, table, nf):
+    """The bench/sweep stripe multiround kernel at its shipped depth —
+    scoped-vmem fit is Mosaic-side, so only an AOT compile catches a
+    depth that stopped fitting (rank's nf=2 body grows ~2 MB of stack
+    per unrolled round and capped at M=5; a silent M=8 regression here
+    once broke bench.py's rank impl without any test noticing)."""
+    audit(
+        f"{name} stripe multiround (fuse={stripe_fuse(nf)})",
+        jax.jit(
+            ring_multiround_packed_traced,
+            static_argnames=("wrap", "m", "interpret"),
+            donate_argnums=(0,),
+        ).lower(table, True, stripe_fuse(nf), False),
+    )
 
 
 def main() -> None:
@@ -96,6 +114,7 @@ def main() -> None:
             static_argnames=("wrap", "interpret"),
         ).lower(table, True, False),
     )
+    audit_stripe("packed", table, 3)
 
     # rank layout (8 B/entry, ~8.6 GB at this shape): the same programs
     # must hold the ONE-table invariant on the 2-field tables
@@ -127,6 +146,7 @@ def main() -> None:
             static_argnames=("wrap", "interpret"),
         ).lower(rtable, True, False),
     )
+    audit_stripe("rank", rtable, 2)
 
     # rank1 layout (4 B/entry, ~4.3 GB at this shape): the 1-field table
     # through the same programs
@@ -156,6 +176,7 @@ def main() -> None:
             static_argnames=("wrap", "interpret"),
         ).lower(r1table, True, False),
     )
+    audit_stripe("rank1", r1table, 1)
     print("memcheck OK: every north-star program stays within one table")
 
 

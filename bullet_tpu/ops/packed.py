@@ -1431,13 +1431,16 @@ def stripe_fuse(nf: int) -> int:
     """Tuned fused-round depth for the full-P ring stripe multiround
     kernel, per field-tuple arity (benchmarks/fuse_sweep.py on v5e at the
     1024x1M north-star shape). packed nf=3: plateau 93.7 B merges/s at
-    M=8 (flat 5-12, degrades past 12). rank1 nf=1: the single-compare
-    merge cuts compute per round ~3x, so the plateau sits much deeper —
-    M=8 617 B, M=24 643 B, M=30/40/48 661/663/664 B; ship M=40 (within
-    noise of 48, compile 6.6 s hot-cache). rank nf=2 keeps M=8 (235-238 B
-    measured; its frontier twin is scoped-vmem-capped at 5 anyway, see
-    frontier_fuse)."""
-    return {1: 40, 2: 8}.get(nf, STRIPE_FUSE)
+    M=8 (flat 5-12, degrades past 12; AOT-verified compiling). rank1
+    nf=1: the single-compare merge cuts compute per round ~3x, so the
+    plateau sits much deeper — M=8 617 B, M=24 643 B, M=30/40/48
+    661/663/664 B; ship M=40 (within noise of 48, compile 6.6 s
+    hot-cache). rank nf=2 is scoped-vmem-capped at 5 — Mosaic's stack
+    grows ~2 MB per unrolled round on the 2-field layout for THIS kernel
+    too, not only the frontier twin (AOT probe at 1024x1M: M=5 fits,
+    M=6 over by 0.78 MB, M=8 by 4.78 MB; the historic 235-238 B at
+    'M=8' predates the single-compare merge body)."""
+    return {1: 40, 2: 5}.get(nf, STRIPE_FUSE)
 
 
 def frontier_fuse(nf: int) -> int:
