@@ -126,27 +126,47 @@ def bench_gossip(num_peers: int, capacity: int, rounds: int, impl: str) -> float
                 khi=mix(2, 2000) - 1000, klo=mix(3, 2000) - 1000, cv=cv
             )
 
-        from bullet_tpu.ops.packed import ring_multiround_packed_traced
+        from bullet_tpu.ops.packed import (
+            ring_multiround_packed_traced,
+            ring_window_packed_traced,
+            stripe_fuse,
+            stripe_window,
+        )
 
-        # stripe_fuse(nf) rounds fuse per block-load: the full-P stripe
-        # holds every peer in VMEM, so consecutive rounds amortize the
-        # block's HBM read+write (swept per arity in
-        # benchmarks/fuse_sweep.py: packed 55.8 B/s at M=1 -> 93.7 B at
-        # M=8; rank1's single-compare merge plateaus at ~664 B at M=40);
-        # states stay bit-identical to M sequential rounds (tested)
-        from bullet_tpu.ops.packed import stripe_fuse
-
-        fuse = stripe_fuse({"packed": 3, "rank": 2, "rank1": 1}[impl])
-        # >= 6 fused blocks (multiple of the fuse depth): the ~60 ms of
-        # fixed dispatch+readback overhead through the tunnel must be
-        # amortized or it shaves ~20% off the steady-state rate
-        rounds = max(rounds, 6 * fuse)
-        rounds -= rounds % fuse
+        # M rounds fuse per block-load. Two fused kernels, same bit-exact
+        # contract (state after k*M fused blocks == k*M classic rounds,
+        # tested in interpret mode AND on hardware):
+        # - window-join (ring_window_packed_traced): m rounds as a
+        #   radius-m window join in O(log m) 3-way joins — the merge is an
+        #   idempotent lattice join, so m Jacobi rounds ≡ one radius-m
+        #   window. rank1 m=120: 9.0 T merges/s; rank m=40: 2.6 T.
+        # - sequential multiround (stripe_fuse-deep): packed nf=3, whose
+        #   window body exceeds scoped VMEM at this stripe — 93.7 B at M=8.
+        # Honesty bound: total rounds stay under the P/2=512 ring diameter,
+        # so every simulated round genuinely advances the protocol state
+        # (past the diameter the table is at its fixed point and "rounds"
+        # would be free no-ops).
+        nf = {"packed": 3, "rank": 2, "rank1": 1}[impl]
+        window = stripe_window(nf)
+        if window:
+            fuse = window
+            rounds = 4 * fuse if impl == "rank1" else 480 // fuse * fuse
+            rounds = min(rounds, num_peers // 2 // fuse * fuse)
+        else:
+            fuse = stripe_fuse(nf)
+            # >= 6 fused blocks (multiple of the fuse depth): the ~60 ms
+            # of fixed dispatch+readback overhead through the tunnel must
+            # be amortized or it shaves ~20% off the steady-state rate
+            rounds = max(rounds, 6 * fuse)
+            rounds -= rounds % fuse
 
         def packed_round(_, t):
             # traced (not the jit wrapper): the pallas in->out aliasing makes
             # the donated fori carry update fully in place
-            t2, _c = ring_multiround_packed_traced(t, True, fuse, False)
+            if window:
+                t2, _c = ring_window_packed_traced(t, True, fuse, False)
+            else:
+                t2, _c = ring_multiround_packed_traced(t, True, fuse, False)
             return t2
 
         import functools
@@ -209,9 +229,9 @@ def main() -> None:
         num_peers, capacity, rounds = 256, 1 << 18, 32
         # ordered best-first; the rest are FALLBACKS only (each impl costs
         # minutes of compile through the tunnel, and the measured order is
-        # stable: rank1 (4 B/entry, one compare + one select) ~660B >
-        # rank (8 B/entry, single-compare) 235-238B > packed+fused 93.7B >
-        # lean 17.6B > fused 9.7B > xla 5.1B)
+        # stable: rank1 (4 B/entry, window-join fused) 9.0T >
+        # rank (8 B/entry, window-join fused) 2.6T > packed+multiround
+        # 93.7B > lean 17.6B > fused 9.7B > xla 5.1B)
         impls = ["rank1", "rank", "packed", "lean", "fused", "xla"]
     else:  # CPU smoke sizing
         num_peers, capacity, rounds = 16, 1 << 14, 5

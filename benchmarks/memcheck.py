@@ -33,7 +33,9 @@ from bullet_tpu.ops.packed import (  # noqa: E402
     gossip_frontier_packed,
     gossip_until_converged_packed,
     ring_multiround_packed_traced,
+    ring_window_packed_traced,
     stripe_fuse,
+    stripe_window,
 )
 
 P, N = 1024, 1 << 20
@@ -65,6 +67,25 @@ def audit_stripe(name, table, nf):
             static_argnames=("wrap", "m", "interpret"),
             donate_argnums=(0,),
         ).lower(table, True, stripe_fuse(nf), False),
+    )
+
+
+def audit_window(name, table, nf):
+    """The bench window-join kernel at its shipped depth. Scoped-vmem
+    limits the JOIN-STEP count (a 7th unrolled step spills to HBM and
+    collapses throughput ~10x without failing the compile), so this
+    audit is necessary but not sufficient — depth changes also need one
+    hardware timing run (see stripe_window's tuning table)."""
+    w = stripe_window(nf)
+    if not w:
+        return
+    audit(
+        f"{name} stripe window (m={w})",
+        jax.jit(
+            ring_window_packed_traced,
+            static_argnames=("wrap", "m", "interpret"),
+            donate_argnums=(0,),
+        ).lower(table, True, w, False),
     )
 
 
@@ -147,6 +168,7 @@ def main() -> None:
         ).lower(rtable, True, False),
     )
     audit_stripe("rank", rtable, 2)
+    audit_window("rank", rtable, 2)
 
     # rank1 layout (4 B/entry, ~4.3 GB at this shape): the 1-field table
     # through the same programs
@@ -177,6 +199,7 @@ def main() -> None:
         ).lower(r1table, True, False),
     )
     audit_stripe("rank1", r1table, 1)
+    audit_window("rank1", r1table, 1)
     print("memcheck OK: every north-star program stays within one table")
 
 

@@ -982,6 +982,132 @@ def ring_multiround_packed_traced(
     return type(table)(*outs[:nf]), outs[nf][0, 0]
 
 
+def _window_chain(m: int):
+    """Static shift schedule whose 3-way joins grow the window radius to
+    exactly ``m`` in O(log m) steps: from radius r, joining the window with
+    copies of itself shifted by ±s covers radius r+s contiguously for any
+    s ≤ 2r+1 (the three arcs overlap or touch, and the join is idempotent,
+    so overlap is free) — greedy s = min(m-r, 2r+1) lands on m exactly."""
+    steps = []
+    r = 0
+    while r < m:
+        s = min(m - r, 2 * r + 1)
+        steps.append(s)
+        r += s
+    return steps
+
+
+def _window_stripe_fullp(center, wrap: bool, num_peers: int, m: int):
+    """Radius-m window join on a full-P stripe = m ring/chain rounds in
+    O(log m) 3-way joins, plus the bit-exact classic round-m residual.
+
+    One classic round is the radius-1 window join (``_merge_stripe_fullp``:
+    row p absorbs rows p±1), and the merge is an idempotent/commutative/
+    associative lattice join, so m Jacobi rounds ≡ the radius-m window
+    join — computable by doubling instead of sequentially. The schedule
+    reaches radius m-1 (``_window_chain``), then the FINAL round runs the
+    classic single-round body, so the returned count is bit-identical to
+    the classic loop's round-m residual (the winner-select count of round
+    m alone — NOT the multiround kernel's m-round total).
+
+    Chain edges (wrap=False): shifted copies CLAMP to the edge row's
+    accumulated window rather than zero-fill — rows within s of the edge
+    still owe the window the edge-clipped coverage their out-of-range
+    shift would have carried (zero-filling loses it; caught by the m=13
+    parity fuzz). The clamped rows are a subset of the true window, so
+    idempotence keeps the join exact. Replaces O(m) merge compute with
+    O(log m): the fused stripe kernels are compute-bound (rank1's M=40
+    multiround runs at ~8% of HBM roofline), so this is worth ~5-8x on
+    hardware at equal fused depth (measured: 663 B → 3.7 T merges/s at
+    m=40, 11.3 T at m=120, P=1024 × 1M rank1)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, center[0].shape, 0)
+
+    def shifted(vals, s: int):
+        out = []
+        for f in range(len(vals)):
+            rolled = jnp.roll(vals[f], s, axis=0)
+            if not wrap:
+                if s > 0:
+                    rolled = jnp.where(row < s, vals[f][0:1, :], rolled)
+                else:
+                    rolled = jnp.where(
+                        row >= num_peers + s,
+                        vals[f][num_peers - 1 :, :],
+                        rolled,
+                    )
+            out.append(rolled)
+        return out
+
+    def lexmax(a_vals, b_vals):
+        gt = _lex_gt_packed(
+            table_keys(tuple(b_vals)), table_keys(tuple(a_vals))
+        )
+        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)]
+
+    vals = list(center)
+    for s in _window_chain(m - 1):
+        vals = lexmax(vals, shifted(vals, +s))
+        vals = lexmax(vals, shifted(vals, -s))
+    return _merge_stripe_fullp(vals, wrap, num_peers)
+
+
+def _fullp_window_kernel_packed(nf: int, wrap: bool, num_peers: int,
+                                m: int, *refs):
+    """In-place full-P stripe kernel: m ring/chain rounds per block-load
+    via the radius-m window join (see _window_stripe_fullp). The count
+    output is the classic round-m residual."""
+    import jax.experimental.pallas as pl
+
+    c_refs, out_refs, count_ref = refs[:nf], refs[nf:2 * nf], refs[2 * nf]
+    vals, c = _window_stripe_fullp(
+        [r[...] for r in c_refs], wrap, num_peers, m
+    )
+    for out, v in zip(out_refs, vals):
+        out[...] = v
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        count_ref[0, 0] = 0
+
+    count_ref[0, 0] += c
+
+
+def ring_window_packed_traced(
+    table: PackedTable, wrap: bool, m: int, interpret: bool
+) -> Tuple[PackedTable, jax.Array]:
+    """m fused ring/chain rounds in one in-place pallas_call, computed as
+    a radius-m window join in O(log m) 3-way joins instead of m sequential
+    merges (see _window_stripe_fullp). State is bit-identical to m classic
+    rounds; the count is the classic ROUND-m residual (the last round's
+    winner-select count — 0 iff the table was already at its round-(m-1)
+    fixed point). Same shape support as ring_round_packed_traced
+    (packed_ring_supported); layout-generic over the field-tuple arity."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nf = len(table)
+    p, n = table[0].shape
+    tile_n = _stripe_tile_n(p, n)
+    grid = (n // tile_n,)
+    data_spec = pl.BlockSpec(
+        (p, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
+    )
+    count_spec = pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)
+    ) + (jax.ShapeDtypeStruct((1, 1), jnp.int32),)
+    outs = pl.pallas_call(
+        functools.partial(_fullp_window_kernel_packed, nf, wrap, p, m),
+        grid=grid,
+        in_specs=[data_spec] * nf,
+        out_specs=tuple([data_spec] * nf) + (count_spec,),
+        out_shape=out_shapes,
+        input_output_aliases={i: i for i in range(nf)},
+        interpret=interpret,
+    )(*table)
+    return type(table)(*outs[:nf]), outs[nf][0, 0]
+
+
 # 6 stripe buffers (3 in + 3 out) double-buffered must fit VMEM comfortably:
 # cap a stripe at 2^17 int32 (512 KB) → 6 MB total
 _STRIPE_MAX_ELEMS = 1 << 17
@@ -1441,6 +1567,26 @@ def stripe_fuse(nf: int) -> int:
     M=6 over by 0.78 MB, M=8 by 4.78 MB; the historic 235-238 B at
     'M=8' predates the single-compare merge body)."""
     return {1: 40, 2: 5}.get(nf, STRIPE_FUSE)
+
+
+def stripe_window(nf: int) -> int:
+    """Tuned fused depth for the WINDOW-JOIN stripe kernel
+    (ring_window_packed_traced: m rounds per block-load in O(log m)
+    3-way joins), per field-tuple arity; 0 = unsupported at full-P-stripe
+    shapes (fall back to the sequential multiround). The limit is the
+    join-step count, not the depth: Mosaic's scoped-vmem stack holds the
+    per-step shifted copies, and a 7th unrolled step spills to HBM.
+    Measured on v5e at the 1024x1M north-star shape (480 total rounds,
+    under the P/2=512 ring diameter so every simulated round advances
+    state): rank1 nf=1 m=120 (6 steps) 9.0 T merges/s — m=160/240 need
+    7 steps and collapse to 0.6-0.8 T on spills; rank nf=2 m=40
+    (5 steps) 2.6 T — m=60 fails scoped-vmem AOT; packed nf=3 cannot fit
+    the window body at the north-star stripe at any depth (m=13 already
+    OOMs) and keeps the sequential multiround (stripe_fuse). States are
+    bit-identical to m classic rounds and the count is the classic
+    round-m residual (hardware-verified both arities, and pinned by
+    interpret-mode tests)."""
+    return {1: 120, 2: 40}.get(nf, 0)
 
 
 def frontier_fuse(nf: int) -> int:

@@ -520,6 +520,35 @@ def test_multiround_fused_matches_sequential(wrap):
 
 
 @pytest.mark.parametrize("wrap", [True, False])
+def test_window_matches_sequential(wrap):
+    """The radius-m window-join kernel (m rounds in O(log m) 3-way joins)
+    must be bit-identical to m sequential classic rounds, and its count
+    must be the classic ROUND-m residual (the last round's winner-select
+    count alone). m=70 > P=64 pins the saturated-window case (the ring
+    window wraps onto itself; chain windows clip at the edges)."""
+    from bullet_tpu.ops.packed import (
+        ring_round_packed_traced,
+        ring_window_packed_traced,
+    )
+
+    for m in (1, 2, 3, 5, 13, 40, 70):
+        t0 = pack_table(random_dense(64, 1024, seed=7))
+        a = PackedTable(*(jnp.array(f) for f in t0))
+        last = 0
+        for _ in range(m):
+            a, c = jax.jit(
+                ring_round_packed_traced, static_argnums=(1, 2)
+            )(a, wrap, True)
+            last = int(c)
+        b, cb = jax.jit(
+            ring_window_packed_traced, static_argnums=(1, 2, 3)
+        )(PackedTable(*(jnp.array(f) for f in t0)), wrap, m, True)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert last == int(cb), (wrap, m)
+
+
+@pytest.mark.parametrize("wrap", [True, False])
 def test_frontier_halo_fused_round_parity(wrap):
     """The fused halo frontier (HALO_FUSE=8 rounds per block-load via
     trapezoidal time-tiling) must report the EXACT classic round count,

@@ -68,6 +68,23 @@ def test_multiround_fused_parity():
     assert int(c1) == int(c2)
 
 
+@pytest.mark.parametrize("wrap", [True, False])
+def test_window_fused_parity(wrap):
+    """The O(log m) window-join kernel on both rank arities: identical
+    ranks and identical classic round-m residuals."""
+    t1, t2, *_ = _tables(16, 512, seed=6)
+    w1, c1 = pk.ring_window_packed_traced(t1, wrap, 7, True)
+    w2, c2 = pk.ring_window_packed_traced(t2, wrap, 7, True)
+    _assert_rank_equal(w1, w2)
+    assert int(c1) == int(c2)
+    # and against the sequential classic loop on rank1
+    seq = t1
+    for _ in range(7):
+        seq, c_last = pk.ring_round_packed_traced(seq, wrap, True)
+    _assert_rank_equal(w1, seq)
+    assert int(c1) == int(c_last)
+
+
 def test_halo_round_parity():
     # big-P shape that routes to the halo kernel
     t1, t2, *_ = _tables(64, 256, seed=3)
