@@ -1051,6 +1051,48 @@ def _window_stripe_fullp(center, wrap: bool, num_peers: int, m: int):
     return _merge_stripe_fullp(vals, wrap, num_peers)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("wrap", "m"), donate_argnums=(0,)
+)
+def ring_window_packed_xla(
+    table: PackedTable, wrap: bool, m: int
+) -> Tuple[PackedTable, jax.Array]:
+    """XLA twin of the window-join stripe kernel: m ring/chain rounds as
+    a radius-m window join over the whole table (O(log m) roll+join
+    passes), finished by one classic round so the count is the classic
+    round-m residual. Works at ANY table shape (no stripe tiling) and on
+    any backend — the sim's fast_forward rides this off-TPU and on
+    shapes/arities the Pallas window can't tile. Bit-identical to m
+    sequential gossip_round_{ring,chain}_packed calls (tested)."""
+    p = table[0].shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, table[0].shape, 0)
+
+    def shifted(vals, s: int):
+        out = []
+        for f in vals:
+            rolled = jnp.roll(f, s, axis=0)
+            if not wrap:
+                if s > 0:
+                    rolled = jnp.where(row < s, f[0:1, :], rolled)
+                else:
+                    rolled = jnp.where(row >= p + s, f[p - 1 :, :], rolled)
+            out.append(rolled)
+        return out
+
+    def lexmax(a_vals, b_vals):
+        gt = _lex_gt_packed(
+            table_keys(tuple(b_vals)), table_keys(tuple(a_vals))
+        )
+        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)]
+
+    vals = list(table)
+    for s in _window_chain(m - 1):
+        vals = lexmax(vals, shifted(vals, +s))
+        vals = lexmax(vals, shifted(vals, -s))
+    t = type(table)(*vals)
+    return (gossip_round_ring_packed if wrap else gossip_round_chain_packed)(t)
+
+
 def _fullp_window_kernel_packed(nf: int, wrap: bool, num_peers: int,
                                 m: int, *refs):
     """In-place full-P stripe kernel: m ring/chain rounds per block-load
