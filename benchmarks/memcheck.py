@@ -200,6 +200,18 @@ def main() -> None:
     )
     audit_stripe("rank1", r1table, 1)
     audit_window("rank1", r1table, 1)
+
+    # the arity-aware window budget extends full-P window stripes to
+    # P=4096 for nf=1 (tile 128 = 2 MB/array) — audit that cell too
+    big = jax.ShapeDtypeStruct((4096, 1 << 18), jnp.int32)
+    audit(
+        f"rank1 stripe window P=4096 (m={stripe_window(1)})",
+        jax.jit(
+            ring_window_packed_traced,
+            static_argnames=("wrap", "m", "interpret"),
+            donate_argnums=(0,),
+        ).lower(Rank1Table(big), True, stripe_window(1), False),
+    )
     print("memcheck OK: every north-star program stays within one table")
 
 

@@ -1199,10 +1199,10 @@ class PeerNetworkSim:
         if not windowable:
             return self.step(rounds)
         from ..ops.packed import (
-            packed_ring_supported,
             ring_window_packed_traced,
             ring_window_packed_xla,
             stripe_window,
+            window_ring_supported,
         )
 
         self._ensure_capacity()
@@ -1217,7 +1217,7 @@ class PeerNetworkSim:
         use_kernel = (
             jax.default_backend() == "tpu"
             and depth > 0
-            and packed_ring_supported(p, n)
+            and window_ring_supported(p, n, len(self.table))
         )
         window_jit = jax.jit(
             ring_window_packed_traced,

@@ -1114,6 +1114,33 @@ def _fullp_window_kernel_packed(nf: int, wrap: bool, num_peers: int,
     count_ref[0, 0] += c
 
 
+def window_tile_n(p: int, n: int, nf: int) -> int:
+    """Stripe width for the WINDOW kernel: the 1-field layout affords 4×
+    the multiround budget (measured at P=4096 × 256 K, tile 128 = 2 MB
+    per array: 10.1 T merges/s at m=120 — the window body holds only
+    O(log m) step temporaries, unlike the M-deep multiround), which
+    extends full-P window stripes to P ≤ 4096. nf ≥ 2 keeps the base
+    budget (rank's 2-array body fails scoped-vmem AOT at the 4× stripe)."""
+    budget = _STRIPE_MAX_ELEMS * (4 if nf == 1 else 1)
+    start = (budget // max(p, 1)) // 128 * 128
+    t = min(max(128, start), n)
+    while t >= 128 and n % t:
+        t -= 128
+    return t if t >= 128 and n % t == 0 else 0
+
+
+def window_ring_supported(p: int, n: int, nf: int) -> bool:
+    """Shapes the full-P window kernel can tile: 8-aligned peer axis, a
+    128-aligned slot tile dividing n, within the arity-aware window
+    budget (the 128-lane tile floor can exceed a small budget at large P
+    — the p*tile bound rejects that, mirroring packed_ring_supported)."""
+    if p % 8 or n % 128:
+        return False
+    tile = window_tile_n(p, n, nf)
+    budget = _STRIPE_MAX_ELEMS * (4 if nf == 1 else 1)
+    return tile > 0 and p * tile <= budget * 2
+
+
 def ring_window_packed_traced(
     table: PackedTable, wrap: bool, m: int, interpret: bool
 ) -> Tuple[PackedTable, jax.Array]:
@@ -1122,14 +1149,15 @@ def ring_window_packed_traced(
     merges (see _window_stripe_fullp). State is bit-identical to m classic
     rounds; the count is the classic ROUND-m residual (the last round's
     winner-select count — 0 iff the table was already at its round-(m-1)
-    fixed point). Same shape support as ring_round_packed_traced
-    (packed_ring_supported); layout-generic over the field-tuple arity."""
+    fixed point). Shape support: window_ring_supported (an arity-aware
+    budget — nf=1 tiles up to P=4096); layout-generic over the
+    field-tuple arity."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nf = len(table)
     p, n = table[0].shape
-    tile_n = _stripe_tile_n(p, n)
+    tile_n = window_tile_n(p, n, nf)
     grid = (n // tile_n,)
     data_spec = pl.BlockSpec(
         (p, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM
