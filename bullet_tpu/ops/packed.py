@@ -2151,6 +2151,13 @@ def gossip_frontier_packed(
     tile_n = frontier_tile_n(p, n)
     t_total = n // tile_n
 
+    # NOTE a distance-tracking window-join fused phase (O(log m) joins per
+    # block with exact per-entry last-change rounds) was built and measured
+    # here: break-even on all-dirty convergence (0.56 s vs 0.59 s at the
+    # north star) and ~20% SLOWER incremental — the distance field triples
+    # the per-pass compute (eq-compares + min-distance selects + the d
+    # array's VMEM) and erases the log-step win. Reverted; see
+    # docs/tpu-performance.md "Where window fusion does NOT pay".
     if fuse > 1 and packed_ring_supported(p, n):
         return frontier_fused_loop(
             table, dirty, t_total, max_rounds, fuse,
