@@ -138,6 +138,39 @@ def main() -> None:
         _ = int(np.asarray(sim.table[-1][0, 0]))
         out["reconcile_join_s"] = round(time.time() - t0, 3)
         print("# reconcile join only", out["reconcile_join_s"], flush=True)
+
+        # fast_forward (protocol simulation without per-round accounting):
+        # a fourth write load, then jump EXACTLY diameter+1 rounds via
+        # O(log m) window joins — bit-identical to step(diameter+1), and
+        # the returned residual is the exact final-round change count
+        # (0 = the jump landed on the fixed point)
+        ff_rounds = num_peers // 2 + 1
+        # warm the window programs on the converged table (a fixed point is
+        # its own window join, so the warm-up jump is state-free) — the
+        # one-time Pallas compiles cost seconds through the tunnel
+        sim.fast_forward(ff_rounds)
+        _ = int(np.asarray(sim.table[-1][0, 0]))
+        sim.put_bulk(
+            rng.integers(0, num_peers, writes).astype(np.int32),
+            slots[rng.integers(0, keys, writes)],
+            rng.integers(0, 1 << 30, writes).astype(np.float64),
+        )
+        t0 = time.time()
+        ff_res = sim.fast_forward(ff_rounds)
+        _ = int(np.asarray(sim.table[-1][0, 0]))
+        out["fast_forward_s"] = round(time.time() - t0, 3)
+        out["fast_forward_rounds"] = ff_rounds
+        out["fast_forward_residual"] = int(ff_res)
+        print("# fast-forwarded", out["fast_forward_s"], flush=True)
+
+        # jump-only cost: fast_forward again with no pending ops —
+        # isolates the O(log m) window passes from the 1M-op apply (and
+        # any rank respread the fourth load triggered)
+        t0 = time.time()
+        sim.fast_forward(ff_rounds)
+        _ = int(np.asarray(sim.table[-1][0, 0]))
+        out["fast_forward_jump_s"] = round(time.time() - t0, 3)
+        print("# jump only", out["fast_forward_jump_s"], flush=True)
     else:
         # warm the convergence program on a scratch copy so the timed run is
         # steady-state (the one-time Pallas compile costs ~2 min via the

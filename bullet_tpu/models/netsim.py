@@ -56,6 +56,25 @@ class ConvergenceCell(NamedTuple):
     pallas: bool  # use_pallas if set explicitly, else backend == "tpu"
 
 
+_WINDOW_JIT = None
+
+
+def _window_jit(table, wrap, m, interpret):
+    """ONE module-level PjitFunction for the fast_forward window kernel:
+    a per-call jax.jit(...) wrapper would re-trace every invocation (and
+    re-compile through the device tunnel — seconds per depth)."""
+    global _WINDOW_JIT
+    if _WINDOW_JIT is None:
+        from ..ops.packed import ring_window_packed_traced
+
+        _WINDOW_JIT = jax.jit(
+            ring_window_packed_traced,
+            static_argnames=("wrap", "m", "interpret"),
+            donate_argnums=(0,),
+        )
+    return _WINDOW_JIT(table, wrap, m, interpret)
+
+
 # Convergence strategy table: (name, predicate, runner method name) —
 # FIRST match wins. ``run_until_converged`` resolves the cell, picks the
 # row, and calls the runner; the cell-coverage test enumerates every cell
@@ -1219,17 +1238,12 @@ class PeerNetworkSim:
             and depth > 0
             and window_ring_supported(p, n, len(self.table))
         )
-        window_jit = jax.jit(
-            ring_window_packed_traced,
-            static_argnames=("wrap", "m", "interpret"),
-            donate_argnums=(0,),
-        )
         left = rounds
         residual = 0
         while left:
             if use_kernel:
                 m = min(depth, left)
-                self.table, changed = window_jit(self.table, wrap, m, False)
+                self.table, changed = _window_jit(self.table, wrap, m, False)
             else:
                 m = left
                 self.table, changed = ring_window_packed_xla(
