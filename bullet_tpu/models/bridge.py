@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+_MISSING = object()  # "argument omitted" sentinel — forwarded calls drop it
+
 
 def load_bullet_into_sim(bullet, sim, peer: int = 0) -> int:
     """Enqueue every leaf of a Bullet store as local puts at ``peer``.
@@ -80,6 +82,81 @@ def _count_leaves(obj) -> int:
     return sum(_count_leaves(v) for v in obj.values()) or 0
 
 
+class ReplicaView:
+    """Read-only query facade bound to ONE peer's replica — the serving
+    surface for a mirrored (or any) sim peer: every sim query method
+    minus the peer argument, with NO write methods, so it can be handed
+    to request handlers without exposing the simulation.
+
+    ``refresh`` controls staleness per query:
+    - ``"apply"`` (default): fold queued writes into the device table
+      first (apply-only, no gossip — the bound peer's own row is current
+      the moment its ops land, which is exactly the live-bridge mirror
+      case where every write targets this peer);
+    - ``"converge"``: gossip to the fixed point first (multi-writer
+      bridges, where OTHER peers' rows carry the missing writes);
+    - ``None``: serve the last applied state as-is (zero overhead).
+
+    Thread-safety: pass the owning bridge's lock (``attach_live_bridge``
+    wires its own); refreshes and the underlying host decode then
+    serialize against the mirror's put stream."""
+
+    def __init__(self, sim, peer: int = 0, refresh: str = "apply",
+                 lock=None) -> None:
+        if refresh not in ("apply", "converge", None):
+            raise ValueError(f"unknown refresh policy: {refresh!r}")
+        import threading
+
+        self._sim = sim
+        self._peer = peer
+        self._refresh = refresh
+        self._lock = lock if lock is not None else threading.Lock()
+
+    def _sync(self):
+        with self._lock:
+            if self._refresh == "apply":
+                self._sim.step(rounds=0)
+            elif self._refresh == "converge":
+                self._sim.run_until_converged()
+
+    def get(self, path: str = ""):
+        self._sync()
+        return self._sim.get(self._peer, path)
+
+    def equals(self, base: str, field, value=_MISSING):
+        self._sync()
+        if value is _MISSING:
+            return self._sim.equals(self._peer, base, field)
+        return self._sim.equals(self._peer, base, field, value)
+
+    def range(self, base: str, field, lo=_MISSING, hi=_MISSING):
+        self._sync()
+        kw = {}
+        if lo is not _MISSING:
+            kw["lo"] = lo
+        if hi is not _MISSING:
+            kw["hi"] = hi
+        return self._sim.range(self._peer, base, field, **kw)
+
+    def count(self, base: str, field, value=_MISSING) -> int:
+        self._sync()
+        if value is _MISSING:
+            return self._sim.count(self._peer, base, field)
+        return self._sim.count(self._peer, base, field, value)
+
+    def filter(self, base: str, fn):
+        self._sync()
+        return self._sim.filter(self._peer, base, fn)
+
+    def find(self, base: str, fn):
+        self._sync()
+        return self._sim.find(self._peer, base, fn)
+
+    def map(self, base: str, fn):
+        self._sync()
+        return self._sim.map(self._peer, base, fn)
+
+
 def attach_live_bridge(bullet, sim, peer: int = 0):
     """Stream every ACCEPTED write on a live Bullet instance — local puts
     AND network-applied updates (flood or sync) — into the engine as leaf
@@ -103,9 +180,13 @@ def attach_live_bridge(bullet, sim, peer: int = 0):
     greater lands. Concurrent-clock traffic — the steady state of flood
     networks — resolves by value on both sides and stays identical.
 
-    Returns a handle with ``detach()`` (restore the original hook) and
-    ``flush()`` (apply + converge). Thread-safe: network reader threads
-    and the app thread both hit the forwarder."""
+    Returns a handle with ``detach()`` (restore the original hook),
+    ``flush()`` (apply + converge), and ``view(refresh="apply")`` — a
+    read-only ``ReplicaView`` bound to the mirror peer for serving
+    queries without exposing the simulation (the default apply-only
+    refresh is exact here: every mirror write targets this peer's own
+    row, so no gossip is needed to see it). Thread-safe: network reader
+    threads and the app thread both hit the forwarder."""
     import threading
 
     orig = bullet._apply_update
@@ -125,5 +206,8 @@ def attach_live_bridge(bullet, sim, peer: int = 0):
         def flush(self) -> int:
             with lock:
                 return sim.run_until_converged()
+
+        def view(self, refresh: str = "apply") -> ReplicaView:
+            return ReplicaView(sim, peer, refresh=refresh, lock=lock)
 
     return _Handle()

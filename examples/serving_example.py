@@ -52,25 +52,29 @@ def main() -> None:
             lambda: len(serving.store.get("catalog", {})) == 40
         ), "flood did not finish"
 
-        # materialize the mirror on device and serve
+        # serve through the read-only facade: the default apply-only
+        # refresh folds queued mirror writes in per query — request
+        # handlers get queries without write access or explicit flushes
+        view = handle.view()
+        gold = view.equals("catalog", "tier", "gold")
+        assert len(gold) == 10, gold
+        mid = view.range("catalog", "price", 20.0, 29.0)
+        assert len(mid) == 10, mid
+        assert view.count("catalog", "tier", "std") == 30
+        assert view.get("catalog/item07/price") == 17.0
+
+        # full convergence only matters for multi-peer engine state
         handle.flush()
         assert sim.tables_equal()
 
-        gold = sim.equals(0, "catalog", "tier", "gold")
-        assert len(gold) == 10, gold
-        mid = sim.range(0, "catalog", "price", 20.0, 29.0)
-        assert len(mid) == 10, mid
-        assert sim.count(0, "catalog", "tier", "std") == 30
-        assert sim.get(0, "catalog/item07/price") == 17.0
-
-        # live update: the writer reprices one item; the mirror follows
+        # live update: the writer reprices one item; the view follows
+        # without a flush
         writer.get("catalog/item00/price").put(99.0)
         assert wait_for(
             lambda: serving.store["catalog"]["item00"]["price"] == 99.0
         )
-        handle.flush()
-        assert sim.get(0, "catalog/item00/price") == 99.0
-        assert sim.range(0, "catalog", "price", 90.0, 100.0) == [
+        assert view.get("catalog/item00/price") == 99.0
+        assert view.range("catalog", "price", 90.0, 100.0) == [
             "catalog/item00"
         ]
 

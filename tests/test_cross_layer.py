@@ -373,3 +373,73 @@ def test_mixed_ingestion_fuzz_converge_vs_reconcile(seed):
     ):
         got = final_state(layout, finish)
         assert got == ref, (layout, seed)
+
+
+def test_replica_view_serving_facade():
+    """handle.view(): a read-only query facade bound to the mirror peer.
+    The default apply-only refresh folds queued mirror writes in before
+    each query (no explicit flush needed — every mirror write targets the
+    bound peer's own row); refresh=None serves the last applied state;
+    the facade exposes NO write surface."""
+    from bullet_tpu.models.bridge import ReplicaView, attach_live_bridge
+
+    sim = PeerNetworkSim(2, capacity=256, topology="ring", layout="rank1")
+    db = bt.create({"storage": False, "disable_network": True})
+    handle = attach_live_bridge(db, sim, peer=0)
+    try:
+        for i, (name, role, age) in enumerate(
+            [("ann", "admin", 34), ("bo", "user", 19), ("cy", "admin", 52)]
+        ):
+            db.get(f"users/{name}/role").put(role)
+            db.get(f"users/{name}/age").put(age)
+
+        view = handle.view()  # refresh="apply": no flush() needed
+        assert sorted(view.equals("users", "role", "admin")) == [
+            "users/ann", "users/cy"]
+        assert view.count("users", "role", "admin") == 2
+        assert view.range("users", "age", 20, 60) == ["users/ann", "users/cy"]
+        assert view.get("users/bo/age") == 19
+        assert view.find("users", lambda row: row.get("role") == "user") == "users/bo"
+        assert sorted(view.map("users", lambda row: row.get("age"))) == [19, 34, 52]
+        assert view.filter("users", lambda row: row.get("age", 0) > 30) == [
+            "users/ann", "users/cy"]
+
+        # stale view: refresh=None does NOT see post-snapshot writes
+        stale = handle.view(refresh=None)
+        db.get("users/dee/role").put("admin")
+        assert stale.count("users", "role", "admin") == 2
+        assert view.count("users", "role", "admin") == 3  # live view does
+        assert stale.count("users", "role", "admin") == 3  # now applied
+
+        # no write surface
+        for name in ("put", "put_bulk", "remove", "set_data"):
+            assert not hasattr(view, name)
+    finally:
+        handle.detach()
+        db.close()
+
+
+def test_replica_view_converge_policy_multi_writer():
+    """refresh="converge" is the multi-writer policy: the OTHER bridge's
+    writes only become visible at this peer through gossip."""
+    from bullet_tpu.models.bridge import attach_live_bridge
+
+    sim = PeerNetworkSim(2, capacity=256, topology="ring", layout="rank1")
+    a = bt.create({"storage": False, "disable_network": True})
+    b = bt.create({"storage": False, "disable_network": True})
+    ha = attach_live_bridge(a, sim, peer=0)
+    hb = attach_live_bridge(b, sim, peer=1)
+    try:
+        a.get("k/x").put(1)
+        b.get("k/y").put(2)
+        apply_only = ha.view()  # peer 0: sees only its own mirror stream
+        assert apply_only.get("k/x") == 1
+        assert apply_only.get("k/y") is None
+        converged = ha.view(refresh="converge")
+        assert converged.get("k/y") == 2
+        assert apply_only.get("k/y") == 2  # gossip already ran
+    finally:
+        ha.detach()
+        hb.detach()
+        a.close()
+        b.close()
