@@ -1191,14 +1191,17 @@ class PeerNetworkSim:
         window (ops/packed.py window-join kernels; ~15x the sequential
         fused rounds on hardware at the north-star shape).
 
-        Eligible: packed-family layouts on ring/chain topologies without
-        a device mesh. On TPU at full-P-stripe shapes with a shipped
-        window depth (``stripe_window``: rank1/rank; packed's window body
-        exceeds scoped VMEM) the in-place Pallas kernel runs; otherwise
-        the whole-table XLA window twin (any shape, any backend). Other
-        configurations (dense layouts, meshes, generic topologies)
-        delegate to ``step(rounds)`` — identical semantics, sequential
-        speed.
+        Eligible: packed-family layouts on ring/chain topologies. On TPU
+        at full-P-stripe shapes with a shipped window depth
+        (``stripe_window``: rank1/rank; packed's window body exceeds
+        scoped VMEM) the in-place Pallas kernel runs; under a shard_map
+        mesh, the explicit-SPMD window exchanges m boundary rows in ONE
+        collective per m rounds (``ring_window_shardmap_packed`` —
+        passes capped at the per-device row count); everything else
+        (including data-mesh sharding, where the rolls become XLA
+        collectives) rides the whole-table XLA window twin. Dense
+        layouts and generic topologies delegate to ``step(rounds)`` —
+        identical semantics, sequential speed.
 
         Accounting: ``stats["gossip_rounds"]`` advances by ``rounds``,
         but intermediate rounds are never materialized, so per-round
@@ -1211,14 +1214,10 @@ class PeerNetworkSim:
         windowable = (
             self.layout in PACKED_FAMILY
             and self.topology.kind in ("ring", "chain")
-            and self._gossip_mesh() is None
-            and self.mesh is None
-            and self.use_pallas is not False
         )
         if not windowable:
             return self.step(rounds)
         from ..ops.packed import (
-            ring_window_packed_traced,
             ring_window_packed_xla,
             stripe_window,
             window_ring_supported,
@@ -1232,16 +1231,28 @@ class PeerNetworkSim:
         self._frontier_dirty = None  # untracked gossip advances stripes
         wrap = self.topology.kind == "ring"
         p, n = self.table[0].shape
+        spmd_mesh = self._gossip_mesh()
         depth = stripe_window(len(self.table))
         use_kernel = (
-            jax.default_backend() == "tpu"
+            spmd_mesh is None
+            and jax.default_backend() == "tpu"
+            and self.use_pallas is not False
             and depth > 0
             and window_ring_supported(p, n, len(self.table))
         )
         left = rounds
         residual = 0
         while left:
-            if use_kernel:
+            if spmd_mesh is not None:
+                from ..parallel.shardmap_gossip import (
+                    ring_window_shardmap_packed,
+                )
+
+                m = min(left, p // spmd_mesh.devices.size)
+                self.table, changed = ring_window_shardmap_packed(
+                    self.table, spmd_mesh, wrap, m
+                )
+            elif use_kernel:
                 m = min(depth, left)
                 self.table, changed = _window_jit(self.table, wrap, m, False)
             else:

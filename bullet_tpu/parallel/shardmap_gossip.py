@@ -363,6 +363,101 @@ def ring_round_shardmap_packed(table, mesh, wrap: bool = True):
     return tcls(*fields), changed
 
 
+def _window_block_packed(tcls, wrap: bool, m: int, *fields):
+    """Per-device window-join body: ONE m-row boundary exchange buys m
+    ring/chain rounds. Each device ppermutes its m edge rows per direction
+    (the same total boundary bytes as m single rounds, but ONE collective
+    latency instead of m), extends its local block to [m + local_p + m]
+    rows, and computes the radius-m window join in O(log m) 3-way joins
+    (the merge is an idempotent lattice join, so m Jacobi rounds ≡ one
+    radius-m window — ops/packed._window_stripe_fullp's proof). Ext-edge
+    shifts zero-fill: rows within r of the ext edge are invalid at radius
+    r, and the trapezoid argument (valid(q, r+s) needs valid(q±s, r))
+    keeps every CENTER row exact because the halo is exactly m deep; on
+    the global chain edges the zero-masked halos are not garbage but the
+    exact identity the classic chain round uses. The final round runs
+    classically so the psum'd count is the exact classic round-m residual
+    over center rows. Requires m ≤ local rows (the slab comes from ONE
+    neighbor)."""
+    from ..ops.packed import _lex_gt_packed, _window_chain, table_keys
+
+    axis_size = jax.lax.axis_size(PEER_AXIS)
+    idx = jax.lax.axis_index(PEER_AXIS)
+    fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+    block = list(fields)
+    local_p = block[0].shape[0]
+
+    from_prev = [
+        jax.lax.ppermute(f[-m:, :], PEER_AXIS, fwd) for f in block
+    ]
+    from_next = [jax.lax.ppermute(f[:m, :], PEER_AXIS, bwd) for f in block]
+    if not wrap:
+        is_first = idx == 0
+        is_last = idx == axis_size - 1
+        from_prev = [
+            jnp.where(is_first, jnp.zeros_like(f), f) for f in from_prev
+        ]
+        from_next = [
+            jnp.where(is_last, jnp.zeros_like(f), f) for f in from_next
+        ]
+    ext = [
+        jnp.concatenate([fp, f, fn], axis=0)
+        for fp, f, fn in zip(from_prev, block, from_next)
+    ]
+
+    ext_p = local_p + 2 * m
+    row = jax.lax.broadcasted_iota(jnp.int32, ext[0].shape, 0)
+
+    def shifted(vs, s: int):
+        out = []
+        for f in vs:
+            rolled = jnp.roll(f, s, axis=0)
+            edge = row < s if s > 0 else row >= ext_p + s
+            out.append(jnp.where(edge, 0, rolled))
+        return out
+
+    def lexmax(a_vals, b_vals):
+        gt = _lex_gt_packed(
+            table_keys(tuple(b_vals)), table_keys(tuple(a_vals))
+        )
+        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)], gt
+
+    vals = ext
+    for s in _window_chain(m - 1):
+        vals, _ = lexmax(vals, shifted(vals, +s))
+        vals, _ = lexmax(vals, shifted(vals, -s))
+    m1, gt1 = lexmax(vals, shifted(vals, +1))
+    m2, gt2 = lexmax(m1, shifted(m1, -1))
+    center = (row >= m) & (row < m + local_p)
+    c = jnp.sum((gt1 & center).astype(jnp.int32)) + jnp.sum(
+        (gt2 & center).astype(jnp.int32)
+    )
+    changed = jax.lax.psum(c, PEER_AXIS)
+    return (*(v[m : m + local_p, :] for v in m2), changed)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "wrap", "m"))
+def ring_window_shardmap_packed(table, mesh, wrap: bool, m: int):
+    """m explicit-SPMD ring/chain rounds per ONE boundary collective
+    round-trip: the multi-chip twin of ops/packed.ring_window_packed_traced
+    — bit-identical state to m classic rounds, exact classic round-m
+    residual (psum over devices). m must not exceed the per-device row
+    count; the sim's fast_forward caps its passes accordingly."""
+    nf, tcls = len(table), type(table)
+    assert m <= table[0].shape[0] // mesh.devices.size, (
+        "window depth exceeds per-device rows"
+    )
+    fn = jax.shard_map(
+        functools.partial(_window_block_packed, tcls, wrap, m),
+        mesh=mesh,
+        in_specs=tuple(P(PEER_AXIS, None) for _ in range(nf)),
+        out_specs=(*[P(PEER_AXIS, None)] * nf, P()),
+    )
+    *fields, changed = fn(*table)
+    return tcls(*fields), changed
+
+
 def _mesh_block_packed(tcls, steps: int, axis_size: int, *fields):
     from ..ops.packed import merge_packed_xla
 

@@ -90,3 +90,32 @@ def test_fast_forward_applies_pending_ops():
     assert ra == rb
     _tables_equal(a, b)
     assert a.get(5, "late/x") == b.get(5, "late/x") == 99
+
+
+@pytest.mark.parametrize("layout", ["packed", "rank1"])
+@pytest.mark.parametrize("topology", ["ring", "chain"])
+def test_fast_forward_spmd_matches_step(layout, topology):
+    """Under a shard_map mesh, fast_forward rides the explicit-SPMD window
+    (one m-row boundary collective per m rounds, passes capped at the
+    per-device row count — 2 here, so a 7-round jump spans 4 passes) and
+    stays bit-identical to step()."""
+    kw = dict(mesh_devices=8, use_shard_map=True)
+    for k in (1, 3, 7):
+        a, b = _pair(layout, topology, n=16, seed=20 + k, **kw)
+        ra = a.step(k)
+        rb = b.fast_forward(k)
+        assert ra == rb, (layout, topology, k)
+        _tables_equal(a, b)
+        assert b.stats["windowed_rounds"] == k
+        for peer in (0, 15):
+            assert a.get(peer, "users/u3/f1") == b.get(peer, "users/u3/f1")
+
+
+def test_fast_forward_data_mesh_matches_step():
+    """Data-mesh sharding (no shard_map): the XLA window twin runs with
+    XLA-inferred collectives; still bit-identical to step()."""
+    a, b = _pair("rank1", "ring", n=16, seed=31, mesh_devices=8)
+    ra, rb = a.step(5), b.fast_forward(5)
+    assert ra == rb
+    _tables_equal(a, b)
+    assert b.stats["windowed_rounds"] == 5
