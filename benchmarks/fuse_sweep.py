@@ -60,14 +60,17 @@ def build_packed(num_peers, capacity, layout="packed"):
     return build
 
 
-def time_fuse(num_peers, capacity, fuse, layout="packed"):
+def time_fuse(num_peers, capacity, fuse, layout="packed", window=False):
     from bullet_tpu.ops.packed import (
         ring_multiround_packed_traced,
         ring_round_packed_traced,
+        ring_window_packed_traced,
     )
 
     def packed_round(_, t):
-        if fuse == 1:
+        if window:
+            t2, _c = ring_window_packed_traced(t, True, fuse, False)
+        elif fuse == 1:
             t2, _c = ring_round_packed_traced(t, True, False)
         else:
             t2, _c = ring_multiround_packed_traced(t, True, fuse, False)
@@ -101,15 +104,22 @@ def time_fuse(num_peers, capacity, fuse, layout="packed"):
 def main():
     shape = os.environ.get("BULLET_SWEEP_SHAPE", "1024x1048576")
     layout = os.environ.get("BULLET_SWEEP_LAYOUT", "packed")
+    # BULLET_SWEEP_WINDOW=1 sweeps the O(log m) window-join kernel instead
+    # of the sequential multiround (depths need not divide ROUNDS evenly in
+    # spirit, but the loop math here still requires it)
+    window = os.environ.get("BULLET_SWEEP_WINDOW", "0") == "1"
     num_peers, capacity = (int(x) for x in shape.split("x"))
     sweep = [int(m) for m in os.environ.get(
-        "BULLET_SWEEP_M", "1,5,8,10,12,16").split(",")]
+        "BULLET_SWEEP_M", "40,80,120" if window else "1,5,8,10,12,16"
+    ).split(",")]
     print(f"# shape P={num_peers} N={capacity} rounds={ROUNDS} "
-          f"layout={layout} backend={jax.default_backend()}", flush=True)
+          f"layout={layout} window={window} "
+          f"backend={jax.default_backend()}", flush=True)
     results = []
     for m in sweep:
         assert ROUNDS % m == 0, m
-        merges, dt, compile_s = time_fuse(num_peers, capacity, m, layout)
+        merges, dt, compile_s = time_fuse(
+            num_peers, capacity, m, layout, window=window)
         row = {"M": m, "merges_per_s": merges, "run_s": round(dt, 3),
                "compile_s": round(compile_s, 1),
                "us_per_round": round(dt / ROUNDS * 1e6, 2)}

@@ -311,6 +311,33 @@ def main() -> None:
     exp_1rec = reconcile_packed_xla(Rank1Table(jnp.asarray(host_rank1[0])))
     check_shards(got_1rec, exp_1rec, Rank1Table._fields)
 
+    # ---- SPMD window fast_forward path across the process boundary ----
+    # m rounds per ONE boundary collective (m-row slab ppermute + local
+    # window join): state AND classic round-m residual must bit-match m
+    # sequential unsharded rounds. m=8 == the per-device row count (the
+    # slab is a device's whole block — the depth cap boundary).
+    from bullet_tpu.ops.packed import gossip_round_ring_packed
+    from bullet_tpu.parallel.shardmap_gossip import (
+        ring_window_shardmap_packed,
+    )
+
+    for m in (3, 8):
+        global_w = Rank1Table(
+            jax.make_array_from_callback(
+                (pp, nn), psharding, lambda idx: host_rank1[0][idx]
+            )
+        )
+        got_wtbl, got_wres = ring_window_shardmap_packed(
+            global_w, mesh, True, m
+        )
+        exp_w = Rank1Table(jnp.asarray(host_rank1[0]))
+        exp_wres = None
+        for _ in range(m):
+            exp_w, exp_wres = gossip_round_ring_packed(exp_w)
+        assert int(got_wres) == int(exp_wres), (
+            m, int(got_wres), int(exp_wres))
+        check_shards(got_wtbl, exp_w, Rank1Table._fields)
+
     print(f"worker {process_id}: OK", flush=True)
 
 

@@ -245,16 +245,21 @@ def test_ingress_validation_and_hooks_match_packed(layout):
     assert sr2.get(1, "m/b") == 100
 
 
+@pytest.mark.parametrize("topology", ["mesh", "ring"])
 @pytest.mark.parametrize("layout", LAYOUTS)
-def test_interleaved_soak_matches_packed(monkeypatch, layout):
+def test_interleaved_soak_matches_packed(monkeypatch, layout, topology):
     """Randomized interleaving of puts (floats/strings/dicts/nulls), bare
     steps, convergences, reconciles, snapshots, and restores — with a tiny
     RANK_SPAN so respreads fire mid-soak and capacity growth triggers.
-    Every checkpoint compares the decoded cv tables against packed."""
+    Every checkpoint compares the decoded cv tables against packed. The
+    ring variant additionally soaks fast_forward: the rank-side sim jumps
+    with the O(log k) window path wherever the packed side steps
+    sequentially, so the bit-identity contract is exercised under
+    respreads, capacity growth, and snapshot/restore interleavings."""
     monkeypatch.setattr(rk, "RANK_SPAN", 8191)
     rng = np.random.default_rng(42)
-    sp = PeerNetworkSim(5, capacity=64, topology="mesh", layout="packed")
-    sr = PeerNetworkSim(5, capacity=64, topology="mesh", layout=layout)
+    sp = PeerNetworkSim(5, capacity=64, topology=topology, layout="packed")
+    sr = PeerNetworkSim(5, capacity=64, topology=topology, layout=layout)
     strings = [f"s{i:03d}" for i in range(200)]
     rng.shuffle(strings)
     si = 0
@@ -282,7 +287,10 @@ def test_interleaved_soak_matches_packed(monkeypatch, layout):
         elif action < 0.7:
             n = int(rng.integers(0, 3))
             sp.step(rounds=n)
-            sr.step(rounds=n)
+            if topology == "ring" and n:
+                sr.fast_forward(n)  # must bit-match the packed step(n)
+            else:
+                sr.step(rounds=n)
         elif action < 0.82:
             sp.run_until_converged()
             sr.run_until_converged()
