@@ -23,6 +23,8 @@ EXAMPLES = [
     "ws_interop_example.py",
     "incremental_example.py",
     "serving_example.py",
+    "protocol_study_example.py",
+    "rank_layout_example.py",
 ]
 
 EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
