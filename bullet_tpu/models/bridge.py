@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-_MISSING = object()  # "argument omitted" sentinel — forwarded calls drop it
+from .table import MISSING  # the sims' own "argument omitted" sentinel
 
 
 def load_bullet_into_sim(bullet, sim, peer: int = 0) -> int:
@@ -95,11 +95,16 @@ class ReplicaView:
       case where every write targets this peer);
     - ``"converge"``: gossip to the fixed point first (multi-writer
       bridges, where OTHER peers' rows carry the missing writes);
-    - ``None``: serve the last applied state as-is (zero overhead).
+    - ``None``: serve the last applied state as-is (refresh overhead
+      only, not zero: the query itself still serializes).
 
     Thread-safety: pass the owning bridge's lock (``attach_live_bridge``
-    wires its own); refreshes and the underlying host decode then
-    serialize against the mirror's put stream."""
+    wires its own). The lock is held across the WHOLE query, refresh
+    included — reads mutate sim state (capacity growth, re-keying, and
+    on rank1 the decode must use the RankIndex inverse of the same
+    epoch as the ranks it reads), so a query racing a mirror put could
+    otherwise re-key the table mid-put or decode ranks through a newer
+    epoch's inverse."""
 
     def __init__(self, sim, peer: int = 0, refresh: str = "apply",
                  lock=None) -> None:
@@ -112,49 +117,46 @@ class ReplicaView:
         self._refresh = refresh
         self._lock = lock if lock is not None else threading.Lock()
 
-    def _sync(self):
-        with self._lock:
-            if self._refresh == "apply":
-                self._sim.step(rounds=0)
-            elif self._refresh == "converge":
-                self._sim.run_until_converged()
+    def _refresh_locked(self):
+        if self._refresh == "apply":
+            self._sim.step(rounds=0)
+        elif self._refresh == "converge":
+            self._sim.run_until_converged()
 
     def get(self, path: str = ""):
-        self._sync()
-        return self._sim.get(self._peer, path)
+        with self._lock:
+            self._refresh_locked()
+            return self._sim.get(self._peer, path)
 
-    def equals(self, base: str, field, value=_MISSING):
-        self._sync()
-        if value is _MISSING:
-            return self._sim.equals(self._peer, base, field)
-        return self._sim.equals(self._peer, base, field, value)
+    def equals(self, base: str, field, value=MISSING):
+        with self._lock:
+            self._refresh_locked()
+            return self._sim.equals(self._peer, base, field, value)
 
-    def range(self, base: str, field, lo=_MISSING, hi=_MISSING):
-        self._sync()
-        kw = {}
-        if lo is not _MISSING:
-            kw["lo"] = lo
-        if hi is not _MISSING:
-            kw["hi"] = hi
-        return self._sim.range(self._peer, base, field, **kw)
+    def range(self, base: str, field, lo=MISSING, hi=MISSING):
+        with self._lock:
+            self._refresh_locked()
+            return self._sim.range(self._peer, base, field, lo, hi)
 
-    def count(self, base: str, field, value=_MISSING) -> int:
-        self._sync()
-        if value is _MISSING:
-            return self._sim.count(self._peer, base, field)
-        return self._sim.count(self._peer, base, field, value)
+    def count(self, base: str, field, value=MISSING) -> int:
+        with self._lock:
+            self._refresh_locked()
+            return self._sim.count(self._peer, base, field, value)
 
     def filter(self, base: str, fn):
-        self._sync()
-        return self._sim.filter(self._peer, base, fn)
+        with self._lock:
+            self._refresh_locked()
+            return self._sim.filter(self._peer, base, fn)
 
     def find(self, base: str, fn):
-        self._sync()
-        return self._sim.find(self._peer, base, fn)
+        with self._lock:
+            self._refresh_locked()
+            return self._sim.find(self._peer, base, fn)
 
     def map(self, base: str, fn):
-        self._sync()
-        return self._sim.map(self._peer, base, fn)
+        with self._lock:
+            self._refresh_locked()
+            return self._sim.map(self._peer, base, fn)
 
 
 def attach_live_bridge(bullet, sim, peer: int = 0):

@@ -1182,6 +1182,45 @@ class PeerNetworkSim:
         self._fire_subscriptions()
         return residual
 
+    def _fast_forward_route(self) -> str:
+        """Which implementation fast_forward uses for this sim state:
+        "spmd" (shard_map window, one boundary collective per pass),
+        "pallas" (in-place single-device window kernel), "xla"
+        (whole-table XLA window twin — off-TPU only: it materializes
+        rolled table copies, so on TPU it would break the one-table
+        memory envelope at exactly the shapes that need it), or "step"
+        (sequential delegation: dense layouts, generic topologies, and
+        any TPU configuration without an in-place kernel — including
+        data-mesh sharding, where a Pallas call on the partitioned table
+        would gather it onto one device)."""
+        if (
+            self.layout not in PACKED_FAMILY
+            or self.topology.kind not in ("ring", "chain")
+        ):
+            return "step"
+        if self._gossip_mesh() is not None:
+            return "spmd"
+        on_tpu = jax.default_backend() == "tpu"
+        if not on_tpu:
+            return "xla"
+        if self.mesh is not None or self.use_pallas is False:
+            return "step"
+        from ..ops.packed import stripe_window, window_ring_supported
+
+        p, n = self.table[0].shape
+        if stripe_window(len(self.table)) > 0 and window_ring_supported(
+            p, n, len(self.table)
+        ):
+            return "pallas"
+        if self._frontier_tile() > 0:
+            # no in-place window kernel for this arity/shape (e.g. packed
+            # nf=3), but the fused frontier loop with max_rounds=k IS an
+            # exact k-round advancement — in-place, fuse-deep, settled
+            # stripes skipped — with the exact cutoff residual (the
+            # tested honest-residual contract)
+            return "frontier"
+        return "step"
+
     def fast_forward(self, rounds: int) -> int:
         """Advance EXACTLY ``rounds`` gossip rounds, bit-identical to
         ``step(rounds)`` (same final table, same returned last-round
@@ -1191,17 +1230,24 @@ class PeerNetworkSim:
         window (ops/packed.py window-join kernels; ~15x the sequential
         fused rounds on hardware at the north-star shape).
 
-        Eligible: packed-family layouts on ring/chain topologies. On TPU
-        at full-P-stripe shapes with a shipped window depth
-        (``stripe_window``: rank1/rank; packed's window body exceeds
-        scoped VMEM) the in-place Pallas kernel runs; under a shard_map
-        mesh, the explicit-SPMD window exchanges m boundary rows in ONE
-        collective per m rounds (``ring_window_shardmap_packed`` —
-        passes capped at the per-device row count); everything else
-        (including data-mesh sharding, where the rolls become XLA
-        collectives) rides the whole-table XLA window twin. Dense
-        layouts and generic topologies delegate to ``step(rounds)`` —
-        identical semantics, sequential speed.
+        Routing (``_fast_forward_route``): packed-family ring/chain sims
+        only. Under a shard_map mesh, the explicit-SPMD window exchanges
+        m boundary rows in ONE collective per m rounds
+        (``ring_window_shardmap_packed`` — passes capped at the
+        per-device row count). Single-device on TPU, the in-place Pallas
+        window runs at shapes/arities ``window_ring_supported`` admits
+        (rank1 to P=4096, rank to P=1024); arities/shapes without a
+        window kernel but with a frontier kernel (e.g. packed nf=3 at
+        the north star) run the fused FRONTIER loop with max_rounds=k —
+        an exact in-place k-round advancement with the exact cutoff
+        residual, at frontier speed. Off-TPU, the whole-table XLA window
+        twin covers everything, including data-mesh sharding (the rolls
+        lower to XLA collectives). Everything else — dense layouts,
+        generic topologies, TPU data-mesh — delegates to
+        ``step(rounds)``: the XLA window materializes rolled table
+        copies, which would break the one-table-allocation memory
+        envelope the in-place kernels guarantee at north-star-sized
+        tables.
 
         Accounting: ``stats["gossip_rounds"]`` advances by ``rounds``,
         but intermediate rounds are never materialized, so per-round
@@ -1209,59 +1255,59 @@ class PeerNetworkSim:
         only the FINAL round's residual there and records the skipped
         rounds in ``stats["windowed_rounds"]``. Use ``step`` when the
         per-round merge counts are themselves the result."""
-        if rounds <= 0:
+        route = self._fast_forward_route()
+        if rounds <= 0 or route == "step":
             return self.step(rounds)
-        windowable = (
-            self.layout in PACKED_FAMILY
-            and self.topology.kind in ("ring", "chain")
-        )
-        if not windowable:
-            return self.step(rounds)
-        from ..ops.packed import (
-            ring_window_packed_xla,
-            stripe_window,
-            window_ring_supported,
-        )
 
         self._ensure_capacity()
         self._maybe_rekey()
         self.tick += 1
         self.stats["ops_applied"] += self._apply_pending()
         self.hooks.fire_after_puts()
-        self._frontier_dirty = None  # untracked gossip advances stripes
         wrap = self.topology.kind == "ring"
         p, n = self.table[0].shape
-        spmd_mesh = self._gossip_mesh()
-        depth = stripe_window(len(self.table))
-        use_kernel = (
-            spmd_mesh is None
-            and jax.default_backend() == "tpu"
-            and self.use_pallas is not False
-            and depth > 0
-            and window_ring_supported(p, n, len(self.table))
-        )
-        left = rounds
-        residual = 0
-        while left:
-            if spmd_mesh is not None:
-                from ..parallel.shardmap_gossip import (
-                    ring_window_shardmap_packed,
-                )
 
-                m = min(left, p // spmd_mesh.devices.size)
-                self.table, changed = ring_window_shardmap_packed(
-                    self.table, spmd_mesh, wrap, m
-                )
-            elif use_kernel:
-                m = min(depth, left)
-                self.table, changed = _window_jit(self.table, wrap, m, False)
-            else:
-                m = left
-                self.table, changed = ring_window_packed_xla(
-                    self.table, wrap, m
-                )
-            left -= m
-            residual = int(changed)
+        if route == "frontier":
+            from ..ops.packed import frontier_fuse, gossip_frontier_packed
+
+            t_total = n // self._frontier_tile()
+            self.table, rounds_exec, last_changed = gossip_frontier_packed(
+                self.table, self._frontier_seed(t_total), wrap, rounds,
+                interpret=False, fuse=frontier_fuse(len(self.table)),
+            )
+            self._finish_frontier(t_total, rounds_exec, last_changed, rounds)
+            residual = int(last_changed)
+        else:
+            self._frontier_dirty = None  # untracked gossip advances stripes
+            left = rounds
+            residual = 0
+            while left:
+                if route == "spmd":
+                    from ..parallel.shardmap_gossip import (
+                        ring_window_shardmap_packed,
+                    )
+
+                    spmd_mesh = self._gossip_mesh()
+                    m = min(left, p // spmd_mesh.devices.size)
+                    self.table, changed = ring_window_shardmap_packed(
+                        self.table, spmd_mesh, wrap, m
+                    )
+                elif route == "pallas":
+                    from ..ops.packed import stripe_window
+
+                    m = min(stripe_window(len(self.table)), left)
+                    self.table, changed = _window_jit(
+                        self.table, wrap, m, False
+                    )
+                else:  # "xla"
+                    from ..ops.packed import ring_window_packed_xla
+
+                    m = left
+                    self.table, changed = ring_window_packed_xla(
+                        self.table, wrap, m
+                    )
+                left -= m
+                residual = int(changed)
         self.stats["gossip_rounds"] += rounds
         self.stats["windowed_rounds"] += rounds
         self.stats["merged_entries"] += residual

@@ -1132,13 +1132,18 @@ def window_tile_n(p: int, n: int, nf: int) -> int:
 def window_ring_supported(p: int, n: int, nf: int) -> bool:
     """Shapes the full-P window kernel can tile: 8-aligned peer axis, a
     128-aligned slot tile dividing n, within the arity-aware window
-    budget (the 128-lane tile floor can exceed a small budget at large P
-    — the p*tile bound rejects that, mirroring packed_ring_supported)."""
+    budget. The bound is STRICT (p*tile ≤ budget, no 2× slack): the
+    128-lane tile floor would otherwise admit P=8192 nf=1 blocks at 2×
+    the measured P=4096 envelope — an untested cell where the 6-step
+    unrolled body plausibly fails scoped-vmem AOT, and fast_forward has
+    no fallback past this predicate (it commits to the kernel). Every
+    hardware-measured cell (rank1 P≤4096, rank P≤1024) sits exactly at
+    or under the strict bound."""
     if p % 8 or n % 128:
         return False
     tile = window_tile_n(p, n, nf)
     budget = _STRIPE_MAX_ELEMS * (4 if nf == 1 else 1)
-    return tile > 0 and p * tile <= budget * 2
+    return tile > 0 and p * tile <= budget
 
 
 def ring_window_packed_traced(

@@ -119,3 +119,84 @@ def test_fast_forward_data_mesh_matches_step():
     assert ra == rb
     _tables_equal(a, b)
     assert b.stats["windowed_rounds"] == 5
+
+
+def test_fast_forward_route_matrix(monkeypatch):
+    """Pin the route decision per configuration — especially the TPU
+    memory-envelope rules the CPU test matrix can't exercise: the XLA
+    window (table-copying rolls) must NEVER be chosen on TPU, packed
+    nf=3 takes the in-place frontier loop, data-mesh on TPU delegates to
+    step, and untested window shapes past the strict budget fall back."""
+    import bullet_tpu.models.netsim as ns
+
+    def route(sim, backend):
+        monkeypatch.setattr(
+            ns.jax, "default_backend", lambda: backend
+        )
+        try:
+            return sim._fast_forward_route()
+        finally:
+            monkeypatch.undo()
+
+    r1 = PeerNetworkSim(8, capacity=256, topology="ring", layout="rank1")
+    assert route(r1, "cpu") == "xla"
+    assert route(r1, "tpu") == "pallas"
+
+    pk3 = PeerNetworkSim(8, capacity=256, topology="chain", layout="packed")
+    assert route(pk3, "cpu") == "xla"
+    assert route(pk3, "tpu") == "frontier"  # no nf=3 window kernel
+
+    dense = PeerNetworkSim(8, capacity=256, topology="ring")
+    assert route(dense, "tpu") == "step"
+
+    mesh_topo = PeerNetworkSim(8, capacity=256, topology="mesh",
+                               layout="rank1")
+    assert route(mesh_topo, "tpu") == "step"
+
+    dm = PeerNetworkSim(16, capacity=256, topology="ring", layout="rank1",
+                        mesh_devices=8)
+    assert route(dm, "cpu") == "xla"
+    assert route(dm, "tpu") == "step"  # data-mesh: no Pallas on shards
+
+    spmd = PeerNetworkSim(16, capacity=256, topology="ring", layout="rank1",
+                          mesh_devices=8, use_shard_map=True)
+    assert route(spmd, "cpu") == "spmd"
+    assert route(spmd, "tpu") == "spmd"
+
+    xla_only = PeerNetworkSim(8, capacity=256, topology="ring",
+                              layout="rank1", use_pallas=False)
+    assert route(xla_only, "tpu") == "step"  # explicit XLA-only switch
+
+    # strict-budget boundary: the window predicate itself
+    from bullet_tpu.ops.packed import window_ring_supported
+
+    assert window_ring_supported(4096, 1 << 18, 1)
+    assert not window_ring_supported(8192, 1 << 18, 1)  # untested cell
+    assert not window_ring_supported(2048, 1 << 18, 2)
+
+
+def test_fast_forward_frontier_route_matches_step(monkeypatch):
+    """The frontier route (packed nf=3 on TPU) advances exactly k rounds
+    with step's residual contract — driven here in interpret mode by
+    forcing the route while staying on CPU kernels."""
+    import bullet_tpu.models.netsim as ns
+    import bullet_tpu.ops.packed as pk
+
+    for k in (2, 5, 40):  # 40 > convergence: cutoff AND converged cases
+        a, b = _pair("packed", "ring", seed=50 + k)
+        monkeypatch.setattr(
+            b, "_fast_forward_route", lambda: "frontier"
+        )
+        # interpret-mode kernels on CPU: patch the pallas entry the route
+        # uses so the test runs without a TPU
+        orig = pk.gossip_frontier_packed
+        monkeypatch.setattr(
+            pk, "gossip_frontier_packed",
+            lambda table, dirty, wrap, mr, interpret=False, fuse=1:
+                orig(table, dirty, wrap, mr, interpret=True, fuse=fuse),
+        )
+        ra = a.step(k)
+        rb = b.fast_forward(k)
+        monkeypatch.undo()
+        assert ra == rb, (k, ra, rb)
+        _tables_equal(a, b)
