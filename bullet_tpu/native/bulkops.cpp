@@ -250,10 +250,15 @@ int64_t bk_reduce_flat_ops_rank(const int32_t* peer, const int32_t* slot,
 //  * returns 1 when the merged rank sequence is not strictly increasing
 //    from >= 1 (the caller respreads), else 0.
 // out_new_ranks is aligned with the INPUT batch order (the caller does
-// rank_of[vids] = out_new_ranks on the unsorted vids array). The batch
-// keys arrive as raw int32 (cls, khi, klo) triples and fuse inline (k1 =
-// cls·2^32 | (khi + bias), k2 = klo + bias — RankIndex._fuse exactly),
-// saving the Python-side int64 conversion passes.
+// rank_of[vids] = out_new_ranks on the unsorted vids array);
+// out_sranks is the merged-order rank sequence (the monotonicity check
+// already walks it — emitting it lets the caller keep ranks in sorted
+// order WITHOUT an O(index) random gather through rank_of, which on a
+// 1-CPU host cost more than this whole merge at multi-million indexes).
+// The batch keys arrive as raw int32 (cls, khi, klo) triples and fuse
+// inline (k1 = cls·2^32 | (khi + bias), k2 = klo + bias —
+// RankIndex._fuse exactly), saving the Python-side int64 conversion
+// passes.
 int32_t bk_rank_insert_batch(
     const int64_t* sk1, const int64_t* sk2, const int64_t* svids,
     const int64_t* sranks, int64_t m,
@@ -261,7 +266,7 @@ int32_t bk_rank_insert_batch(
     const int64_t* bvids, int64_t k,
     int64_t bias, int64_t rank_span,
     int64_t* out_k1, int64_t* out_k2, int64_t* out_svids,
-    int64_t* out_new_ranks) {
+    int64_t* out_sranks, int64_t* out_new_ranks) {
   // stable LSD radix by (k1, k2): k2-low passes first, then k1. The fused
   // keys are non-negative (k2 = klo + 2^31 bias < 2^32, k1 = cls·2^32 +
   // biased khi < ~2^35), and vids ascend in input order, so stability
@@ -333,6 +338,7 @@ int32_t bk_rank_insert_batch(
       out_k1[o] = sk1[i];
       out_k2[o] = sk2[i];
       out_svids[o] = svids[i];
+      out_sranks[o] = sranks[i];
       if (sranks[i] <= prev_rank) respread = 1;
       prev_rank = sranks[i];
       ++i;
@@ -357,6 +363,7 @@ int32_t bk_rank_insert_batch(
       out_k1[o] = bk1[q2];
       out_k2[o] = bk2[q2];
       out_svids[o] = bvids[q2];
+      out_sranks[o] = r;
       if (r <= prev_rank) respread = 1;
       prev_rank = r;
       ++o;
@@ -367,6 +374,7 @@ int32_t bk_rank_insert_batch(
     out_k1[o] = sk1[i];
     out_k2[o] = sk2[i];
     out_svids[o] = svids[i];
+    out_sranks[o] = sranks[i];
     if (sranks[i] <= prev_rank) respread = 1;
     prev_rank = sranks[i];
     ++i;

@@ -367,11 +367,14 @@ class RankIndex:
     def __init__(self) -> None:
         self._rank_of = np.zeros(0, dtype=np.int64)  # by vid
         self._svids = np.zeros(0, dtype=np.int64)  # vids sorted by key
+        self._sranks = np.zeros(0, dtype=np.int64)  # ranks in svids order
         self._sk1 = np.zeros(0, dtype=np.int64)
         self._sk2 = np.zeros(0, dtype=np.int64)
         self.needs_rekey = False
         self.epoch = 0  # bumped on every respread
         self._inv_cache = None  # (sranks, svids), invalidated on insert
+        self._scratch = [None, None]  # native merge pools (_merge_scratch)
+        self._scratch_i = 0
         # (sorted ranks, vids) as of the moment the LAST respread fired —
         # the inverse the rank1 layout needs to decode a device table that
         # still holds the pre-respread ranks (see rekey_rank1). None until
@@ -398,9 +401,10 @@ class RankIndex:
         """Cached (sorted ranks int64, vids int64) — rebuilt only after an
         insert/respread (reads on the rank1 layout hit this per call)."""
         if self._inv_cache is None:
-            self._inv_cache = (
-                self._rank_of[self._svids], self._svids
-            )
+            # _sranks is maintained in merged order by every insert path —
+            # no O(index) random gather through rank_of (which dominated
+            # 1M-batch inserts at multi-million indexes on a 1-CPU host)
+            self._inv_cache = (self._sranks, self._svids)
         return self._inv_cache
 
     def inverse_arrays(self, dtype=np.int32):
@@ -448,11 +452,31 @@ class RankIndex:
         hit = (ranks > 0) & (sranks[idx] == ranks)
         return np.where(hit, svids[idx], -1)
 
+    def _merge_scratch(self, need: int):
+        """Alternating persistent output pools for the native sort-merge:
+        the merged (k1, k2, svids, sranks) arrays this call produces BECOME the
+        stored index (views into the pool), so the NEXT insert reads them
+        as inputs — alternation guarantees inputs and outputs never
+        alias. Reusing warm pages avoids the fresh-125-MB-per-call
+        allocation churn that tripled insert wall time under memory
+        pressure (docstring of native.rank_insert_batch). Holds at most
+        2 × 4 × capacity × 8 B of host RAM, grown by doubling."""
+        self._scratch_i ^= 1
+        bufs = self._scratch[self._scratch_i]
+        if bufs is None or len(bufs[0]) < need:
+            # overallocate: growing indexes would otherwise outgrow the
+            # pool on nearly every bulk insert and realloc anyway
+            cap = max(2 * need, 2 * (len(bufs[0]) if bufs else 0))
+            bufs = tuple(np.empty(cap, dtype=np.int64) for _ in range(4))
+            self._scratch[self._scratch_i] = bufs
+        return bufs
+
     def _respread(self) -> None:
         n = len(self._svids)
         gap = RANK_SPAN // (n + 1)
         ranks = (np.arange(1, n + 1, dtype=np.int64)) * gap
         self._rank_of[self._svids] = ranks
+        self._sranks = ranks
         self._inv_cache = None
         self.needs_rekey = True
         self.epoch += 1
@@ -506,19 +530,21 @@ class RankIndex:
         # space respreads, a rank1 device table still holds THESE ranks —
         # rekey_rank1 decodes through them (the gather is already a copy)
         old_svids = self._svids
-        old_ranks = self._rank_of[old_svids]
+        old_ranks = self._sranks  # merged-order ranks: no O(index) gather
 
         from .. import native
 
         nat = native.rank_insert_batch(
             self._sk1, self._sk2, old_svids, old_ranks,
             cls, khi, klo, vids, self._BIAS, RANK_SPAN,
+            out=self._merge_scratch(len(old_svids) + vids.size),
         )
         if nat is not None:
             # single-pass C++ sort-merge (key fuse inline), bit-identical
             # to the numpy chain below (fuzz-tested); ~5x at 1M batches
-            m_k1, m_k2, m_svids, new_ranks, need_respread = nat
+            m_k1, m_k2, m_svids, m_sranks, new_ranks, need_respread = nat
             self._sk1, self._sk2, self._svids = m_k1, m_k2, m_svids
+            self._sranks = m_sranks
             self._rank_of[vids] = new_ranks
             if need_respread:
                 self._respread()
@@ -559,7 +585,7 @@ class RankIndex:
         pos, k1, k2, vids = pos[order], k1[order], k2[order], vids[order]
 
         # neighbor ranks around each insertion gap
-        ranks_sorted = self._rank_of[self._svids]
+        ranks_sorted = self._sranks
         lo_rank = np.where(pos > 0, ranks_sorted[np.maximum(pos - 1, 0)], 0)
         hi_rank = np.where(
             pos < len(ranks_sorted),
@@ -581,10 +607,11 @@ class RankIndex:
         self._svids = np.insert(self._svids, pos, vids)
         self._sk1 = np.insert(self._sk1, pos, k1)
         self._sk2 = np.insert(self._sk2, pos, k2)
+        self._sranks = np.insert(self._sranks, pos, new_ranks)
         self._rank_of[vids] = new_ranks
 
         # any collision with a neighbor rank ⇒ the gap was exhausted
-        all_ranks = self._rank_of[self._svids]
+        all_ranks = self._sranks
         if np.any(all_ranks[1:] <= all_ranks[:-1]) or all_ranks[0] < 1:
             self._respread()
             self.prev_inverse = (

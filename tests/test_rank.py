@@ -488,7 +488,7 @@ def test_native_rank_insert_batch_parity():
                     klo = rng.integers(-2, 2, k).astype(np.int64)
                     native.rank_insert_batch = orig
                     a.insert_batch(vids, cls, khi, klo)
-                    native.rank_insert_batch = lambda *args: None
+                    native.rank_insert_batch = lambda *args, **kw: None
                     b.insert_batch(vids, cls, khi, klo)
                     for x, y in zip(snap(a), snap(b)):
                         if isinstance(x, np.ndarray):
