@@ -21,6 +21,9 @@ _SRCS = [
     os.path.join(_HERE, "bulkops.cpp"),
 ]
 _LIB = os.path.join(_HERE, "libbulletnative.so")
+# must match bulkops.cpp::bk_abi_version — bump together on any exported
+# signature change
+_ABI_VERSION = 2
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -29,12 +32,18 @@ _load_failed = False
 
 def _build() -> bool:
     try:
+        tmp = _LIB + ".build"
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++20", *_SRCS, "-o", _LIB],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++20", *_SRCS, "-o", tmp],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        # atomic rename => NEW inode. ld truncates in place, and dlopen
+        # dedupes by inode — rebuilding over a path the process already
+        # dlopen'd (the stale-ABI recovery path) would otherwise hand back
+        # the OLD mapping and defeat the rebuild.
+        os.replace(tmp, _LIB)
         return True
     except (OSError, subprocess.SubprocessError):
         return False
@@ -58,19 +67,47 @@ def load() -> Optional[ctypes.CDLL]:
         if needs_build and not _build():
             _load_failed = True
             return None
+        def _abi_ok(candidate) -> bool:
+            # a stale library (e.g. preserved timestamps hiding a source
+            # change) may still EXPORT every symbol with an older
+            # signature — calling through a shifted ABI silently corrupts
+            # output buffers. Probe a versioned function instead of a name.
+            try:
+                fn = candidate.bk_abi_version
+            except AttributeError:
+                return False
+            fn.restype = ctypes.c_int32
+            return int(fn()) == _ABI_VERSION
+
         try:
             lib = ctypes.CDLL(_LIB)
-            # a stale library (e.g. preserved timestamps hiding a source
-            # change) lacks newer symbols: probe one and rebuild once
-            getattr(lib, "bk_rank_insert_batch")
-        except (OSError, AttributeError):
+        except OSError:
+            lib = None
+        if lib is None or not _abi_ok(lib):
             if not _build():
                 _load_failed = True
                 return None
+            # glibc dlopen caches by PATH STRING (not inode): re-opening
+            # _LIB while the stale handle lives in this process returns
+            # the OLD mapping even after os.replace swapped the file.
+            # Load the rebuilt library through a process-unique path and
+            # unlink it immediately (the mapping survives the unlink;
+            # _LIB itself now holds the fresh build for future processes).
+            recovery = f"{_LIB}.abi{_ABI_VERSION}.{os.getpid()}"
             try:
-                lib = ctypes.CDLL(_LIB)
-                getattr(lib, "bk_rank_insert_batch")
-            except (OSError, AttributeError):
+                import shutil
+
+                shutil.copy2(_LIB, recovery)
+                lib = ctypes.CDLL(recovery)
+            except OSError:
+                _load_failed = True
+                return None
+            finally:
+                try:
+                    os.unlink(recovery)
+                except OSError:
+                    pass
+            if not _abi_ok(lib):
                 _load_failed = True
                 return None
         lib.six_new.restype = ctypes.c_void_p

@@ -238,6 +238,13 @@ int64_t bk_reduce_flat_ops_rank(const int32_t* peer, const int32_t* slot,
   return n_out + 1;
 }
 
+// ABI version of this library's bk_* surface. Bump whenever an exported
+// function's SIGNATURE changes (not just when symbols appear): the loader
+// rejects mismatches and rebuilds — a name-only probe let a stale .so with
+// the old 16-arg bk_rank_insert_batch receive the new 17-arg call, writing
+// new_ranks into the sranks pool and leaving the caller's array garbage.
+extern "C" int32_t bk_abi_version() { return 2; }
+
 // Single-pass sort-merge twin of ops/rank.py::RankIndex.insert_batch's
 // numpy chain (searchsorted x3 + lexsort + np.insert x3 + gap spread +
 // monotonicity check — ~4.4 s per 1M-value insert at the north-star

@@ -528,17 +528,25 @@ class RankIndex:
 
         # pre-insert inverse snapshot: if this batch exhausts a gap and the
         # space respreads, a rank1 device table still holds THESE ranks —
-        # rekey_rank1 decodes through them (the gather is already a copy)
+        # rekey_rank1 decodes through them. NOTE old_ranks is a LIVE
+        # reference to _sranks (not a copy): prev_inverse safety rests on
+        # the .astype(np.int32) copies below and on no insert path
+        # mutating _sranks in place (the pools only ever back NEW arrays)
         old_svids = self._svids
         old_ranks = self._sranks  # merged-order ranks: no O(index) gather
 
         from .. import native
 
-        nat = native.rank_insert_batch(
-            self._sk1, self._sk2, old_svids, old_ranks,
-            cls, khi, klo, vids, self._BIAS, RANK_SPAN,
-            out=self._merge_scratch(len(old_svids) + vids.size),
-        )
+        nat = None
+        if native.load() is not None:
+            # pools only exist when the native path will use them — a
+            # fallback host would otherwise pin two dead 4-array pools
+            # (~640 MB at a 4M index) the numpy chain never touches
+            nat = native.rank_insert_batch(
+                self._sk1, self._sk2, old_svids, old_ranks,
+                cls, khi, klo, vids, self._BIAS, RANK_SPAN,
+                out=self._merge_scratch(len(old_svids) + vids.size),
+            )
         if nat is not None:
             # single-pass C++ sort-merge (key fuse inline), bit-identical
             # to the numpy chain below (fuzz-tested); ~5x at 1M batches

@@ -369,3 +369,42 @@ def test_native_lookup_batch_bitidentical():
         npi.lookup_batch(probe), ppi.lookup_batch(probe)
     )
     assert len(npi) == before  # lookup never interns
+
+
+def test_stale_abi_library_is_rebuilt(tmp_path, monkeypatch):
+    """A stale .so that still EXPORTS every symbol but reports an older
+    ABI version must be rejected and rebuilt — a name-only probe once let
+    a 16-arg bk_rank_insert_batch receive the 17-arg call, silently
+    writing new_ranks into the wrong output buffer."""
+    import subprocess
+    import sys
+
+    from bullet_tpu import native as nat
+
+    # a decoy library: every probe-relevant symbol exists, ABI version 1
+    src = tmp_path / "old.cpp"
+    src.write_text(
+        'extern "C" int bk_abi_version() { return 1; }\n'
+        'extern "C" int bk_rank_insert_batch() { return -1; }\n'
+    )
+    lib = tmp_path / "libbulletnative.so"
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", str(src), "-o", str(lib)],
+        check=True,
+    )
+    # fresh interpreter: point the loader at the decoy (real sources, so
+    # the rebuild overwrites the decoy with a current library)
+    code = f"""
+import shutil
+import bullet_tpu.native as n
+n._LIB = {str(lib)!r}
+lib = n.load()
+assert lib is not None, "loader gave up instead of rebuilding"
+assert int(lib.bk_abi_version()) == n._ABI_VERSION
+print("REBUILT_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=240,
+    )
+    assert "REBUILT_OK" in out.stdout, (out.stdout, out.stderr)

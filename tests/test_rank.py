@@ -460,6 +460,9 @@ def test_native_rank_insert_batch_parity():
     def snap(ri):
         return (
             ri._svids.copy(), ri._sk1.copy(), ri._sk2.copy(),
+            ri._sranks.copy(),  # the merged-order rank sequence feeds
+            # every rank1 decode — a native/numpy divergence here must
+            # fail the fuzz, not just in rank_of
             ri._rank_of.copy(), ri.epoch, ri.needs_rekey,
             None if ri.prev_inverse is None else tuple(
                 a.copy() for a in ri.prev_inverse
