@@ -549,6 +549,34 @@ def test_window_matches_sequential(wrap):
 
 
 @pytest.mark.parametrize("wrap", [True, False])
+def test_window_xla_matches_sequential(wrap):
+    """The whole-table XLA window twin (fast_forward's off-TPU path, any
+    shape — including non-stripe-tileable ones) must match m sequential
+    XLA rounds in state AND round-m residual."""
+    from bullet_tpu.ops.packed import (
+        gossip_round_chain_packed,
+        gossip_round_ring_packed,
+        ring_window_packed_xla,
+    )
+
+    round_fn = gossip_round_ring_packed if wrap else gossip_round_chain_packed
+    for m in (1, 2, 5, 13, 40):
+        # P=12 is NOT 8-aligned: the XLA twin has no tiling constraint
+        t0 = pack_table(random_dense(12, 96, seed=9))
+        a = PackedTable(*(jnp.array(f) for f in t0))
+        last = 0
+        for _ in range(m):
+            a, c = round_fn(a)
+            last = int(c)
+        b, cb = ring_window_packed_xla(
+            PackedTable(*(jnp.array(f) for f in t0)), wrap, m
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert last == int(cb), (wrap, m)
+
+
+@pytest.mark.parametrize("wrap", [True, False])
 def test_frontier_halo_fused_round_parity(wrap):
     """The fused halo frontier (HALO_FUSE=8 rounds per block-load via
     trapezoidal time-tiling) must report the EXACT classic round count,
