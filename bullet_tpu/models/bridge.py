@@ -188,7 +188,12 @@ def attach_live_bridge(bullet, sim, peer: int = 0):
     queries without exposing the simulation (the default apply-only
     refresh is exact here: every mirror write targets this peer's own
     row, so no gossip is needed to see it). Thread-safe: network reader
-    threads and the app thread both hit the forwarder."""
+    threads and the app thread both hit the forwarder.
+
+    Bridges STACK (each wraps the current ``_apply_update``, so one db
+    can mirror into several sims); detach in REVERSE attach order — an
+    out-of-order detach restores ITS captured predecessor, silently
+    re-installing an already-detached forwarder above it."""
     import threading
 
     orig = bullet._apply_update
