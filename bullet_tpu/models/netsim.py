@@ -2241,7 +2241,18 @@ class PeerNetworkSim:
     # ------------------------------------------------------------- lifecycle
 
     def snapshot(self) -> dict:
-        """Host checkpoint of device state (the engine's storage adapter)."""
+        """Host checkpoint of device state (the engine's storage adapter).
+
+        Pending puts are FLUSHED (applied) first, exactly like
+        save_checkpoint: a snapshot must capture every put issued before
+        it, or the captured state would depend on whether a step/query
+        happened to apply the queue earlier (twin sims that applied at
+        different times used to capture diverging snapshots). The
+        restore twin of this contract discards the queue instead —
+        together they make snapshot→restore a clean timeline cut."""
+        if any(self._pending) or self._pending_bulk:
+            self.step(rounds=0)
+        self._sync_device_state()
         snap = {
             "table": [np.asarray(f) for f in self.table],
             "tick": self.tick,
@@ -2262,6 +2273,16 @@ class PeerNetworkSim:
         return snap
 
     def restore(self, snap: dict) -> None:
+        """Rewind to EXACTLY the snapshot state. Pending (un-applied)
+        puts are DISCARDED: they belong to the abandoned post-snapshot
+        timeline, and keeping them would make the restored state depend
+        on apply TIMING — a write issued before the restore would
+        survive if still queued but vanish if a step/query had already
+        applied it (caught by the twin-sim soak, where one sim's
+        apply-refreshing view made restores diverge)."""
+        for ops in self._pending:
+            ops.clear()
+        self._pending_bulk.clear()
         self._frontier_dirty = None
         if self.layout in RANK_FAMILY:
             # bring the index current BEFORE swapping tables: a pending

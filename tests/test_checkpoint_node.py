@@ -142,3 +142,56 @@ def test_checkpoint_roundtrip_packed(tmp_path):
     restored.run_until_converged()
     assert restored.get(4, "metrics/count") == 50
     assert restored.tables_equal()
+
+
+def test_restore_discards_pending_ops():
+    """restore() rewinds to EXACTLY the snapshot: queued-but-unapplied
+    puts are discarded, so the restored state cannot depend on whether a
+    step/query happened to apply them before the restore (twin sims that
+    applied at different times used to diverge through a restore)."""
+    from bullet_tpu.models.netsim import PeerNetworkSim
+
+    a = PeerNetworkSim(2, capacity=128, topology="ring", layout="rank1")
+    b = PeerNetworkSim(2, capacity=128, topology="ring", layout="rank1")
+    for s in (a, b):
+        s.put(0, "base/x", 1)
+        s.run_until_converged()
+    snap_a, snap_b = a.snapshot(), b.snapshot()
+    # identical post-snapshot writes; only A applies before the restore
+    a.put(0, "post/y", 2)
+    b.put(0, "post/y", 2)
+    a.step(rounds=0)  # A applies; B keeps it queued
+    a.restore(snap_a)
+    b.restore(snap_b)
+    a.run_until_converged()
+    b.run_until_converged()
+    assert a.get(0, "post/y") is None and b.get(0, "post/y") is None
+    assert a.get(0, "base/x") == b.get(0, "base/x") == 1
+    import numpy as np
+
+    np.testing.assert_array_equal(
+        np.asarray(a.table.rank), np.asarray(b.table.rank)
+    )
+
+
+def test_snapshot_flushes_pending_ops():
+    """snapshot() captures every put issued before it — twin sims whose
+    queues were applied at different times must capture identical
+    snapshots (snapshot flushes, restore discards: a clean timeline
+    cut)."""
+    from bullet_tpu.models.netsim import PeerNetworkSim
+
+    a = PeerNetworkSim(2, capacity=128, topology="ring", layout="rank1")
+    b = PeerNetworkSim(2, capacity=128, topology="ring", layout="rank1")
+    for s in (a, b):
+        s.put(0, "k/x", 5)
+    a.step(rounds=0)  # A applies; B's put stays queued
+    snap_a, snap_b = a.snapshot(), b.snapshot()
+    import numpy as np
+
+    for fa, fb in zip(snap_a["table"], snap_b["table"]):
+        np.testing.assert_array_equal(fa, fb)
+    # and both restore to the same state
+    a.restore(snap_a)
+    b.restore(snap_b)
+    assert a.get(0, "k/x") == b.get(0, "k/x") == 5
