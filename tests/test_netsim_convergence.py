@@ -469,3 +469,45 @@ def test_get_bulk_hooks():
         lambda path, data: data * 2 if isinstance(data, int) else data,
     )
     assert sim.get_bulk(0, ["alias", "real/v"]) == [20, 20]
+
+
+@pytest.mark.parametrize("layout", ["dense", "packed", "rank1"])
+def test_lossy_network_converges_to_same_fixed_point(layout):
+    """Eventual consistency under message loss: a sim whose links drop
+    randomly (and asymmetrically — gossip is pull-based, so directed
+    loss is meaningful) for many rounds must still land on EXACTLY the
+    fixed point an undisturbed twin reaches, once connectivity returns.
+    This generalizes the topology-independence invariant to TIME-VARYING
+    topologies: merges are joins, so lost rounds delay but never skew
+    the converged state (reference behavior: flood relays tolerate
+    arbitrary drop/duplication, bullet-network.js:332-346)."""
+    num_peers = 8
+    mode = "reference"
+    kw = {} if layout == "dense" else {"layout": layout}
+    full = topo.ring(num_peers)
+    sim = PeerNetworkSim(num_peers, capacity=128, topology=full, mode=mode, **kw)
+    twin = PeerNetworkSim(num_peers, capacity=128, topology=full, mode=mode, **kw)
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        peer = int(rng.integers(num_peers))
+        key = f"k/{int(rng.integers(12))}"
+        val = float(rng.integers(-1000, 1000))
+        sim.put(peer, key, val)
+        twin.put(peer, key, val)
+
+    adj_full = full.adjacency()
+    for _ in range(20):
+        # each round: an independent random subset of DIRECTED links up
+        # (~50% loss), including rounds that disconnect the graph
+        keep = rng.random(adj_full.shape) < 0.5
+        adj = adj_full & keep
+        np.fill_diagonal(adj, False)
+        sim.topology = topo.from_adjacency(adj, name="lossy")
+        sim.step(1)
+    sim.topology = full  # connectivity returns
+    sim.run_until_converged()
+    twin.run_until_converged()
+
+    assert sim.tables_equal() and twin.tables_equal()
+    for a, b in zip(sim.table, twin.table):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
