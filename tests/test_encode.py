@@ -320,3 +320,48 @@ def test_decode_batch_matches_scalar_decode():
         else:
             assert x == y and x == z
         assert type(x) is type(y)
+
+
+def test_bulk_encode_values_classification_exact():
+    """bulk_encode_values' homogeneous fast paths and cached type
+    dispatch must classify EXACTLY like the scalar encoder: bool (its
+    own __class__) and np.bool_ never reach the numeric batch, int/str
+    subclasses (IntEnum, str subclasses, np.float64) follow their base
+    class, and the bulk encodes bit-match class-grouped scalar encodes
+    (numbers-first vid assignment)."""
+    import enum
+
+    import numpy as np
+
+    from bullet_tpu.utils.encode import ValueInterner, bulk_encode_values
+
+    class E(enum.IntEnum):
+        A = 5
+
+    class S(str):
+        pass
+
+    mixed = [1, 2.5, True, False, "x", S("y"), E.A, np.float64(3.5), None,
+             -0.0, float("nan"), "", 0, True, [1, 2]]
+    all_nums = [3, -1.5, 0, 2**40, 7.25]
+    all_strs = ["b", "", "a", "b"]
+
+    for vals in (mixed, all_nums, all_strs):
+        a, b = ValueInterner(), ValueInterner()
+        cls, khi, klo, vid = bulk_encode_values(a, vals)
+        # scalar twin: encode in the bulk path's vid-assignment order
+        # (numbers, then strings, then the rest in encounter order)
+        def kind(v):
+            if isinstance(v, bool):
+                return 2
+            if isinstance(v, (int, float)):
+                return 0
+            return 1 if isinstance(v, str) else 2
+        for k in (0, 1, 2):
+            for v in vals:
+                if kind(v) == k:
+                    b.encode(v)
+        expect = np.array([b.encode(v) for v in vals], dtype=np.int64).T
+        np.testing.assert_array_equal(
+            np.stack([cls, khi, klo, vid]).astype(np.int64), expect
+        )
