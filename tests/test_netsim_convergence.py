@@ -471,8 +471,11 @@ def test_get_bulk_hooks():
     assert sim.get_bulk(0, ["alias", "real/v"]) == [20, 20]
 
 
-@pytest.mark.parametrize("layout", ["dense", "packed", "rank1"])
-def test_lossy_network_converges_to_same_fixed_point(layout):
+@pytest.mark.parametrize(
+    "layout,mesh_devices",
+    [("dense", None), ("packed", None), ("rank1", None), ("rank1", 8)],
+)
+def test_lossy_network_converges_to_same_fixed_point(layout, mesh_devices):
     """Eventual consistency under message loss: a sim whose links drop
     randomly (and asymmetrically — gossip is pull-based, so directed
     loss is meaningful) for many rounds must still land on EXACTLY the
@@ -484,6 +487,8 @@ def test_lossy_network_converges_to_same_fixed_point(layout):
     num_peers = 8
     mode = "reference"
     kw = {} if layout == "dense" else {"layout": layout}
+    if mesh_devices:
+        kw["mesh_devices"] = mesh_devices  # lossy rounds ride shard_map too
     full = topo.ring(num_peers)
     sim = PeerNetworkSim(num_peers, capacity=128, topology=full, mode=mode, **kw)
     twin = PeerNetworkSim(num_peers, capacity=128, topology=full, mode=mode, **kw)
