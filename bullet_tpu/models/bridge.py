@@ -19,25 +19,32 @@ def load_bullet_into_sim(bullet, sim, peer: int = 0) -> int:
     Uses the same recursive leaf decomposition as the sync wire format
     (/root/reference/src/bullet-network-sync.js:592-646). Returns the number
     of leaves queued (call ``sim.step()``/``run_until_converged`` after).
-    """
-    count = 0
+
+    Leaves load through ONE ``put_bulk`` call (paths are unique per
+    traversal, so batch lattice reduction can't reorder winners), which
+    keeps big production stores at bulk-ingest rates instead of per-leaf
+    Python; the converged state is identical to per-leaf scalar puts
+    (pinned by test)."""
+    paths: list = []
+    values: list = []
 
     def traverse(obj, prefix: str):
-        nonlocal count
         if not isinstance(obj, dict):
-            sim.put(peer, prefix, obj)
-            count += 1
+            paths.append(prefix)
+            values.append(obj)
             return
         for key, value in obj.items():
             path = f"{prefix}/{key}" if prefix else str(key)
             if isinstance(value, dict):
                 traverse(value, path)
             else:
-                sim.put(peer, path, value)
-                count += 1
+                paths.append(path)
+                values.append(value)
 
     traverse(bullet.store, "")
-    return count
+    if paths:
+        sim.put_bulk(peer, paths, values)
+    return len(paths)
 
 
 def dump_sim_into_bullet(sim, bullet, peer: int = 0, broadcast: bool = False) -> int:

@@ -82,3 +82,43 @@ def test_cli_serve_and_speak():
             proc.wait(timeout=10)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+def test_bulk_load_matches_scalar_puts(bullet_factory):
+    """load_bullet_into_sim's one-put_bulk load must converge to EXACTLY
+    the state per-leaf scalar puts produce (paths are unique per
+    traversal, so the batch lattice reduction has no winners to pick).
+    Comparison is on DECODED values: bulk interning assigns vids
+    class-grouped while scalar puts intern in encounter order, so raw
+    table bits legitimately differ between the two sims."""
+    b = bullet_factory()
+    b.get("users/a").put({"name": "Ann", "age": 30, "ok": True,
+                          "tags": ["x", 2], "nested": {"deep": {"v": -0.5}}})
+    b.get("counters/hits").put(42)
+    b.get("empty_str").put("")
+
+    for layout in ("dense", "rank1"):
+        kw = {} if layout == "dense" else {"layout": layout}
+        bulk = PeerNetworkSim(3, capacity=128, topology="ring", **kw)
+        scalar = PeerNetworkSim(3, capacity=128, topology="ring", **kw)
+        n = load_bullet_into_sim(b, bulk, peer=0)
+
+        def traverse(obj, prefix):
+            if not isinstance(obj, dict):
+                scalar.put(0, prefix, obj)
+                return 1
+            return sum(
+                traverse(v, f"{prefix}/{k}" if prefix else str(k))
+                for k, v in obj.items()
+            )
+
+        assert n == traverse(b.store, "")
+        bulk.run_until_converged()
+        scalar.run_until_converged()
+        assert bulk.tables_equal() and scalar.tables_equal()
+        for slot in range(len(scalar.host.paths)):
+            path = scalar.host.paths.path(slot)
+            assert bulk.get(2, path) == scalar.get(2, path), (layout, path)
+        assert bulk.get(1, "users/a/nested/deep/v") == -0.5
+        assert bulk.get(0, "users/a/ok") is True
+        assert bulk.get(2, "empty_str") == ""
