@@ -443,3 +443,54 @@ def test_replica_view_converge_policy_multi_writer():
         hb.detach()
         a.close()
         b.close()
+
+
+def test_heterogeneous_validation_policy_over_wire():
+    """A validating peer vetoes invalid NETWORK writes the same way it
+    vetoes local ones (the Q1 fix applies uniformly): flood AND
+    anti-entropy applications of a schema-violating entry are rejected
+    with an error event, sync completes without failures or livelock,
+    and the divergence is scoped to the rejected path — valid entries
+    keep replicating. (Per-node validation policy is a deliberate
+    divergence point, documented in docs/validation.md; the reference's
+    validation hook is dead — quirk Q1 — so it can never disagree.)"""
+    p1 = bt.create({"storage": False, "port": 0, "host": "127.0.0.1"})
+    p2 = bt.create({
+        "storage": False, "port": 0, "host": "127.0.0.1",
+        "peers": [f"tcp://127.0.0.1:{p1.network.port}"],
+        "connect_sync_delay": 0.1,
+    })
+    try:
+        p2.defineSchema("user", {
+            "type": "object", "required": ["age"],
+            "properties": {"age": {"type": "integer", "min": 0}},
+        })
+        p2.applySchema("users", "user")
+        errs = []
+        p2.onValidationError("all", lambda e: errs.append(e))
+
+        p1.get("users/ok").put({"age": 30})
+        p1.get("users/bad").put({"age": -5})
+        deadline = time.time() + 10
+        while time.time() < deadline and p2.get("users/ok").value() != {"age": 30}:
+            time.sleep(0.05)
+        assert p2.get("users/ok").value() == {"age": 30}
+        assert p2.get("users/bad").value() in (None, {})  # vetoed (Q3 shell ok)
+        assert errs, "flood rejection must fire validation-error handlers"
+
+        # anti-entropy re-offers the entry; the veto must hold and the
+        # sync itself must complete cleanly
+        p2.network.request_sync()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            st = p2.network.sync.get_sync_stats()
+            if st.get("activeSyncs") == 0 and st.get("totalSyncs", 0) >= 1:
+                break
+            time.sleep(0.05)
+        st = p2.network.sync.get_sync_stats()
+        assert st.get("failedSyncs") == 0
+        assert p2.get("users/bad").value() in (None, {})
+        assert p1.get("users/bad").value() == {"age": -5}  # origin keeps it
+    finally:
+        p1.close()
+        p2.close()
