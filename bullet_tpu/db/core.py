@@ -233,9 +233,21 @@ class Bullet:
 
     # ----------------------------------------------------------------- writes
 
-    def set_data(self, path: str, raw_data: Any, broadcast: bool = True):
+    def set_data(
+        self,
+        path: str,
+        raw_data: Any,
+        broadcast: bool = True,
+        incoming_clock=None,
+    ):
         """The write path (bullet.js:139-155 plus the middleware/query wrappers;
-        call order documented in SURVEY §3.2)."""
+        call order documented in SURVEY §3.2).
+
+        ``incoming_clock`` carries a replicated entry's vector clock for
+        values that can't embed ``__vectorClock`` (scalars, deletes,
+        arrays) — the sync apply path uses it so every entry kind
+        resolves through the CRT instead of re-applying as a local write
+        (see BulletCRT.handle_update)."""
         path = normalize(path)
         with self._lock:
             if self.middleware is not None:
@@ -243,6 +255,8 @@ class Bullet:
                 if not cont:
                     return False
             data, from_network = self._strip_network_flag(raw_data)
+            if incoming_clock is not None:
+                from_network = True  # an explicit clock IS a replica's write
             if self.validation is not None and self.options["validate_on_write"]:
                 # validate the clean payload: wire markers (__vectorClock;
                 # __fromNetwork already stripped) are transport framing, not
@@ -269,7 +283,9 @@ class Bullet:
                 )
                 else None
             )
-            result = self.crt.handle_update(path, data, from_network)
+            result = self.crt.handle_update(
+                path, data, from_network, incoming_clock=incoming_clock
+            )
 
             if result["doUpdate"]:
                 self._apply_update(
@@ -277,6 +293,20 @@ class Bullet:
                 )
                 if broadcast and self.network is not None:
                     self.network.broadcast(path, result["broadcastData"])
+            elif incoming_clock is not None and result["value"] != data:
+                # a replicated entry LOST to dominant local state: the
+                # sender is stale, and its `since` watermark may already
+                # postdate this path's lastModified — in which case our
+                # winning value would never be re-offered and the pair
+                # stays diverged forever. Touch lastModified so the next
+                # anti-entropy pass re-collects the path for every peer.
+                # (The concurrent-loss case needs no touch: doUpdate is
+                # True there and _apply_update restamps.)
+                meta = self.meta.get(path)
+                if meta:
+                    self.meta[path] = {
+                        **meta, "lastModified": int(time.time() * 1000)
+                    }
 
             if self.middleware is not None:
                 self.middleware.run_after_put_hooks(path, data, old_data)

@@ -181,7 +181,23 @@ class BulletCRT:
 
     # -- write-path entry (bullet-crt.js:329-385) --
 
-    def handle_update(self, path: str, incoming_data: Any, from_network: bool = False) -> dict:
+    def handle_update(
+        self,
+        path: str,
+        incoming_data: Any,
+        from_network: bool = False,
+        incoming_clock: Optional[VectorClock] = None,
+    ) -> dict:
+        """``incoming_clock`` is the out-of-band clock channel for values
+        that cannot embed ``__vectorClock`` (scalars, deletes, arrays):
+        the reference wire format only attaches clocks to objects, so its
+        sync apply treats every non-object entry as a LOCAL write
+        (bullet-network-sync.js:551-569) — which resurrects deletes,
+        regresses values, and leaves replicas permanently diverged (the
+        bumped local clock then defeats every later anti-entropy pass).
+        The sync protocol already ships a per-entry ``vectorClock``, so
+        passing it here lets ALL entry kinds resolve through the real
+        CRT decision table. See docs/conflict-resolution.md."""
         # the reference reads via the middleware-wrapped _getData
         # (bullet-crt.js:331), so get/afterGet hooks apply here too
         current_data = self.bullet._get_data(path)
@@ -189,21 +205,41 @@ class BulletCRT:
         current_clock = current_meta.get("vectorClock")
 
         data_to_store = incoming_data
+        explicit_clock = incoming_clock
         if (
             from_network
             and isinstance(incoming_data, dict)
             and "__vectorClock" in incoming_data
         ):
             incoming_clock = incoming_data["__vectorClock"]
+            explicit_clock = None  # embedded channel: reference-exact
             data_to_store = {
                 k: v for k, v in incoming_data.items() if k != "__vectorClock"
             }
-        else:
+        elif incoming_clock is None:
             incoming_clock = self.increment_vector_clock(path)
 
         result = self.resolve(
             path, incoming_clock, current_clock, data_to_store, current_data
         )
+        if explicit_clock is not None and result.reason == "no current state":
+            # ADOPT the replicated entry's clock on first contact. The
+            # reference's quirk (bullet-crt.js:171-173) stamps a fresh
+            # self-clock and discards the wire clock, erasing causality:
+            # a later remote DELETE or overwrite whose clock descends
+            # from this very entry would compare CONCURRENT against the
+            # self-stamp and could never dominate the state it causally
+            # precedes. Only the explicit-clock channel (the fixed sync
+            # apply; the reference has no such channel) adopts — every
+            # reference-exact path keeps the pinned quirk (see
+            # test_crt_oracle.py).
+            self.vector_clocks[path] = dict(explicit_clock)
+            result = Decision(
+                incoming=True,
+                vector_clock=dict(explicit_clock),
+                reason="no current state (adopted entry clock)",
+                value=result.value,
+            )
 
         broadcast_data = result.value
         if isinstance(broadcast_data, dict):

@@ -208,6 +208,7 @@ class BulletNetwork(EventEmitter):
                     "max_sync_attempts",
                     "progress_update_interval",
                     "connect_sync_delay",
+                    "clocked_sync_apply",
                 )
             },
         }

@@ -33,8 +33,16 @@ class BulletNetworkSync:
             "max_sync_attempts": opts.get("max_sync_attempts", 3),
             "progress_update_interval": opts.get("progress_update_interval", 10),
             "connect_sync_delay": opts.get("connect_sync_delay", 1.0),
+            # False restores the reference's clockless application of
+            # scalar/delete/array sync entries (bullet-network-sync.js:
+            # 551-569) — which re-applies them as LOCAL writes, so
+            # replicas resurrect deletes and regress values and can
+            # never converge through anti-entropy (fixed on purpose,
+            # like quirk Q1 and the since-watermark race)
+            "clocked_sync_apply": opts.get("clocked_sync_apply", True),
         }
         self.sync_state: Dict[str, dict] = {}
+        self.entry_errors = 0  # poisoned entries skipped (entry isolation)
         self._timers: List[threading.Timer] = []
         self._closed = False
         self._lock = threading.RLock()
@@ -420,29 +428,85 @@ class BulletNetworkSync:
 
     def _process_sync_entries(self, entries, peer_id: str) -> None:
         """Re-apply entries through the CRT write path
-        (bullet-network-sync.js:551-569)."""
+        (bullet-network-sync.js:551-569).
+
+        Every entry resolves under its OWN vector clock: the wire already
+        carries ``vectorClock`` per entry, but the reference only threads
+        it through for object values — scalar, delete, and array entries
+        re-apply as LOCAL writes there, which resurrects deletes,
+        regresses values, and (because the local clock increments) makes
+        the damage permanent: no later sync can out-dominate it, so
+        replicas that disagree on a scalar leaf NEVER converge. Fixed on
+        purpose (``clocked_sync_apply: False`` restores the reference
+        behavior), same policy as quirk Q1 and the since-watermark race."""
+        clocked = self.options["clocked_sync_apply"]
         for entry in entries:
             path = entry.get("path")
             data = entry.get("data")
-            if entry.get("deleted"):
-                self.bullet.set_data(path, None, broadcast=False)
-            else:
-                if isinstance(data, dict):
-                    data = {
-                        **data,
-                        "__fromNetwork": True,
-                        "__vectorClock": entry.get("vectorClock", {}),
-                    }
-                elif isinstance(data, list):
-                    from .network import strip_array_clock
+            # {} clocks fall back to the local-write path: an explicit
+            # empty clock would lose every comparison and the entry
+            # (which DID exist on the responder) would never apply
+            clock = (entry.get("vectorClock") or None) if clocked else None
+            try:
+                if entry.get("deleted"):
+                    self.bullet.set_data(
+                        path, None, broadcast=False, incoming_clock=clock
+                    )
+                else:
+                    if isinstance(data, dict):
+                        data = {
+                            **data,
+                            "__fromNetwork": True,
+                            "__vectorClock": entry.get("vectorClock", {}),
+                        }
+                        clock = None  # the embedded clock is the channel
+                    elif isinstance(data, list):
+                        from .network import strip_array_clock
 
-                    data, _clock = strip_array_clock(data)
-                self.bullet.set_data(path, data, broadcast=False)
+                        data, embedded = strip_array_clock(data)
+                        if clocked and embedded:
+                            clock = embedded
+                    self.bullet.set_data(
+                        path, data, broadcast=False, incoming_clock=clock
+                    )
+            except Exception as err:  # noqa: BLE001 - entry isolation
+                # One poisoned entry must not abort the chunk: applying a
+                # child leaf onto a scalar parent raises the Q3 strict-
+                # mode TypeError ("Cannot create property ... "), and the
+                # reference's unguarded loop (bullet-network-sync.js:
+                # 551-569) then loses EVERY later entry in the chunk
+                # while the watermark still advances — silent permanent
+                # data loss for unrelated paths. Count + surface instead.
+                self.entry_errors += 1
+                self.network.emit(
+                    "sync:entry-error",
+                    {"peerId": peer_id, "path": path, "error": err},
+                )
 
     def _collect_sync_data(self, since, partial, paths) -> List[dict]:
         if partial and paths:
             return self._collect_partial_sync_data(paths, since or 0)
         return self._collect_full_sync_data(since or 0)
+
+    def _leaf_meta(self, path: str) -> dict:
+        """A leaf's meta, falling back to the NEAREST ANCESTOR with meta:
+        leaves materialized by a subtree put carry no per-leaf meta — the
+        clock of the write that created them lives at the put path. The
+        reference ships such leaves with vectorClock {} (so they re-apply
+        as local writes); the ancestor clock is their true write clock
+        and lets the receiver resolve them through the CRT. Requires
+        clock-less requesters (real bullet-js) to behave exactly as
+        before — they ignore entry clocks for non-objects anyway."""
+        meta = self.bullet.meta.get(path)
+        if meta:
+            return meta
+        from ..utils.paths import ancestors
+
+        for parent in ancestors(path):
+            meta = self.bullet.meta.get(parent)
+            if meta:
+                return meta
+        return {}
 
     def _collect_full_sync_data(self, since: int) -> List[dict]:
         """Recursive store traversal emitting leaf entries
@@ -450,7 +514,7 @@ class BulletNetworkSync:
         entries: List[dict] = []
 
         def emit_leaf(path: str, value: Any) -> None:
-            meta = self.bullet.meta.get(path) or {}
+            meta = self._leaf_meta(path)
             last_modified = meta.get("lastModified", 0)
             if since > 0 and last_modified and last_modified < since:
                 return
@@ -502,7 +566,7 @@ class BulletNetworkSync:
         entries = []
         for path in paths:
             data = self.bullet._get_data(path)
-            meta = self.bullet.meta.get(path) or {}
+            meta = self._leaf_meta(path)
             last_modified = meta.get("lastModified", 0)
             if since > 0 and last_modified and last_modified < since:
                 continue
@@ -579,6 +643,7 @@ class BulletNetworkSync:
             "activeSyncs": 0,
             "failedSyncs": 0,
             "lastSyncTime": 0.0,
+            "entryErrors": self.entry_errors,
         }
         for peer_id, state in self.sync_state.items():
             total = state.get("total_chunks") or 0

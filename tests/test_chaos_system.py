@@ -1,0 +1,151 @@
+"""System-level chaos soak: the whole stack at once.
+
+Three wire-connected db peers take concurrent writes from multiple
+threads each (same key space, so the CRT arbitrates constantly), one
+peer dies mid-run under traffic, an engine replica live-mirrors another
+— and at the end the survivors' stores must be FULLY EQUAL (clocked
+sync apply + per-entry error isolation + the stale-dominant re-offer
+make anti-entropy converge even type-flapping scalar/dict/delete chaos
+— this soak is the regression test for those fixes), and the device
+replica must agree exactly on the monotone key space (where the
+value-max mirror contract coincides with the db's clock resolution; see
+attach_live_bridge's docstring for why type-flapping chaos keys may
+differ from the MIRROR).
+
+This is the system-level race-detection analog: the component suites
+pin each layer's behavior in isolation; this one exercises the locking,
+the flood dedup, anti-entropy, the bridge forwarder, and the CRT under
+genuine thread + socket concurrency (reference behavior: concurrent
+multi-peer writes converge, bullet-crt.js:164-279 + flood relay
+bullet-network.js:332-346)."""
+
+import itertools
+import threading
+import time
+
+import numpy as np
+
+import bullet_tpu as bt
+from bullet_tpu.models.bridge import attach_live_bridge
+from bullet_tpu.models.netsim import PeerNetworkSim
+
+
+def _leaves(store, prefix=""):
+    out = {}
+    for k, v in store.items():
+        p = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_leaves(v, p))
+        else:
+            out[p] = v
+    return out
+
+
+def test_chaos_concurrent_writers_peer_death_and_mirror():
+    p0 = bt.create({"storage": False, "port": 0, "host": "127.0.0.1"})
+    p1 = bt.create({
+        "storage": False, "port": 0, "host": "127.0.0.1",
+        "peers": [f"tcp://127.0.0.1:{p0.network.port}"],
+        "connect_sync_delay": 0.1,
+    })
+    p2 = bt.create({
+        "storage": False, "port": 0, "host": "127.0.0.1",
+        "peers": [
+            f"tcp://127.0.0.1:{p0.network.port}",
+            f"tcp://127.0.0.1:{p1.network.port}",
+        ],
+        "connect_sync_delay": 0.1,
+    })
+    sim = PeerNetworkSim(2, capacity=1024, topology="ring", layout="rank1")
+    handle = attach_live_bridge(p0, sim, peer=0)
+    peers = [p0, p1, p2]
+    # the monotone space: every write is a fresh, strictly larger float,
+    # so the converged db value per key is the global max — exactly what
+    # the value-max mirror serves
+    mono_counter = itertools.count(1)
+    mono_lock = threading.Lock()
+    try:
+        time.sleep(0.5)  # let the mesh connect
+
+        stop_p2 = threading.Event()
+        errors: list = []
+
+        def writer(peer_idx: int, thread_idx: int) -> None:
+            rng = np.random.default_rng(100 * peer_idx + thread_idx)
+            try:
+                for i in range(120):
+                    if peer_idx == 2 and stop_p2.is_set():
+                        return  # p2 died under us; its writers stop
+                    roll = int(rng.integers(10))
+                    if roll < 3:
+                        with mono_lock:
+                            val = float(next(mono_counter))
+                        peers[peer_idx].get(
+                            f"mono/m{int(rng.integers(8))}"
+                        ).put(val)
+                    else:
+                        # full chaos: type flapping, delete storms,
+                        # subtree puts — all on the shared key space
+                        node = peers[peer_idx].get(
+                            f"data/k{int(rng.integers(24))}"
+                        )
+                        if roll == 3:
+                            node.put(None)
+                        elif roll == 4:
+                            node.put({"n": int(rng.integers(1000)),
+                                      "s": f"w{peer_idx}.{thread_idx}.{i}"})
+                        else:
+                            node.put(float(rng.integers(1 << 20)))
+                    if i % 40 == 17:
+                        time.sleep(0.01)
+            except Exception as exc:  # noqa: BLE001 - the soak's assertion
+                if not (peer_idx == 2 and stop_p2.is_set()):
+                    errors.append((peer_idx, thread_idx, exc))
+
+        threads = [
+            threading.Thread(target=writer, args=(pi, ti))
+            for pi in range(3) for ti in range(2)
+        ]
+        for t in threads:
+            t.start()
+        # peer death under live traffic: p2 closes mid-run while its own
+        # writer threads and inbound floods are active
+        time.sleep(0.6)
+        stop_p2.set()
+        p2.close()
+        for t in threads:
+            t.join(timeout=60)
+            assert not t.is_alive(), "writer thread hung"
+        assert not errors, errors
+
+        # heal: anti-entropy both ways between the survivors, then poll
+        # to store equality (floods already carried most of it)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            p0.network.request_sync()
+            p1.network.request_sync()
+            time.sleep(0.4)
+            if _leaves(p0.store) == _leaves(p1.store):
+                break
+        assert _leaves(p0.store) == _leaves(p1.store), (
+            "survivors failed to converge"
+        )
+        leaves = _leaves(p0.store)
+        assert leaves, "chaos produced an empty store?"
+
+        # device replica: exact agreement on the monotone space (global
+        # max per key on both sides), sane reads on the chaos space
+        view = handle.view()
+        mono = {p: v for p, v in leaves.items() if p.startswith("mono/")}
+        assert mono, "no monotone writes landed?"
+        for path, value in mono.items():
+            assert view.get(path) == value, (path, view.get(path), value)
+        for path in leaves:
+            view.get(path)  # must decode without error
+    finally:
+        handle.detach()
+        for p in (p0, p1, p2):
+            try:
+                p.close()
+            except Exception:  # noqa: BLE001 - already closed
+                pass

@@ -242,7 +242,12 @@ def test_lost_chunk_recovers_instead_of_wedging():
 
 def test_tombstone_at_watermark_propagates():
     """Deletes stamped exactly at the since watermark must still sync
-    (the live-entry filter re-sends at == since; tombstones now match)."""
+    (the live-entry filter re-sends at == since; tombstones now match).
+
+    The tombstone is crafted DOMINANT (clock strictly above the state it
+    deletes): under clocked sync apply, deletes win by clock dominance
+    and lose concurrent battles by value — a tombstone with a merely
+    equal clock would (correctly) lose to the live 5."""
     p1 = make_peer(connect_sync_delay=1000)
     p2 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"],
                    connect_sync_delay=1000)
@@ -252,10 +257,17 @@ def test_tombstone_at_watermark_propagates():
         p2.network.request_sync()
         assert wait_for(lambda: p2.store.get("doomed", {}).get("x") == 5)
         # tombstone the entry with lastModified EXACTLY at p2's watermark
+        # and a clock that DOMINATES the replicated state
         state = p2.network.sync._peer_state(p1.id)
-        p1.set_data("doomed/x", None, broadcast=False)
-        p1.meta["doomed/x"]["deleted"] = True
-        p1.meta["doomed/x"]["lastModified"] = state["last_sync_time_ms"]
+        p1.store["doomed"]["x"] = None
+        clock = {**p1.meta["doomed/x"]["vectorClock"]}
+        clock[p1.id] = clock.get(p1.id, 0) + 1
+        p1.meta["doomed/x"] = {
+            **p1.meta["doomed/x"],
+            "vectorClock": clock,
+            "deleted": True,
+            "lastModified": state["last_sync_time_ms"],
+        }
         p2.store["doomed"]["x"] = 5  # simulate divergence to repair
         p2.network.request_sync()
         assert wait_for(
@@ -312,3 +324,137 @@ def test_network_churn_stress():
     finally:
         for p in survivors:
             p.close()
+
+
+def test_clocked_scalar_sync_converges_concurrent_values():
+    """Concurrent scalar writes on two peers converge through mutual
+    anti-entropy to the SAME value on both sides (value resolution under
+    the entries' own clocks). The reference applies non-object sync
+    entries as clockless LOCAL writes (bullet-network-sync.js:551-569),
+    so each direction bulldozes the other and the pair ping-pongs
+    forever — fixed via the per-entry vectorClock already on the wire."""
+    p1 = make_peer(connect_sync_delay=1000)
+    p2 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"],
+                   connect_sync_delay=1000)
+    try:
+        assert wait_for(lambda: p1.network.peers and p2.network.peers, 10)
+        # concurrent: neither clock knows the other
+        p1.set_data("s/x", 7.0, broadcast=False)
+        p2.set_data("s/x", 9.0, broadcast=False)
+        p1.set_data("s/y", 3.0, broadcast=False)
+        p2.set_data("s/y", 1.0, broadcast=False)
+        for _ in range(2):
+            p2.network.request_sync()
+            assert wait_for(
+                lambda: p2.network.sync._peer_state(p1.id)["status"]
+                == "complete", 10)
+            p1.network.request_sync()
+            assert wait_for(
+                lambda: p1.network.sync._peer_state(p2.id)["status"]
+                == "complete", 10)
+        assert wait_for(
+            lambda: p1.store.get("s") == p2.store.get("s"), 10
+        ), (p1.store.get("s"), p2.store.get("s"))
+        # concurrent resolution is by value — the larger write wins
+        assert p1.store["s"]["x"] == 9.0
+        assert p1.store["s"]["y"] == 3.0
+    finally:
+        p1.close()
+        p2.close()
+
+
+def test_sync_historical_scalar_does_not_regress():
+    """A historical (clock-dominated) scalar entry must NOT overwrite
+    newer local state — and the losing entry bumps the path's
+    lastModified so the stale sender gets the winning value re-offered
+    on ITS next pull even though its watermark postdates the write."""
+    p1 = make_peer(connect_sync_delay=1000)
+    p2 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"],
+                   connect_sync_delay=1000)
+    try:
+        assert wait_for(lambda: p1.network.peers and p2.network.peers, 10)
+        p1.set_data("h/x", 5.0, broadcast=False)
+        p2.network.request_sync()
+        assert wait_for(lambda: p2.store.get("h", {}).get("x") == 5.0)
+        # p2 writes causally AFTER (its clock descends from p1's entry —
+        # first-contact adoption makes this real dominance, not the
+        # reference's fresh-self-clock concurrency)
+        p2.set_data("h/x", 2.0, broadcast=False)
+        before = p2.meta["h/x"]["lastModified"]
+        # p2 pulls p1's now-historical 5.0: must keep 2.0
+        last = p2.network.sync._peer_state(p1.id)["last_sync_time"]
+        p2.network.request_sync()
+        assert wait_for(
+            lambda: p2.network.sync._peer_state(p1.id)["last_sync_time"]
+            > last, 10)
+        assert p2.store["h"]["x"] == 2.0
+        # ...and the losing entry touched lastModified for re-offer
+        assert p2.meta["h/x"]["lastModified"] >= before
+        # the stale peer converges by pulling
+        p1.network.request_sync()
+        assert wait_for(lambda: p1.store.get("h", {}).get("x") == 2.0, 10)
+    finally:
+        p1.close()
+        p2.close()
+
+
+def test_sync_chunk_poisoned_entry_isolated():
+    """One entry whose application throws (child leaf onto a scalar
+    parent → the Q3 strict-mode TypeError) must not lose the REST of the
+    chunk: the reference's unguarded apply loop aborts mid-chunk while
+    the watermark still advances — silent permanent data loss for
+    unrelated paths. Errors are counted and surfaced instead."""
+    p1 = make_peer(connect_sync_delay=1000)
+    p2 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"],
+                   connect_sync_delay=1000)
+    try:
+        assert wait_for(lambda: p1.network.peers and p2.network.peers, 10)
+        # p2 holds a scalar at conflict/k; p1 holds a SUBTREE there, so
+        # applying conflict/k/n at p2 raises; aa/... sorts before it and
+        # zz/... after it in the traversal
+        p2.set_data("conflict/k", 123456789.0, broadcast=False)
+        p1.set_data("aa/first", 1.0, broadcast=False)
+        p1.set_data("conflict/k", {"n": 1, "s": "sub"}, broadcast=False)
+        p1.set_data("zz/last", 2.0, broadcast=False)
+        errors = []
+        p2.network.on("sync:entry-error", lambda e: errors.append(e))
+        p2.network.request_sync()
+        assert wait_for(lambda: p2.store.get("zz", {}).get("last") == 2.0, 10), (
+            "entries after the poisoned one were lost"
+        )
+        assert p2.store.get("aa", {}).get("first") == 1.0
+        assert p2.network.sync.entry_errors >= 1
+        assert p2.network.sync.get_sync_stats()["entryErrors"] >= 1
+        assert errors and errors[0]["path"].startswith("conflict/k/")
+    finally:
+        p1.close()
+        p2.close()
+
+
+def test_clocked_sync_apply_switch():
+    """clocked_sync_apply=False restores the reference's clockless
+    application of scalar sync entries: the applied path's clock is a
+    fresh SELF-stamp (only the local peer id — causality erased, the
+    reference-exact quirk), where the default mode adopts the entry's
+    clock (the sender's id) so later deletes/overwrites can dominate."""
+    p1 = make_peer(connect_sync_delay=1000)
+    p2 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"],
+                   connect_sync_delay=1000, clocked_sync_apply=False)
+    p3 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"],
+                   connect_sync_delay=1000)
+    try:
+        assert wait_for(lambda: len(p1.network.peers) == 2
+                        and p2.network.peers and p3.network.peers, 10)
+        p1.set_data("r/x", 5.0, broadcast=False)
+        p2.network.request_sync()
+        p3.network.request_sync()
+        assert wait_for(lambda: p2.store.get("r", {}).get("x") == 5.0, 10)
+        assert wait_for(lambda: p3.store.get("r", {}).get("x") == 5.0, 10)
+        # reference mode: fresh self-clock, sender's causality erased
+        assert set(p2.meta["r/x"]["vectorClock"]) == {p2.id}
+        # fixed mode: the entry's clock is adopted verbatim
+        assert set(p3.meta["r/x"]["vectorClock"]) == {p1.id}
+    finally:
+        p1.close()
+        p2.close()
+        p3.close()
