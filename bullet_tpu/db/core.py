@@ -292,7 +292,11 @@ class Bullet:
                     path, result["value"], result["vectorClock"], from_network
                 )
                 if broadcast and self.network is not None:
-                    self.network.broadcast(path, result["broadcastData"])
+                    self.network.broadcast(
+                        path,
+                        result["broadcastData"],
+                        vector_clock=result["vectorClock"],
+                    )
             elif incoming_clock is not None and result["value"] != data:
                 # a replicated entry LOST to dominant local state: the
                 # sender is stale, and its `since` watermark may already

@@ -195,6 +195,9 @@ class BulletNetwork(EventEmitter):
             ),
             "server": opts.get("server", True),
             "reconnect_interval": opts.get("reconnect_interval", 5.0),
+            # False restores the reference's clockless scalar/array flood
+            # apply (arrival-order resolution; see _handle_put)
+            "clocked_puts": opts.get("clocked_puts", True),
             "ssl_context": opts.get("ssl_context"),
             "sync_options": {
                 k: v
@@ -517,16 +520,30 @@ class BulletNetwork(EventEmitter):
 
     def _handle_put(self, peer_id: str, message: dict) -> None:
         """Apply a remote put and relay it (bullet-network.js:332-346).
-        Note: like the reference, only object payloads get the
-        ``__fromNetwork`` tag — scalar puts apply as local writes."""
+
+        The reference's wire format only carries clocks inside object
+        payloads, so its scalar flood applies as a LOCAL write and its
+        array flood DISCARDS the clock element it went to the trouble of
+        appending (bullet-crt.js:373-374) — cross-peer scalar/array puts
+        then resolve by arrival order instead of causally. bullet_tpu
+        puts carry a top-level ``vectorClock`` for non-object data (a
+        superset the reference both ignores and relays intact,
+        bullet-network.js:332-346), and the receiver resolves under it;
+        ``clocked_puts: False`` restores the reference's clockless
+        apply. Object payloads are reference-exact either way."""
         path, data, ttl = message.get("path"), message.get("data"), message.get("ttl")
         if ttl is not None and ttl <= 0:
             return
+        clock = None
         if isinstance(data, dict):
             network_data = {**data, "__fromNetwork": True}
         else:
-            network_data, _clock = strip_array_clock(data)
-        self.bullet.set_data(path, network_data, broadcast=False)
+            network_data, embedded = strip_array_clock(data)
+            if self.options["clocked_puts"]:
+                clock = embedded or message.get("vectorClock") or None
+        self.bullet.set_data(
+            path, network_data, broadcast=False, incoming_clock=clock
+        )
         self._relay_message(message, peer_id)
 
     def _remember_message(self, msg_id: str) -> None:
@@ -566,8 +583,13 @@ class BulletNetwork(EventEmitter):
             if peer_id != source_peer_id:
                 self.send_to_peer(peer_id, relay)
 
-    def broadcast(self, path: str, data: Any) -> None:
-        """Flood a put to all peers (bullet-network.js:404-418)."""
+    def broadcast(self, path: str, data: Any, vector_clock=None) -> None:
+        """Flood a put to all peers (bullet-network.js:404-418).
+
+        Non-object payloads additionally carry a top-level
+        ``vectorClock`` (see _handle_put): real bullet-js peers ignore
+        the extra field and relay it intact, bullet_tpu peers use it to
+        apply scalar floods causally instead of by arrival order."""
         message = {
             "id": self._generate_id(),
             "type": "put",
@@ -575,6 +597,12 @@ class BulletNetwork(EventEmitter):
             "data": data,
             "ttl": self.options["max_ttl"],
         }
+        if (
+            vector_clock
+            and self.options["clocked_puts"]
+            and not isinstance(data, (dict, list))  # objects embed theirs
+        ):
+            message["vectorClock"] = dict(vector_clock)
         with self._lock:
             self._remember_message(message["id"])
             peer_ids = list(self.peers)

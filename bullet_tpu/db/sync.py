@@ -469,14 +469,42 @@ class BulletNetworkSync:
                     self.bullet.set_data(
                         path, data, broadcast=False, incoming_clock=clock
                     )
+            except TypeError as err:
+                # A child leaf arrived where a local ANCESTOR is a scalar
+                # (the Q3 strict-mode "Cannot create property" TypeError).
+                # Resolve the subtree-vs-scalar conflict at the collision
+                # point by CLOCK — symmetric with the dict side, where
+                # the scalar entry resolves against the dict through the
+                # normal decision table — so both replicas land on the
+                # same winner in every clock relation (see
+                # docs/conflict-resolution.md). Without clocks, fall back
+                # to counting the entry as poisoned (entry isolation).
+                if clock is not None and self._resolve_scalar_ancestor(
+                    path, clock
+                ):
+                    try:
+                        self.bullet.set_data(
+                            path,
+                            None if entry.get("deleted") else data,
+                            broadcast=False,
+                            incoming_clock=clock,
+                        )
+                        continue
+                    except Exception as retry_err:  # noqa: BLE001
+                        err = retry_err
+                elif clock is not None:
+                    continue  # scalar ancestor won; re-offer bump done
+                self.entry_errors += 1
+                self.network.emit(
+                    "sync:entry-error",
+                    {"peerId": peer_id, "path": path, "error": err},
+                )
             except Exception as err:  # noqa: BLE001 - entry isolation
-                # One poisoned entry must not abort the chunk: applying a
-                # child leaf onto a scalar parent raises the Q3 strict-
-                # mode TypeError ("Cannot create property ... "), and the
+                # One poisoned entry must not abort the chunk: the
                 # reference's unguarded loop (bullet-network-sync.js:
-                # 551-569) then loses EVERY later entry in the chunk
-                # while the watermark still advances — silent permanent
-                # data loss for unrelated paths. Count + surface instead.
+                # 551-569) loses EVERY later entry in the chunk while
+                # the watermark still advances — silent permanent data
+                # loss for unrelated paths. Count + surface instead.
                 self.entry_errors += 1
                 self.network.emit(
                     "sync:entry-error",
@@ -487,6 +515,57 @@ class BulletNetworkSync:
         if partial and paths:
             return self._collect_partial_sync_data(paths, since or 0)
         return self._collect_full_sync_data(since or 0)
+
+    def _resolve_scalar_ancestor(self, path: str, clock: dict) -> bool:
+        """Clock-resolve a child-leaf sync entry that collided with a
+        non-dict local ancestor. True → the entry's clock DOMINATES the
+        blocking ancestor's: the scalar is causally superseded, so it is
+        cleared to ``{}`` (clock merged, the subtree write owns the path
+        now) and the caller retries the entry. False → the scalar stays
+        (its clock dominates or is concurrent — the same relation under
+        which the dict side keeps/adopts the scalar through the normal
+        decision table, so both replicas pick the SAME winner); its
+        lastModified is touched so the scalar is re-offered to the
+        entry's (stale or conflicting) sender."""
+        from .crt import compare_vector_clocks, merge_vector_clocks
+        from ..utils.paths import split_path
+
+        bullet = self.bullet
+        with bullet._lock:
+            node = bullet.store
+            parts = split_path(path)
+            anc_parts = []
+            for part in parts[:-1]:
+                anc_parts.append(part)
+                node = node.get(part) if isinstance(node, dict) else None
+                if node is None:
+                    return True  # vanished meanwhile; just retry
+                if not isinstance(node, dict):
+                    anc_path = "/".join(anc_parts)
+                    anc_meta = bullet.meta.get(anc_path) or {}
+                    anc_clock = anc_meta.get("vectorClock")
+                    if (
+                        anc_clock is None
+                        or compare_vector_clocks(clock, anc_clock) > 0
+                    ):
+                        parent = bullet.store
+                        for p in anc_parts[:-1]:
+                            parent = parent[p]
+                        parent[anc_parts[-1]] = {}
+                        bullet.meta[anc_path] = {
+                            **anc_meta,
+                            "vectorClock": merge_vector_clocks(
+                                clock, anc_clock
+                            ),
+                            "lastModified": int(time.time() * 1000),
+                        }
+                        return True
+                    bullet.meta[anc_path] = {
+                        **anc_meta,
+                        "lastModified": int(time.time() * 1000),
+                    }
+                    return False
+            return True  # no blocking ancestor found; retry as-is
 
     def _leaf_meta(self, path: str) -> dict:
         """A leaf's meta, falling back to the NEAREST ANCESTOR with meta:

@@ -119,8 +119,10 @@ def test_chaos_concurrent_writers_peer_death_and_mirror():
         assert not errors, errors
 
         # heal: anti-entropy both ways between the survivors, then poll
-        # to store equality (floods already carried most of it)
-        deadline = time.time() + 30
+        # to store equality (floods already carried most of it). The
+        # deadline is generous: a sync request racing the dead peer's
+        # teardown can burn a retry cycle before the live pair settles.
+        deadline = time.time() + 90
         while time.time() < deadline:
             p0.network.request_sync()
             p1.network.request_sync()

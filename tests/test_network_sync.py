@@ -398,20 +398,60 @@ def test_sync_historical_scalar_does_not_regress():
         p2.close()
 
 
-def test_sync_chunk_poisoned_entry_isolated():
-    """One entry whose application throws (child leaf onto a scalar
-    parent → the Q3 strict-mode TypeError) must not lose the REST of the
-    chunk: the reference's unguarded apply loop aborts mid-chunk while
-    the watermark still advances — silent permanent data loss for
-    unrelated paths. Errors are counted and surfaced instead."""
+def test_sync_subtree_vs_scalar_conflict_converges():
+    """A child leaf arriving where the local ancestor is a SCALAR (the
+    Q3 strict-mode TypeError) resolves at the collision point by clock:
+    concurrent → the scalar wins on BOTH sides (the dict side adopts it
+    through the normal decision table), dominant entry → the scalar is
+    superseded and the subtree installs. Either way the chunk's later
+    entries still apply."""
     p1 = make_peer(connect_sync_delay=1000)
     p2 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"],
                    connect_sync_delay=1000)
     try:
         assert wait_for(lambda: p1.network.peers and p2.network.peers, 10)
-        # p2 holds a scalar at conflict/k; p1 holds a SUBTREE there, so
-        # applying conflict/k/n at p2 raises; aa/... sorts before it and
-        # zz/... after it in the traversal
+        # CONCURRENT: p2 scalar vs p1 subtree at conflict/k
+        p2.set_data("conflict/k", 123456789.0, broadcast=False)
+        p1.set_data("aa/first", 1.0, broadcast=False)
+        p1.set_data("conflict/k", {"n": 1, "s": "sub"}, broadcast=False)
+        p1.set_data("zz/last", 2.0, broadcast=False)
+        p2.network.request_sync()
+        assert wait_for(lambda: p2.store.get("zz", {}).get("last") == 2.0, 10), (
+            "entries after the collision were lost"
+        )
+        assert p2.store.get("aa", {}).get("first") == 1.0
+        # concurrent → the scalar stays at p2...
+        assert p2.store["conflict"]["k"] == 123456789.0
+        assert p2.network.sync.entry_errors == 0
+        # ...and the dict side ADOPTS it on its own pull: converged
+        p1.network.request_sync()
+        assert wait_for(
+            lambda: p1.store.get("conflict", {}).get("k") == 123456789.0, 10
+        ), p1.store.get("conflict")
+
+        # DOMINANT: p1 overwrites with a subtree whose clock now
+        # descends from the scalar — the scalar side must install it
+        p1.set_data("conflict/k", {"n": 2, "s": "dom"}, broadcast=False)
+        p2.network.request_sync()
+        assert wait_for(
+            lambda: p2.store.get("conflict", {}).get("k")
+            == {"n": 2, "s": "dom"}, 10
+        ), p2.store.get("conflict")
+    finally:
+        p1.close()
+        p2.close()
+
+
+def test_sync_chunk_poisoned_entry_isolated_clockless():
+    """clocked_sync_apply=False (reference apply): the collision cannot
+    be clock-resolved, so it is counted and surfaced — and must still
+    not lose the REST of the chunk (the reference's unguarded loop
+    aborts mid-chunk while the watermark advances)."""
+    p1 = make_peer(connect_sync_delay=1000)
+    p2 = make_peer(peers=[f"tcp://127.0.0.1:{p1.network.port}"],
+                   connect_sync_delay=1000, clocked_sync_apply=False)
+    try:
+        assert wait_for(lambda: p1.network.peers and p2.network.peers, 10)
         p2.set_data("conflict/k", 123456789.0, broadcast=False)
         p1.set_data("aa/first", 1.0, broadcast=False)
         p1.set_data("conflict/k", {"n": 1, "s": "sub"}, broadcast=False)

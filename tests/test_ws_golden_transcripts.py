@@ -361,13 +361,20 @@ def test_golden_incremental_since_transcript(server):
         time.sleep(0.05)
         server.get("new/b").put(2)
         # connected peers receive the flooded put first
-        # (bullet-network.js:404-418)
+        # (bullet-network.js:404-418). Scalar puts additionally carry a
+        # top-level vectorClock — a deliberate wire SUPERSET: the
+        # reference's _handlePut destructures only {path, data, ttl} and
+        # relays the untouched message (bullet-network.js:332-346), so
+        # real bullet-js peers ignore the field and forward it intact,
+        # while bullet_tpu receivers use it to apply scalar floods
+        # causally (docs/conflict-resolution.md).
         flood = read_server_message(reader)
         assert_shape(flood, {
             "id": str, "type": "put", "path": "new/b", "data": int,
-            "ttl": 32,
+            "ttl": 32, "vectorClock": dict,
         })
         assert flood["data"] == 2
+        assert all(isinstance(v, int) for v in flood["vectorClock"].values())
 
         # incremental sync from the watermark: only the newer write
         sock.sendall(client_text_frame(json.dumps({
