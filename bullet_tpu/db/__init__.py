@@ -1,6 +1,7 @@
 from .core import Bullet, BulletNode
 from .crt import BulletCRT
 from .middleware import BulletMiddleware
+from .monitor import MonitorServer, StatusServer
 from .query import BulletQuery
 from .serializer import BulletSerializer
 from .storage import BulletMemoryStorage, BulletStorage
@@ -16,5 +17,7 @@ __all__ = [
     "BulletMemoryStorage",
     "BulletStorage",
     "BulletValidation",
+    "MonitorServer",
+    "StatusServer",
     "ValidationError",
 ]

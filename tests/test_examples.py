@@ -25,6 +25,7 @@ EXAMPLES = [
     "serving_example.py",
     "protocol_study_example.py",
     "rank_layout_example.py",
+    "monitor_example.py",
 ]
 
 EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
