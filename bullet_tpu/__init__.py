@@ -48,6 +48,10 @@ def __getattr__(name):
         from .models.netsim import PeerNetworkSim
 
         return PeerNetworkSim
+    if name in ("P", "Predicate"):
+        from .ops import predicates
+
+        return getattr(predicates, name)
     raise AttributeError(name)
 
 
@@ -65,4 +69,6 @@ __all__ = [
     "Middleware",
     "Serializer",
     "PeerNetworkSim",
+    "P",
+    "Predicate",
 ]

@@ -117,8 +117,23 @@ class PathInterner:
     def path(self, pid: int) -> str:
         return self._path_of[pid]
 
+    def paths_batch(self, pids) -> List[str]:
+        """K path strings for K ids in one pass (batch twin of ``path``,
+        API parity with the native interner)."""
+        if hasattr(pids, "tolist"):
+            pids = pids.tolist()
+        return list(map(self._path_of.__getitem__, pids))
+
     def parent(self, pid: int) -> int:
         return self._parent[pid]
+
+    def parents_batch(self, pids) -> "np.ndarray":
+        """int32 parent ids [K] (batch twin of ``parent``)."""
+        import numpy as np
+
+        return np.asarray(self._parent, dtype=np.int32)[
+            np.asarray(pids, dtype=np.int64)
+        ]
 
     def segment(self, pid: int) -> str:
         return self._last_seg[pid]
