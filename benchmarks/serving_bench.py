@@ -67,7 +67,12 @@ def main() -> None:
                         "connect_sync_delay": 600})
     handle = attach_live_bridge(serving, sim, peer=0)
     view = handle.view()
-    out = {}
+    # serving warmup: precompile the flat-apply bucket ladder so no live
+    # query pays a first-of-its-batch-size XLA compile (reported, not free)
+    t0 = time.time()
+    sim.warm_apply_buckets(1 << 16)
+    warm_s = round(time.time() - t0, 2)
+    out = {"warmup_s": warm_s}
     try:
         assert wait_for(lambda: serving.network.peers and writer.network.peers)
 
@@ -129,8 +134,17 @@ def main() -> None:
         th.join(timeout=5)
         out["loaded_count_p50_ms"] = round(pctl(loaded, 50) * 1e3, 2)
         out["loaded_count_p95_ms"] = round(pctl(loaded, 95) * 1e3, 2)
+        out["loaded_count_p99_ms"] = round(pctl(loaded, 99) * 1e3, 2)
         out["loaded_writer_rate_per_s"] = round(
             wrote[0] / max(sum(loaded), 1e-9)
+        )
+        # bounded-tail contract (VERDICT r4 item): queries must NOT convoy
+        # behind the wire thread or fold an unbounded backlog — staging +
+        # one put_bulk per query keeps refresh="apply" under 50 ms even
+        # while the writer floods
+        assert out["loaded_count_p95_ms"] < 50.0, (
+            f"serving p95 {out['loaded_count_p95_ms']} ms under write flood "
+            f"(bound: 50 ms)"
         )
 
         # correctness anchor under load: the view still serves exact counts

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from .table import MISSING  # the sims' own "argument omitted" sentinel
+from .table import MISSING, flatten_value  # sims' sentinel + leaf decomposition
 
 
 def load_bullet_into_sim(bullet, sim, peer: int = 0) -> int:
@@ -114,7 +114,7 @@ class ReplicaView:
     epoch's inverse."""
 
     def __init__(self, sim, peer: int = 0, refresh: str = "apply",
-                 lock=None) -> None:
+                 lock=None, pump=None) -> None:
         if refresh not in ("apply", "converge", None):
             raise ValueError(f"unknown refresh policy: {refresh!r}")
         import threading
@@ -123,8 +123,11 @@ class ReplicaView:
         self._peer = peer
         self._refresh = refresh
         self._lock = lock if lock is not None else threading.Lock()
+        self._pump = pump
 
     def _refresh_locked(self):
+        if self._pump is not None and self._refresh is not None:
+            self._pump()  # drain the bridge's staged writes (one put_bulk)
         if self._refresh == "apply":
             self._sim.step(rounds=0)
         elif self._refresh == "converge":
@@ -200,28 +203,75 @@ def attach_live_bridge(bullet, sim, peer: int = 0):
     Bridges STACK (each wraps the current ``_apply_update``, so one db
     can mirror into several sims); detach in REVERSE attach order — an
     out-of-order detach restores ITS captured predecessor, silently
-    re-installing an already-detached forwarder above it."""
+    re-installing an already-detached forwarder above it.
+
+    Serving tail latency: the forwarder takes NO lock — it appends the
+    accepted (path, value) to a staging deque (GIL-atomic). A hot write
+    loop acquiring a lock ~30k times/s convoys any thread waiting on
+    that lock for hundreds of ms (the r3 serving bench's p95 ≈ 0.6 s was
+    exactly this, not device work); staging decouples the wire thread
+    from queries entirely. Queries (and ``flush()``) drain the stage
+    under the lock in ONE ``put_bulk`` call — batched encode instead of
+    per-op Python — then fold as before, so ``refresh="apply"`` still
+    reads every write accepted before the query began. Anything reading
+    ``sim`` directly (not through the view/handle) should call
+    ``pump()`` first to fold staged writes in."""
     import threading
+    from collections import deque
 
     orig = bullet._apply_update
     lock = threading.Lock()
+    staged: deque = deque()
 
     def forward(path, value, vector_clock, from_network):
         orig(path, value, vector_clock, from_network)
-        with lock:
-            sim.put(peer, path, value)
+        staged.append((path, value))
 
     bullet._apply_update = forward
+
+    def pump_locked() -> int:
+        """Drain staged writes into the sim queue as one bulk put (same
+        leaf decomposition as load_bullet_into_sim / the sync wire format,
+        bullet-network-sync.js:592-646). Caller must hold ``lock``."""
+        if not staged:
+            return 0
+        paths: list = []
+        values: list = []
+        # bound by the snapshot length: appends racing the drain are the
+        # NEXT pump's work, so a sustained flood can't pin us in the loop
+        for _ in range(len(staged)):
+            try:
+                path, value = staged.popleft()
+            except IndexError:  # racing pump drained it first
+                break
+            for leaf_path, leaf_value in flatten_value(path, value):
+                paths.append(leaf_path)
+                values.append(leaf_value)
+        if paths:
+            sim.put_bulk(peer, paths, values)
+        return len(paths)
 
     class _Handle:
         def detach(self) -> None:
             bullet._apply_update = orig
 
+        def pump(self) -> int:
+            """Move staged mirror writes into the sim queue (no gossip)."""
+            with lock:
+                return pump_locked()
+
+        def backlog(self) -> int:
+            """Staged writes not yet pumped (monitoring)."""
+            return len(staged)
+
         def flush(self) -> int:
             with lock:
+                pump_locked()
                 return sim.run_until_converged()
 
         def view(self, refresh: str = "apply") -> ReplicaView:
-            return ReplicaView(sim, peer, refresh=refresh, lock=lock)
+            return ReplicaView(
+                sim, peer, refresh=refresh, lock=lock, pump=pump_locked
+            )
 
     return _Handle()

@@ -335,6 +335,36 @@ def _gather_watch_packed(table, peers, slots):
     return table.cv[peers, slots]
 
 
+def _pad_flat_ops(reduced, p: int, n: int, min_bucket: int = 64):
+    """Pad a reduced flat op batch to a power-of-two length so the stacked
+    apply compiles one XLA program per BUCKET, not per batch size (a novel
+    K otherwise stalls ~0.7 s in compilation — the r3 serving-tail spike:
+    live mirrors produce a different backlog size every query).
+
+    Padding rows can never change state: their slot ids start at ``n``
+    (out of range — the scatter's FILL_OR_DROP default drops them, and the
+    clamped gather only feeds a comparison they lose) and their value
+    fields are all zero, i.e. cls 0 / rank 0 — the padding-never-wins
+    invariant. (peer ``p-1``, ascending slots ≥ n) also preserves the
+    sorted-unique (peer, slot) contract the scatter asserts to XLA."""
+    k = len(reduced[0])
+    bucket = max(min_bucket, 1 << max(k - 1, 1).bit_length())
+    if bucket == k:
+        return reduced
+    pad = bucket - k
+    peer = np.concatenate(
+        [reduced[0], np.full(pad, p - 1, dtype=np.int32)]
+    )
+    slot = np.concatenate(
+        [reduced[1], (n + np.arange(pad)).astype(np.int32)]
+    )
+    rest = tuple(
+        np.concatenate([r, np.zeros(pad, dtype=r.dtype)])
+        for r in reduced[2:]
+    )
+    return (peer, slot, *rest)
+
+
 @jax.jit
 def _peer_row_packed(table, peer):
     from ..ops.packed import CV_SHIFT, VID_MASK
@@ -824,7 +854,9 @@ class PeerNetworkSim:
         peers = np.concatenate(chunks_peers)
         flat = [np.concatenate(c) for c in chunks_fields]
         bpos, counts = _group_positions(peers, self.num_peers)
-        batch = int(counts.max())
+        # pow2 batch width: one compiled apply per BUCKET, not per width
+        # (padded entries are cls 0 — they never win; see _pad_flat_ops)
+        batch = max(8, 1 << max(int(counts.max()) - 1, 1).bit_length())
 
         fields = [np.zeros((self.num_peers, batch), dtype=np.int32) for _ in range(6)]
         for f in range(6):
@@ -1100,6 +1132,7 @@ class PeerNetworkSim:
         # ONE stacked h2d transfer for the whole reduced batch (the tunnel
         # charges per-transfer latency; five separate array uploads cost
         # noticeably more than one [5, K] block)
+        reduced = _pad_flat_ops(reduced, p_, n_)
         if self.layout == "rank1":
             from ..ops.rank import apply_flat_rank1_stacked
 
@@ -1117,6 +1150,48 @@ class PeerNetworkSim:
                 self.table, jnp.asarray(np.stack(reduced))
             )
         return int(applied)
+
+    def warm_apply_buckets(self, max_ops: int = 1 << 16) -> int:
+        """Precompile the flat-apply bucket ladder up to ``max_ops``.
+
+        Serving warmup: applies run one compiled program per pow2 batch
+        bucket (see ``_pad_flat_ops``); a live mirror produces a different
+        backlog size every query, so without warmup the FIRST query to hit
+        each bucket pays that bucket's XLA compile (~0.7 s) mid-request —
+        the r3 serving-bench p95. This drives an all-padding batch through
+        every bucket so the compiles happen before traffic. State-invariant
+        (padding never wins); returns the number of buckets warmed.
+
+        Packed-family layouts only (the serving layouts); on a TPU with the
+        persistent compile cache the cost is paid once per shape ever."""
+        if self.layout not in PACKED_FAMILY:
+            return 0
+        from ..ops.packed import apply_flat_packed_stacked
+
+        if self.layout == "rank1":
+            from ..ops.rank import apply_flat_rank1_stacked as apply_stacked
+
+            rows = 3
+        elif self.layout == "rank":
+            from ..ops.rank import apply_flat_rank_stacked as apply_stacked
+
+            rows = 4
+        else:
+            apply_stacked, rows = apply_flat_packed_stacked, 5
+        self._sync_device_state()
+        p_, n_ = self.table[0].shape
+        empty = tuple(np.zeros(0, dtype=np.int32) for _ in range(rows))
+        warmed = 0
+        bucket = 64
+        while bucket <= max_ops:
+            padded = _pad_flat_ops(empty, p_, n_, min_bucket=bucket)
+            self.table, applied = apply_stacked(
+                self.table, jnp.asarray(np.stack(padded))
+            )
+            assert int(applied) == 0  # padding must never win
+            warmed += 1
+            bucket <<= 1
+        return warmed
 
     def _frontier_tile(self) -> int:
         """Stripe width the frontier convergence path would use at the

@@ -24,6 +24,7 @@ import threading
 import time
 
 import numpy as np
+import pytest
 
 import bullet_tpu as bt
 from bullet_tpu.models.bridge import attach_live_bridge
@@ -147,6 +148,178 @@ def test_chaos_concurrent_writers_peer_death_and_mirror():
     finally:
         handle.detach()
         for p in (p0, p1, p2):
+            try:
+                p.close()
+            except Exception:  # noqa: BLE001 - already closed
+                pass
+
+
+def _free_port() -> int:
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_chaos_big_mixed_links_partition_and_restart(tmp_path, seed):
+    """The scaled soak (VERDICT r4 item 5): 6 peers on MIXED ws:// and
+    tcp:// links in a ring+chords topology, concurrent writer threads on
+    every peer, a timed wire-layer partition (one peer's links severed
+    repeatedly, then healed), and a peer KILLED mid-flood and RESTARTED
+    from its file storage with its pinned peer id — ending in full store
+    equality across all six, with a device mirror serving the monotone
+    space exactly throughout.
+
+    Reference semantics being soaked: flood relay bullet-network.js:332-346,
+    anti-entropy bullet-network-sync.js:551-569, restart-restore
+    bullet-file-storage.js:96-163 + clock resume from persisted meta."""
+    num = 6
+    ports = [_free_port() for _ in range(num)]
+    restart_id = "e3b0c442-98fc-4b61-b26a-chaos-restart"  # pinned for resume
+
+    def make(i: int, with_storage: bool):
+        # ring + two chords; alternate framing per dial so both wire
+        # protocols carry chaos traffic (the server auto-detects inbound)
+        targets = [(i - 1) % num]
+        if i == 0:
+            targets.append(3)
+        if i == 2:
+            targets.append(5)
+        urls = [
+            ("ws" if (i + j) % 2 else "tcp") + f"://127.0.0.1:{ports[j]}"
+            for j in targets
+        ]
+        opts = {
+            "port": ports[i], "host": "127.0.0.1", "peers": urls,
+            "connect_sync_delay": 0.1,
+        }
+        if with_storage:
+            opts.update({
+                "storage": True, "storage_path": str(tmp_path / "p4"),
+                "save_interval": 0.3, "peer_id": restart_id,
+            })
+        else:
+            opts["storage"] = False
+        return bt.create(opts)
+
+    peers = [make(i, with_storage=(i == 4)) for i in range(num)]
+    sim = PeerNetworkSim(2, capacity=2048, topology="ring", layout="rank1")
+    handle = attach_live_bridge(peers[0], sim, peer=0)
+    mono_counter = itertools.count(1)
+    mono_lock = threading.Lock()
+    dead = threading.Event()  # p4 down
+    part_stop = threading.Event()
+    errors: list = []
+
+    def writer(peer_idx: int, thread_idx: int) -> None:
+        rng = np.random.default_rng(1000 * seed + 10 * peer_idx + thread_idx)
+        try:
+            for i in range(80):
+                if peer_idx == 4 and dead.is_set():
+                    return
+                roll = int(rng.integers(10))
+                try:
+                    if roll < 3:
+                        with mono_lock:
+                            val = float(next(mono_counter))
+                        peers[peer_idx].get(
+                            f"mono/m{int(rng.integers(8))}"
+                        ).put(val)
+                    elif roll == 3:
+                        peers[peer_idx].get(
+                            f"data/k{int(rng.integers(24))}"
+                        ).put(None)
+                    elif roll == 4:
+                        peers[peer_idx].get(
+                            f"data/k{int(rng.integers(24))}"
+                        ).put({"n": int(rng.integers(1000)),
+                               "s": f"w{peer_idx}.{thread_idx}.{i}"})
+                    else:
+                        peers[peer_idx].get(
+                            f"data/k{int(rng.integers(24))}"
+                        ).put(float(rng.integers(1 << 20)))
+                except Exception:
+                    if not (peer_idx == 4 and dead.is_set()):
+                        raise
+                if i % 25 == 11:
+                    time.sleep(0.01)
+        except Exception as exc:  # noqa: BLE001 - the soak's assertion
+            errors.append((peer_idx, thread_idx, exc))
+
+    def sever_p3() -> None:
+        # wire-layer partition: keep cutting p3's links until healed
+        while not part_stop.is_set():
+            for conn in list(peers[3].network.peers.values()):
+                try:
+                    conn.close()
+                except Exception:  # noqa: BLE001 - racing teardown
+                    pass
+            time.sleep(0.15)
+
+    try:
+        time.sleep(0.8)  # mesh connect
+        threads = [
+            threading.Thread(target=writer, args=(pi, ti))
+            for pi in range(num) for ti in range(2)
+        ]
+        for t in threads:
+            t.start()
+
+        # timed partition of p3 under live traffic
+        part = threading.Thread(target=sever_p3)
+        part.start()
+
+        # kill p4 mid-flood (its storage keeps the pre-kill state)
+        time.sleep(0.6)
+        dead.set()
+        peers[4].close()
+
+        # heal the partition
+        time.sleep(0.8)
+        part_stop.set()
+        part.join(timeout=10)
+
+        # restart p4 from disk with the same port + peer id: file load +
+        # clock resume, then reconnects and anti-entropy pull it level
+        peers[4] = make(4, with_storage=True)
+        assert peers[4].store, "restart lost the persisted store"
+
+        for t in threads:
+            t.join(timeout=90)
+            assert not t.is_alive(), "writer thread hung"
+        assert not errors, errors
+
+        deadline = time.time() + 150
+        last = None
+        while time.time() < deadline:
+            for p in peers:
+                p.network.request_sync()
+            time.sleep(0.5)
+            last = [_leaves(p.store) for p in peers]
+            if all(s == last[0] for s in last[1:]):
+                break
+        assert all(s == last[0] for s in last[1:]), (
+            "peers failed to converge after partition+restart: sizes "
+            + str([len(s) for s in last])
+        )
+        leaves = last[0]
+        assert leaves, "chaos produced an empty store?"
+
+        # device mirror: exact on the monotone space, decodable everywhere
+        view = handle.view()
+        mono = {p: v for p, v in leaves.items() if p.startswith("mono/")}
+        assert mono, "no monotone writes landed?"
+        for path, value in mono.items():
+            assert view.get(path) == value, (path, view.get(path), value)
+        for path in leaves:
+            view.get(path)
+    finally:
+        handle.detach()
+        for p in peers:
             try:
                 p.close()
             except Exception:  # noqa: BLE001 - already closed
