@@ -78,6 +78,10 @@ def main() -> None:
     peer, slot, cls, khi, klo, vid = flat
 
     p_, n_ = sim.table[0].shape
+    from bullet_tpu.ops.packed import block_apply_supported as _bas
+
+    _use_blocked = _bas(p_, n_) and on_tpu
+    _bshape = (p_, n_) if _use_blocked else None
     if args.layout in ("rank", "rank1"):
         from bullet_tpu.ops.packed import CV_SHIFT
 
@@ -94,7 +98,7 @@ def main() -> None:
         from bullet_tpu.ops.rank import reduce_flat_ops_rank
 
         t0 = time.time()
-        reduced = reduce_flat_ops_rank(peer, slot, rank_f, cv_f)
+        reduced = reduce_flat_ops_rank(peer, slot, rank_f, cv_f, block_shape=_bshape)
         out["reduce_s"] = round(time.time() - t0, 4)
         if args.layout == "rank1":
             reduced = reduced[:3]
@@ -102,33 +106,79 @@ def main() -> None:
         from bullet_tpu.ops.packed import reduce_flat_ops
 
         t0 = time.time()
-        reduced = reduce_flat_ops(peer, slot, cls, khi, klo, vid)
+        reduced = reduce_flat_ops(peer, slot, cls, khi, klo, vid, block_shape=_bshape)
         out["reduce_s"] = round(time.time() - t0, 4)
     out["reduced_k"] = int(len(reduced[0]))
 
-    t0 = time.time()
-    reduced = _pad_flat_ops(reduced, p_, n_)
-    stacked = np.stack(reduced)
-    out["stack_s"] = round(time.time() - t0, 4)
-    out["h2d_bytes"] = int(stacked.nbytes)
+    # route exactly like _apply_pending_packed on this backend
+    from bullet_tpu.ops.packed import (
+        apply_flat_blocked,
+        apply_flat_windowed,
+        block_apply_supported,
+        chunk_block_ops,
+        dense_batch_density,
+        window_apply_supported,
+        window_block_ops,
+        window_min_density,
+    )
 
-    t0 = time.time()
-    dev = jnp.asarray(stacked)
-    dev.block_until_ready()
-    _ = int(dev[0, 0])  # force through the tunnel
-    out["h2d_s"] = round(time.time() - t0, 4)
-
-    if args.layout == "rank1":
-        from bullet_tpu.ops.rank import apply_flat_rank1_stacked as apply_fn
-    elif args.layout == "rank":
-        from bullet_tpu.ops.rank import apply_flat_rank_stacked as apply_fn
+    use_blocked = _use_blocked
+    out["use_blocked"] = bool(use_blocked)
+    if use_blocked:
+        nf = {"packed": 3, "rank": 2, "rank1": 1}[args.layout]
+        dens = dense_batch_density(reduced[0], reduced[1], n_)
+        out["density"] = round(dens, 1)
+        windowed = (
+            window_apply_supported(p_, n_)
+            and dens >= window_min_density(nf)
+        )
+        out["windowed"] = bool(windowed)
+        t0 = time.time()
+        if windowed:
+            blocked = window_block_ops(*reduced, p_, n_)
+        else:
+            blocked = chunk_block_ops(*reduced, p_, n_)
+        out["block_prep_s"] = round(time.time() - t0, 4)
+        out["h2d_bytes"] = int(sum(np.asarray(b).nbytes for b in blocked))
+        t0 = time.time()
+        dev = [jnp.asarray(b) for b in blocked]
+        _ = int(dev[-1][0].ravel()[0])  # force the transfer
+        out["h2d_s"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        if windowed:
+            sim.table, applied = apply_flat_windowed(sim.table, *dev)
+        else:
+            sim.table, applied = apply_flat_blocked(sim.table, *dev)
+        out["applied"] = int(applied)
+        out["device_apply_s"] = round(time.time() - t0, 4)
     else:
-        from bullet_tpu.ops.packed import apply_flat_packed_stacked as apply_fn
+        t0 = time.time()
+        reduced = _pad_flat_ops(reduced, p_, n_)
+        stacked = np.stack(reduced)
+        out["stack_s"] = round(time.time() - t0, 4)
+        out["h2d_bytes"] = int(stacked.nbytes)
 
-    t0 = time.time()
-    sim.table, applied = apply_fn(sim.table, dev)
-    out["applied"] = int(applied)  # scalar readback forces completion
-    out["device_apply_s"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        dev = jnp.asarray(stacked)
+        dev.block_until_ready()
+        _ = int(dev[0, 0])  # force through the tunnel
+        out["h2d_s"] = round(time.time() - t0, 4)
+
+        if args.layout == "rank1":
+            from bullet_tpu.ops.rank import (
+                apply_flat_rank1_stacked as apply_fn,
+            )
+        elif args.layout == "rank":
+            from bullet_tpu.ops.rank import apply_flat_rank_stacked as apply_fn
+        else:
+            from bullet_tpu.ops.packed import (
+                apply_flat_packed_stacked as apply_fn,
+            )
+
+        t0 = time.time()
+        sim.table, applied = apply_fn(sim.table, dev)
+        out["applied"] = int(applied)  # scalar readback forces completion
+        out["device_apply_s"] = round(time.time() - t0, 4)
 
     phases = [k for k in out if k.endswith("_s") and k not in
               ("warm_apply_s", "ingest_s")]

@@ -785,6 +785,11 @@ class PeerNetworkSim:
                 self.hooks.queue_after_put(int(peers[i]), path, val)
 
         self._enqueue_bulk(peers, slots, cls, khi, klo, vid)
+        if self.layout in RANK_FAMILY:
+            # stage rank inserts NOW, while the encoded batch is hot — the
+            # apply-time _sync_rank_index then finds nothing new and the
+            # fresh-load fold stops serializing behind the insert
+            self._stage_rank_inserts()
 
     def _enqueue_bulk(self, peers, slots, cls, khi, klo, vid) -> None:
         """Stamp per-op Lamport counters (clock[peer] + within-batch
@@ -933,17 +938,14 @@ class PeerNetworkSim:
         )
         self.host.needs_rekey = False
 
-    def _sync_rank_index(self) -> None:
-        """Bring the RankIndex up to date with the interner (rank layout):
-        refresh stored key columns after a string rebalance (epoch bump),
-        assign ranks to newly interned vids, and — if a gap exhausted and
-        the rank space respread — re-gather the device table's ranks
-        through the fresh vid -> rank LUT so ops and table always compare
-        under ONE map version. The rank1 layout has no vid column to
-        re-gather through; its stale ranks decode via the PRE-respread
-        inverse the RankIndex snapshots (prev_inverse → rekey_rank1)."""
-        from ..ops.rank import rekey_rank, rekey_rank1
-
+    def _stage_rank_inserts(self) -> None:
+        """Rank-index maintenance WITHOUT the device rekey: refresh stored
+        key columns after a string rebalance and assign ranks to newly
+        interned vids. Called from ``put_bulk`` so bulk ingest pays the
+        insert while the encoded batch is still hot (VERDICT r4 item 1:
+        the fresh-load apply previously serialized this behind the fold);
+        any respread's device rekey still defers to the next
+        ``_sync_rank_index`` (apply/read), which sees ``needs_rekey``."""
         vals = self.host.values
         if self._rank_str_epoch != vals.epoch:
             cls_map, khi_map, klo_map = self.host.key_tables()
@@ -956,6 +958,19 @@ class PeerNetworkSim:
             self.rank_index.insert_batch(
                 new, cls_map[new], khi_map[new], klo_map[new]
             )
+
+    def _sync_rank_index(self) -> None:
+        """Bring the RankIndex up to date with the interner (rank layout):
+        refresh stored key columns after a string rebalance (epoch bump),
+        assign ranks to newly interned vids, and — if a gap exhausted and
+        the rank space respread — re-gather the device table's ranks
+        through the fresh vid -> rank LUT so ops and table always compare
+        under ONE map version. The rank1 layout has no vid column to
+        re-gather through; its stale ranks decode via the PRE-respread
+        inverse the RankIndex snapshots (prev_inverse → rekey_rank1)."""
+        from ..ops.rank import rekey_rank, rekey_rank1
+
+        self._stage_rank_inserts()
         if self.rank_index.needs_rekey:
             if self.layout == "rank1":
                 osr, osv = self.rank_index.prev_inverse
@@ -1204,6 +1219,11 @@ class PeerNetworkSim:
             p, n = self.table[0].shape
             mesh = self._gossip_mesh()
             if mesh is not None:
+                # the SPMD window fuse drives BOTH fused and tail phases
+                # at ITS tile — dirty bookkeeping must match it
+                wf, wtile = self._spmd_window_params()
+                if wf:
+                    return wtile
                 return frontier_tile_n_sharded(p, n, mesh.devices.size)
             return frontier_tile_n(p, n)
         from ..ops.ring_kernel import (
@@ -1460,24 +1480,46 @@ class PeerNetworkSim:
         self._fire_subscriptions()
         return rounds
 
+    def _spmd_window_params(self):
+        """(m, tile) for the SPMD window frontier on hardware, or (0, 0):
+        m gossip rounds per collective round-trip via the distance-exact
+        window join (VERDICT r4 item 2) — preferred over HALO_FUSE=8
+        whenever the geometry supports it, because the dominant real
+        multi-chip cost is collective latency, not VPU compute."""
+        from ..ops.packed import window_frontier_params
+
+        if jax.default_backend() != "tpu":
+            return 0, 0
+        mesh = self._gossip_mesh()
+        if mesh is None:
+            return 0, 0
+        p, n = self.table[0].shape
+        return window_frontier_params(
+            len(self.table), p // mesh.devices.size, n
+        )
+
     def _converge_frontier_spmd(self, max_rounds: int) -> int:
         """Packed frontier loop under shard_map: per-device Pallas rounds
         (interpret mode on the virtual CPU mesh), frontier psum-agreed
-        across devices. On hardware, HALO_FUSE=8 rounds fuse per
-        collective round-trip (8-row boundary ppermute + trapezoidal
-        time-tiling) — same total boundary bytes, 8x fewer collective
-        latencies; exact classic round counts (fused parity test). On CPU
-        interpret the fusion only multiplies compute, so it stays
-        hardware-only, like the local fused loops."""
+        across devices. On hardware, the WINDOW fuse runs up to m=63
+        rounds per collective round-trip (one m-row slab ppermute + a
+        local distance-exact radius-m window join) when the geometry
+        supports it, else HALO_FUSE=8 (8-row boundary ppermute +
+        trapezoidal time-tiling); exact classic round counts either way
+        (parity tests). On CPU interpret the fusion only multiplies
+        compute, so it stays hardware-only, like the local fused loops."""
         from ..ops.packed import HALO_FUSE
         from ..parallel.shardmap_gossip import gossip_frontier_shardmap_packed
 
         interp = jax.default_backend() != "tpu"
+        wf, wtile = (0, 0) if interp else self._spmd_window_params()
         t_total = self.table[0].shape[1] // self._frontier_tile()
         self.table, rounds, final_changed = gossip_frontier_shardmap_packed(
             self.table, self._frontier_seed(t_total), self._gossip_mesh(),
             self.topology.kind == "ring", max_rounds,
-            interpret=interp, fuse=1 if interp else HALO_FUSE,
+            interpret=interp,
+            fuse=1 if (interp or wf) else HALO_FUSE,
+            window_fuse=wf, window_tile=wtile,
         )
         self._finish_frontier(t_total, rounds, final_changed, max_rounds)
         return self._finish_converge(rounds, final_changed, sync_clocks=False)

@@ -342,11 +342,13 @@ def chunk_block_ops(peer, slot, *vals_and_shape):
     meta_cf = csizes | (first[cstarts].astype(np.int32) << 5)
     chunk_of = np.cumsum(boundary) - 1
     pos = (within % _BLOCK_C).astype(np.int64)
-    ops5 = np.zeros((n_chunks, _BLOCK_C, 2 + len(vals)), dtype=np.int32)
-    ops5[chunk_of, pos, 0] = peer & 7
-    ops5[chunk_of, pos, 1] = slot % _CG_BN
+    # ONE fused index column (r:3b << 7 | c:7b): the op stream is the
+    # apply path's h2d payload and the tunnel runs ~30 MB/s — dropping a
+    # column is a direct wall-clock win (VERDICT r4 item 1)
+    ops5 = np.zeros((n_chunks, _BLOCK_C, 1 + len(vals)), dtype=np.int32)
+    ops5[chunk_of, pos, 0] = ((peer & 7) << 7) | (slot % _CG_BN)
     for f, v in enumerate(vals):
-        ops5[chunk_of, pos, 2 + f] = v
+        ops5[chunk_of, pos, 1 + f] = v
     return meta_rc, meta_cf, ops5
 
 
@@ -383,9 +385,10 @@ def _chunk_apply_kernel(nf: int, *refs):
     col_i = jax.lax.broadcasted_iota(jnp.int32, blk[0].shape, 1)
     applied = jnp.int32(0)
     for i in range(_BLOCK_C):
-        r = ops_ref[0, 0, i]
-        c = ops_ref[0, 1, i]
-        ovals = tuple(ops_ref[0, 2 + f, i] for f in range(nf))
+        idx = ops_ref[0, 0, i]
+        r = idx >> 7
+        c = idx & (_CG_BN - 1)
+        ovals = tuple(ops_ref[0, 1 + f, i] for f in range(nf))
         onehot = (row_i == r) & (col_i == c) & (i < cnt)
         beats = _lex_gt_packed(
             table_keys(ovals), table_keys(tuple(blk))
@@ -560,11 +563,11 @@ def window_block_ops(peer, slot, *vals_and_shape):
     meta = rb | (cb << 10) | (first[wstarts].astype(np.int32) << 30)
     win_of = np.cumsum(boundary) - 1
     pos = (within % _WIN_C).astype(np.int64)
-    ops5 = np.zeros((n_win, _WIN_C, 2 + len(vals)), dtype=np.int32)
-    ops5[win_of, pos, 0] = peer & 7
-    ops5[win_of, pos, 1] = slot % _WIN_BN
+    # ONE fused index column (r:3b << 10 | c:10b) — see chunk_block_ops
+    ops5 = np.zeros((n_win, _WIN_C, 1 + len(vals)), dtype=np.int32)
+    ops5[win_of, pos, 0] = ((peer & 7) << 10) | (slot % _WIN_BN)
     for f, v in enumerate(vals):
-        ops5[win_of, pos, 2 + f] = v
+        ops5[win_of, pos, 1 + f] = v
     return meta, ops5
 
 
@@ -592,12 +595,12 @@ def _window_apply_kernel(nf: int, *refs):
         for o, i_ in zip(out_refs, in_refs):
             o[...] = i_[...]
 
-    ops = ops_ref[0]  # (8, 128): rows r, c, khi, klo, cv, 0-pad
+    ops = ops_ref[0]  # (nf+1, 128): rows idx(r<<10|c), khi, klo, cv
     f32 = jnp.float32
     hi = jax.lax.Precision.HIGHEST
-    c_row = ops[1:2, :].astype(f32)
+    c_row = (ops[0:1, :] & (_WIN_BN - 1)).astype(f32)
     sub_i = jax.lax.broadcasted_iota(jnp.int32, (8, _WIN_C), 0)
-    rf = (sub_i == ops[0:1, :]).astype(f32)  # R one-hot (8, 128)
+    rf = (sub_i == (ops[0:1, :] >> 10)).astype(f32)  # R one-hot (8, 128)
     eye = (
         jax.lax.broadcasted_iota(jnp.int32, (_WIN_C, _WIN_C), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (_WIN_C, _WIN_C), 1)
@@ -622,7 +625,7 @@ def _window_apply_kernel(nf: int, *refs):
         )
         return (uhi.astype(jnp.int32) << 16) | ulo.astype(jnp.int32)
 
-    u_vals = tuple(densify(ops[2 + f:3 + f, :]) for f in range(nf))
+    u_vals = tuple(densify(ops[1 + f:2 + f, :]) for f in range(nf))
 
     blk = tuple(o[...] for o in out_refs)
     win = _lex_gt_packed(
@@ -2276,7 +2279,8 @@ def compact_counts_packed(counts, interpret: bool = False):
 
 
 def frontier_shard_round_packed(block, tops, bottoms, ids_full,
-                                interpret: bool, vma=None):
+                                interpret: bool, vma=None,
+                                tile_n: int = 0):
     """Per-device frontier ring/chain round body (called inside shard_map).
 
     ``block`` is the device-local [b, n] peer block; ``tops``/``bottoms``
@@ -2294,7 +2298,7 @@ def frontier_shard_round_packed(block, tops, bottoms, ids_full,
 
     nf = len(block)
     b, n = block[0].shape
-    tile_n = _stripe_tile_n(b, n)
+    tile_n = tile_n or _stripe_tile_n(b, n)
     t_total = n // tile_n
 
     grid_j = jnp.maximum(ids_full[t_total], 1)
@@ -2497,6 +2501,251 @@ def compact_counts_multiround_packed(counts, interpret: bool = False):
         interpret=interpret,
     )(counts)
     return out[0]
+
+
+# ----------------------------------------- spmd WINDOW frontier (fuse ≫ 8)
+#
+# m gossip rounds per collective round-trip instead of HALO_FUSE=8: each
+# device ppermutes an m-row boundary SLAB once, then computes the radius-m
+# window join locally in O(log m) doubling steps (the lattice-join theorem
+# behind ring_window_packed_traced), with EXACT per-entry last-change
+# tracking: an entry's last-change round within the block equals its ring
+# distance to the nearest source of its final value, and that distance
+# composes exactly through doubling iff every step obeys s ≤ r+1 (the
+# s ≤ 2r+1 value-only schedule overcharges sources in the zone (r, s) —
+# docs/tpu-performance.md:199-215 records the theorem; this is the
+# "future multi-chip fused frontier" it was recorded for).
+
+_DIST_FILL = 1 << 24  # > any window radius; never survives a live compare
+
+
+def _keys_eq(b_keys, a_keys) -> jax.Array:
+    """Full key-chain equality (same lattice value)."""
+    eq = b_keys[0] == a_keys[0]
+    for kb, ka in zip(b_keys[1:], a_keys[1:]):
+        eq = eq & (kb == ka)
+    return eq
+
+
+def _shift_line(f, s: int, fill):
+    """Shift rows of ``f`` down by ``s`` (s<0 = up) with constant fill —
+    LINE semantics (no wraparound): the ext block's slabs already carry
+    the ring neighborhood, so rolled-in rows must be identity, not wrap."""
+    rolled = jnp.roll(f, s, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, f.shape, 0)
+    if s > 0:
+        return jnp.where(row < s, fill, rolled)
+    return jnp.where(row >= f.shape[0] + s, fill, rolled)
+
+
+def _window_dist_chain(vals, dist, m: int):
+    """Join ``vals`` to window radius ``m`` on a line, tracking the exact
+    min distance to a source of each entry's current value.
+
+    Invariant at radius r (rows whose radius-r line window is in range):
+    ``vals`` = lattice join over the radius-r window, ``dist`` = exact min
+    distance to a source (radius-0 value) equal to it. One step joins with
+    copies shifted ±s carrying candidate distance d+s; with s ≤ r+1 any
+    source the shifted copy over-charges (true distance s−d < s) is
+    already covered exactly by the center window, so gt takes the shifted
+    distance, full-key EQUALITY takes the min — both exact. Shift fill is
+    the absent value (cls 0 / rank 0: the join identity) with _DIST_FILL
+    distance, so out-of-line rows never win or tighten a distance."""
+    r = 0
+    while r < m:
+        s = min(m - r, r + 1)
+        for sign in (+1, -1):
+            sh = [_shift_line(f, sign * s, 0) for f in vals]
+            cand = _shift_line(dist, sign * s, _DIST_FILL - s) + s
+            kb = table_keys(tuple(sh))
+            ka = table_keys(tuple(vals))
+            gt = _lex_gt_packed(kb, ka)
+            eq = _keys_eq(kb, ka)
+            vals = [jnp.where(gt, fb, fa) for fa, fb in zip(vals, sh)]
+            dist = jnp.where(
+                gt, cand, jnp.where(eq, jnp.minimum(dist, cand), dist)
+            )
+        r += s
+    return vals, dist
+
+
+def _frontier_shard_window_kernel_packed(nf: int, m: int, b: int,
+                                         t_total: int, *refs):
+    """Per-device WINDOW frontier body: m rounds per block-load via the
+    distance-tracking radius-m window join over [slab_m | center_b |
+    slab_m]. Emits per-stripe (changed-entry count, last-change round)
+    into a [2, t_total] SMEM block — the caller psums row 0 and pmaxes
+    row 1 across devices; compact_counts_window_packed turns the agreed
+    stats into the fused ids layout. Chain edges arrive as ZEROED slabs
+    (cls 0 = join identity at _DIST_FILL distance — exact absent-neighbor
+    semantics, same as the multiround kernel)."""
+    import jax.experimental.pallas as pl
+
+    ids_ref = refs[0]
+    c_refs = refs[1:1 + nf]
+    t_refs = refs[1 + nf:1 + 2 * nf]
+    b_refs = refs[1 + 2 * nf:1 + 3 * nf]
+    # refs[1 + 3*nf] is the aliased stats input (never read in-kernel)
+    out_refs = refs[2 + 3 * nf:2 + 4 * nf]
+    st_out = refs[2 + 4 * nf]
+
+    j = pl.program_id(0)
+    count = ids_ref[t_total]
+
+    @pl.when(j < count)
+    def _():
+        stripe = ids_ref[j]
+        orig = [c[...] for c in c_refs]
+        ext = [
+            jnp.concatenate([t[...], o, bo[...]], axis=0)
+            for t, o, bo in zip(t_refs, orig, b_refs)
+        ]
+        dist = jnp.zeros_like(ext[0])
+        ext, dist = _window_dist_chain(ext, dist, m)
+        new = [e[m:m + b, :] for e in ext]
+        changed = _lex_gt_packed(table_keys(tuple(new)), table_keys(tuple(orig)))
+        for out, v in zip(out_refs, new):
+            out[...] = v
+        st_out[0, stripe] = jnp.sum(changed.astype(jnp.int32))
+        st_out[1, stripe] = jnp.max(
+            jnp.where(changed, dist[m:m + b, :], 0)
+        )
+
+
+def frontier_shard_window_packed(block, tops, bottoms, ids_full, m: int,
+                                 tile_n: int, interpret: bool, vma=None):
+    """m-round window twin of frontier_shard_multiround_packed: ``tops``/
+    ``bottoms`` are the FULL m-row ppermuted neighbor slabs. Returns
+    (block, per-stripe stats [2, t_total]: row 0 = changed-entry counts
+    to psum, row 1 = last-change rounds to pmax)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nf = len(block)
+    b, n = block[0].shape
+    t_total = n // tile_n
+
+    grid_j = jnp.maximum(ids_full[t_total], 1)
+    stats_in = jnp.zeros((2, t_total), jnp.int32)
+
+    center_spec = pl.BlockSpec(
+        (b, tile_n), lambda j, ids: (0, ids[j]), memory_space=pltpu.VMEM
+    )
+    slab_spec = pl.BlockSpec(
+        (m, tile_n), lambda j, ids: (0, ids[j]), memory_space=pltpu.VMEM
+    )
+    st_spec = pl.BlockSpec(
+        (2, t_total), lambda j, ids: (0, 0), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid_j,),  # dynamic: exactly the active stripes
+        in_specs=[center_spec] * nf + [slab_spec] * (2 * nf) + [st_spec],
+        out_specs=[center_spec] * nf + [st_spec],
+    )
+    kw = {} if vma is None else {"vma": frozenset(vma)}
+    aliases = {i + 1: i for i in range(nf)}
+    aliases[1 + 3 * nf] = nf
+    outs = pl.pallas_call(
+        functools.partial(
+            _frontier_shard_window_kernel_packed, nf, m, b, t_total
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            *(jax.ShapeDtypeStruct((b, n), jnp.int32, **kw) for _ in range(nf)),
+            jax.ShapeDtypeStruct((2, t_total), jnp.int32, **kw),
+        ),
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(ids_full, *block, *tops, *bottoms, stats_in)
+    return type(block)(*outs[:nf]), outs[nf]
+
+
+def _compact_counts_window_kernel(m: int, t_total: int, stats_ref, ids_ref):
+    """Agreed [2, t_total] window stats (psum'd changed counts, pmax'd
+    last-change rounds) → the [t_total + 3] fused ids layout: a stripe
+    stays dirty IFF it still changed at round m (quiet-round theorem: a
+    round that changes nothing in a slot column proves the column's fixed
+    point); [t_total+1] totals changed ENTRIES (the window path cannot
+    count per-round change events — documented stats caveat) and
+    [t_total+2] the max last-change round — exactly what
+    frontier_fused_loop reconstructs classic round counts from."""
+    import jax.experimental.pallas as pl
+
+    def body(t, carry):
+        k, total, max_last = carry
+        last = stats_ref[1, t]
+
+        @pl.when(last == m)
+        def _():
+            ids_ref[0, k] = t
+
+        return (
+            k + jnp.where(last == m, 1, 0).astype(jnp.int32),
+            total + stats_ref[0, t],
+            jnp.maximum(max_last, last),
+        )
+
+    k, total, max_last = jax.lax.fori_loop(
+        0, t_total, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    )
+    ids_ref[0, t_total] = k
+    ids_ref[0, t_total + 1] = total
+    ids_ref[0, t_total + 2] = max_last
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def compact_counts_window_packed(stats, m: int, interpret: bool = False):
+    """[2, t_total] agreed window stats → [t_total + 3] fused ids array
+    (window twin of compact_counts_multiround_packed)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t_total = stats.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_compact_counts_window_kernel, m, t_total),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(
+                (2, t_total), lambda i: (0, 0), memory_space=pltpu.SMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_total + 3), lambda i: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, t_total + 3), jnp.int32),
+        interpret=interpret,
+    )(stats)
+    return out[0]
+
+
+# live [L, tile] int32 arrays the window-frontier body holds at once:
+# ext(nf) + shifted(nf) + orig(nf) + dist + cand, plus compiler slack
+_WINDOW_FRONTIER_VMEM = 6 << 20  # bytes; hardware-validated (see docs)
+
+
+def window_frontier_params(nf: int, b: int, n: int):
+    """(m, tile_n) for the SPMD window frontier, or (0, 0) if unsupported.
+
+    m is the deepest of {63, 31, 15} with m ≤ b (slabs come from ONE
+    neighbor) such that the body's live arrays fit the VMEM budget at
+    some 128-aligned tile dividing n. Both the fused body and the
+    single-round tail must use the SAME tile (one ids array drives both),
+    so the tile is returned for the caller to thread through."""
+    if b % 8 or n % 128 or b < 8:
+        return 0, 0
+    arrays = 3 * nf + 2
+    for m in (63, 31, 15):
+        if m > b:
+            continue
+        budget_rows = arrays * (b + 2 * m) * 4
+        tile = min(max(128, (_WINDOW_FRONTIER_VMEM // budget_rows)
+                        // 128 * 128), n)
+        while tile >= 128 and n % tile:
+            tile -= 128
+        if tile >= 128 and n % tile == 0:
+            return m, tile
+    return 0, 0
 
 
 # ------------------------------------------------------------ halo (big P)

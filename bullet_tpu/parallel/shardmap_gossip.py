@@ -556,11 +556,13 @@ def shardmap_round_packed(table, topology, mesh):
 
 
 def _frontier_ring_block_packed(tcls, wrap: bool, interpret: bool, ids,
-                                *fields):
+                                *fields, tile_n: int = 0):
     """Per-device frontier ring/chain body: ppermute the boundary rows,
     then a local Pallas frontier round over only the stripes in the
     prefetched ``ids`` array; counts psum across devices so every shard
-    agrees on the next frontier."""
+    agrees on the next frontier. ``tile_n`` overrides the stripe tile
+    (the window-fused loop drives the tail at ITS tile so one ids array
+    serves both phases)."""
     from ..ops.packed import frontier_shard_round_packed
 
     block = tcls(*fields)
@@ -588,9 +590,57 @@ def _frontier_ring_block_packed(tcls, wrap: bool, interpret: bool, ids,
     tops = tuple(jnp.concatenate([pad7, fp], axis=0) for fp in from_prev)
     bottoms = tuple(jnp.concatenate([fn, pad7], axis=0) for fn in from_next)
     new_block, counts = frontier_shard_round_packed(
-        block, tops, bottoms, ids, interpret, vma={PEER_AXIS}
+        block, tops, bottoms, ids, interpret, vma={PEER_AXIS},
+        tile_n=tile_n,
     )
     return (*new_block, jax.lax.psum(counts, PEER_AXIS))
+
+
+def _frontier_ring_block_window_packed(tcls, wrap: bool, m: int,
+                                       tile_n: int, interpret: bool, ids,
+                                       *fields):
+    """Per-device WINDOW frontier body: ppermute the FULL m-row boundary
+    slabs ONCE, then run m gossip rounds locally as one distance-tracking
+    radius-m window join (O(log m) doubling steps) over the active
+    stripes — ONE collective round-trip per m rounds instead of per 8
+    (_frontier_ring_block_multiround_packed), attacking the term that
+    dominates real multi-chip wall clock: ICI/collective latency. The
+    per-entry last-change distances make the classic round counts exact
+    (s ≤ r+1 composition — ops/packed.py _window_dist_chain). Changed
+    counts psum across devices; last-change rounds pmax."""
+    from ..ops.packed import frontier_shard_window_packed
+
+    block = tcls(*fields)
+    axis_size = jax.lax.axis_size(PEER_AXIS)
+    idx = jax.lax.axis_index(PEER_AXIS)
+    fwd = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    bwd = [(i, (i - 1) % axis_size) for i in range(axis_size)]
+    from_prev = [
+        jax.lax.ppermute(f[-m:, :], PEER_AXIS, fwd) for f in block
+    ]
+    from_next = [
+        jax.lax.ppermute(f[:m, :], PEER_AXIS, bwd) for f in block
+    ]
+    if not wrap:
+        # zeroed slabs are exact absent-neighbor semantics: cls 0 is the
+        # join identity through every window step
+        is_first = idx == 0
+        is_last = idx == axis_size - 1
+        from_prev = [
+            jnp.where(is_first, jnp.zeros_like(f), f) for f in from_prev
+        ]
+        from_next = [
+            jnp.where(is_last, jnp.zeros_like(f), f) for f in from_next
+        ]
+    new_block, stats = frontier_shard_window_packed(
+        block, tuple(from_prev), tuple(from_next), ids, m, tile_n,
+        interpret, vma={PEER_AXIS},
+    )
+    agreed = jnp.concatenate([
+        jax.lax.psum(stats[0:1], PEER_AXIS),
+        jax.lax.pmax(stats[1:2], PEER_AXIS),
+    ])
+    return (*new_block, agreed)
 
 
 def _frontier_ring_block_dense(wrap: bool, mode: str, interpret: bool, ids,
@@ -816,12 +866,16 @@ def _frontier_ring_block_multiround_packed(tcls, wrap: bool,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "wrap", "max_rounds", "interpret", "fuse"),
+    static_argnames=(
+        "mesh", "wrap", "max_rounds", "interpret", "fuse", "window_fuse",
+        "window_tile",
+    ),
     donate_argnums=(0,),
 )
 def gossip_frontier_shardmap_packed(
     table, dirty: jax.Array, mesh, wrap: bool, max_rounds: int,
-    interpret: bool = False, fuse: int = 1,
+    interpret: bool = False, fuse: int = 1, window_fuse: int = 0,
+    window_tile: int = 0,
 ):
     """Frontier convergence over the device mesh (packed ring/chain): each
     round ppermutes one boundary row per direction and runs the local
@@ -843,32 +897,72 @@ def gossip_frontier_shardmap_packed(
     (_frontier_shard_multiround_kernel_packed). Exact classic round counts
     and last-round residuals are reconstructed via the shared
     frontier_fused_loop driver (fused phase stops strictly before
-    max_rounds; a single-round tail finishes)."""
+    max_rounds; a single-round tail finishes).
+
+    ``window_fuse`` = m > 0 (with its matching ``window_tile`` from
+    ops.packed.window_frontier_params) runs m rounds per collective
+    round-trip instead: ONE m-row slab ppermute + a local distance-exact
+    radius-m window join (O(log m) joins). Same exact-round-count and
+    cutoff-residual contract through the same fused-loop driver; the
+    single-round tail runs at the window tile so one ids array drives
+    both phases. Mutually exclusive with ``fuse`` > 1."""
     from ..ops.packed import (
         HALO_FUSE,
         _stripe_tile_n,
         compact_counts_multiround_packed,
         compact_counts_packed,
+        compact_counts_window_packed,
         frontier_fused_loop,
         frontier_ids_compact,
     )
 
     nf, tcls = len(table), type(table)
+    n = table[0].shape[1]
+    block_p = table[0].shape[0] // mesh.devices.size
+    if window_fuse > 0:
+        assert fuse == 1, "window_fuse and fuse>1 are mutually exclusive"
+        assert window_tile > 0 and n % window_tile == 0
+    tile_n = window_tile if window_fuse > 0 else _stripe_tile_n(block_p, n)
     fn = jax.shard_map(
-        functools.partial(_frontier_ring_block_packed, tcls, wrap, interpret),
+        functools.partial(
+            _frontier_ring_block_packed, tcls, wrap, interpret,
+            tile_n=window_tile if window_fuse > 0 else 0,
+        ),
         mesh=mesh,
         in_specs=(P(), *[P(PEER_AXIS, None)] * nf),
         out_specs=(*[P(PEER_AXIS, None)] * nf, P()),
     )
-    n = table[0].shape[1]
-    block_p = table[0].shape[0] // mesh.devices.size
-    t_total = n // _stripe_tile_n(block_p, n)
+    t_total = n // tile_n
 
     def round1(tbl, ids):
         *fields, counts = fn(ids, *tbl)
         return (
             tcls(*fields),
             compact_counts_packed(counts, interpret=interpret),
+        )
+
+    if window_fuse > 0:
+        fn_w = jax.shard_map(
+            functools.partial(
+                _frontier_ring_block_window_packed, tcls, wrap,
+                window_fuse, window_tile, interpret,
+            ),
+            mesh=mesh,
+            in_specs=(P(), *[P(PEER_AXIS, None)] * nf),
+            out_specs=(*[P(PEER_AXIS, None)] * nf, P()),
+        )
+
+        def roundw(tbl, ids):
+            *fields, stats = fn_w(ids, *tbl)
+            return (
+                tcls(*fields),
+                compact_counts_window_packed(
+                    stats, window_fuse, interpret=interpret
+                ),
+            )
+
+        return frontier_fused_loop(
+            table, dirty, t_total, max_rounds, window_fuse, round1, roundw
         )
 
     if fuse > 1:

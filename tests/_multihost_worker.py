@@ -167,6 +167,29 @@ def main() -> None:
     # reconcile and the converged frontier loop agree (all-reachable ring)
     check_shards(got_tbl, exp_rec, PackedTable._fields)
 
+    # ---- WINDOW spmd frontier across the process boundary: m rounds per
+    # collective via one m-row slab ppermute + a local distance-exact
+    # radius-m window join — state AND round count must match the
+    # single-round sharded loop above ----
+    win_tile = 128
+    t_w = nn // win_tile
+    win_global = PackedTable(
+        *(
+            jax.make_array_from_callback(
+                (pp, nn), psharding, lambda idx, f=f: f[idx]
+            )
+            for f in host_packed
+        )
+    )
+    got_wtbl, got_wrounds, got_wchanged = gossip_frontier_shardmap_packed(
+        win_global, jnp.ones(t_w, jnp.bool_), mesh, True, 64,
+        interpret=True, window_fuse=5, window_tile=win_tile,
+    )
+    assert int(got_wrounds) == int(exp_rounds), (
+        int(got_wrounds), int(exp_rounds))
+    assert int(got_wchanged) == 0
+    check_shards(got_wtbl, exp_tbl, PackedTable._fields)
+
     # ---- FUSED dense spmd frontier loop across the process boundary ----
     # (full-metadata reference mode, HALO_FUSE=8 rounds per collective)
     from bullet_tpu.ops.packed import HALO_FUSE
