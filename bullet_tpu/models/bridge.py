@@ -210,18 +210,26 @@ def attach_live_bridge(bullet, sim, peer: int = 0):
     loop acquiring a lock ~30k times/s convoys any thread waiting on
     that lock for hundreds of ms (the r3 serving bench's p95 ≈ 0.6 s was
     exactly this, not device work); staging decouples the wire thread
-    from queries entirely. Queries (and ``flush()``) drain the stage
-    under the lock in ONE ``put_bulk`` call — batched encode instead of
-    per-op Python — then fold as before, so ``refresh="apply"`` still
-    reads every write accepted before the query began. Anything reading
-    ``sim`` directly (not through the view/handle) should call
-    ``pump()`` first to fold staged writes in."""
-    import threading
+    from queries entirely. Queries (and ``flush()``) drain the stages
+    under the sim's bridge lock in bulk ``put_bulk`` calls — batched
+    encode instead of per-op Python — then fold as before, so
+    ``refresh="apply"`` still reads every write accepted before the
+    query began. Anything reading ``sim`` directly (not through the
+    view/handle) should call ``pump()`` first to fold staged writes in.
+
+    Multi-bridge fabric: the lock AND the stage registry live on the
+    SIM (one per sim, shared by every attached bridge), so any handle's
+    ``pump()``/``flush()``/view query drains EVERY bridge's staged
+    writes before folding/converging — ``ha.flush()`` sees peer b's
+    mirror stream too, and two bridges can never race ``put_bulk`` on
+    the same sim under different locks."""
     from collections import deque
 
     orig = bullet._apply_update
-    lock = threading.Lock()
+    lock = sim._bridge_lock
     staged: deque = deque()
+    stage_entry = (staged, peer)
+    sim._bridge_stages.append(stage_entry)
 
     def forward(path, value, vector_clock, from_network):
         orig(path, value, vector_clock, from_network)
@@ -230,38 +238,60 @@ def attach_live_bridge(bullet, sim, peer: int = 0):
     bullet._apply_update = forward
 
     def pump_locked() -> int:
-        """Drain staged writes into the sim queue as one bulk put (same
-        leaf decomposition as load_bullet_into_sim / the sync wire format,
-        bullet-network-sync.js:592-646). Caller must hold ``lock``."""
-        if not staged:
-            return 0
-        paths: list = []
-        values: list = []
-        # bound by the snapshot length: appends racing the drain are the
-        # NEXT pump's work, so a sustained flood can't pin us in the loop
-        for _ in range(len(staged)):
-            try:
-                path, value = staged.popleft()
-            except IndexError:  # racing pump drained it first
-                break
-            for leaf_path, leaf_value in flatten_value(path, value):
-                paths.append(leaf_path)
-                values.append(leaf_value)
-        if paths:
-            sim.put_bulk(peer, paths, values)
-        return len(paths)
+        """Drain EVERY attached bridge's staged writes into the sim queue
+        as bulk puts (same leaf decomposition as load_bullet_into_sim /
+        the sync wire format, bullet-network-sync.js:592-646). Caller
+        must hold ``sim._bridge_lock``."""
+        total = 0
+        for stage, stage_peer in list(sim._bridge_stages):
+            if not stage:
+                continue
+            paths: list = []
+            values: list = []
+            # bound by the snapshot length: appends racing the drain are
+            # the NEXT pump's work, so a sustained flood can't pin us
+            for _ in range(len(stage)):
+                try:
+                    path, value = stage.popleft()
+                except IndexError:  # racing pump drained it first
+                    break
+                for leaf_path, leaf_value in flatten_value(path, value):
+                    paths.append(leaf_path)
+                    values.append(leaf_value)
+            if paths:
+                sim.put_bulk(stage_peer, paths, values)
+                total += len(paths)
+        return total
 
     class _Handle:
         def detach(self) -> None:
             bullet._apply_update = orig
+            with lock:
+                # staged-but-unpumped writes are accepted db state — fold
+                # this bridge's remainder in rather than dropping it
+                if staged:
+                    paths: list = []
+                    values: list = []
+                    while staged:
+                        path, value = staged.popleft()
+                        for lp, lv in flatten_value(path, value):
+                            paths.append(lp)
+                            values.append(lv)
+                    if paths:
+                        sim.put_bulk(peer, paths, values)
+                try:
+                    sim._bridge_stages.remove(stage_entry)
+                except ValueError:
+                    pass  # already detached
 
         def pump(self) -> int:
-            """Move staged mirror writes into the sim queue (no gossip)."""
+            """Move staged mirror writes (ALL attached bridges) into the
+            sim queue (no gossip)."""
             with lock:
                 return pump_locked()
 
         def backlog(self) -> int:
-            """Staged writes not yet pumped (monitoring)."""
+            """This bridge's staged writes not yet pumped (monitoring)."""
             return len(staged)
 
         def flush(self) -> int:

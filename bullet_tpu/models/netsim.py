@@ -512,6 +512,15 @@ class PeerNetworkSim:
             [] for _ in range(num_peers)
         ]
         self._pending_bulk: List[Tuple[np.ndarray, ...]] = []
+        # live-bridge fabric (models/bridge.py): ONE lock serializes every
+        # bridge pump/flush/view-query against this sim, and the stage
+        # registry lets any pump drain EVERY attached bridge's staged
+        # writes — multi-bridge sims converge over all write streams no
+        # matter whose handle flushes
+        import threading
+
+        self._bridge_lock = threading.Lock()
+        self._bridge_stages: List[Tuple[Any, int]] = []
         # scalar-put fast path: enabled until any hook or schema registers
         self._fast_put_ok = True
         # scalar-put fast-path memoization (see _put_scalar_fast)
