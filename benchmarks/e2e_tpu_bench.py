@@ -212,12 +212,15 @@ def main() -> None:
     out["equals_s"] = round(time.time() - t0, 4)
     out["equals_hits"] = len(eq_hits)
     if isinstance(probe, (int, float)):
-        sim.range(0, "g", 0, 1)  # warm
         # converged values are per-key maxima of ~writes/keys draws from
         # [0, 2^30): nearly every key lands in [2^29, 2^30), so this
         # window returns ~all keys — measuring the host path
         # reconstruction cost, the query path's worst case
         lo, hi = 1 << 29, 1 << 31
+        # warm with the REAL window: an empty window (e.g. [0, 1]) exits
+        # on rank_bounds=None before the mask program ever compiles, so
+        # the timed call would pay the one-time compile (~0.6 s tunnel)
+        sim.range(0, "g", lo, hi)
         t0 = time.time()
         rg_hits = sim.range(0, "g", lo, hi)
         out["range_s"] = round(time.time() - t0, 4)

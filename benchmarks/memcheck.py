@@ -212,6 +212,50 @@ def main() -> None:
             donate_argnums=(0,),
         ).lower(Rank1Table(big), True, stripe_window(1), False),
     )
+
+    # windowed HALO cells (P past the stripe budget): the boundary
+    # snapshots are a REAL temp — 2*depth*(p/tile_p) rows of [n] per
+    # field, by design ~12% of the table at P=8192 nf=1 — so these audit
+    # against a snapshot-aware cap (table * 0.15 per field), not the
+    # near-zero stripe cap
+    from bullet_tpu.ops.packed import (
+        halo_window,
+        ring_window_halo_packed_traced,
+        window_halo_tiles,
+    )
+    from bullet_tpu.ops.rank import RankTable
+
+    for name, nf, n_halo, mk in (
+        ("rank1", 1, 1 << 18, lambda s: Rank1Table(s)),
+        # rank's 2 fields at 2^18 slots would be 17.2 GB — past HBM; its
+        # P=8192 halo cell ships at 2^17 slots (8.6 GB)
+        ("rank", 2, 1 << 17, lambda s: RankTable(s, s)),
+    ):
+        depth = halo_window(nf)
+        p8 = jax.ShapeDtypeStruct((8192, n_halo), jnp.int32)
+        tile_p, tile_n = window_halo_tiles(8192, n_halo, nf, depth)
+        # design bound: the snapshots themselves (2*depth*(p/tile_p) rows
+        # of [n] per field) plus one side's un-fused roll copy (measured:
+        # XLA materializes tops+bottoms and one roll temp — 1.51 GB at
+        # nf=1 = exactly 2.5 sides vs 1.0 GB of snapshots; cap at 1.6x
+        # so a second un-fused roll FAILS the audit)
+        snap_bytes = 2 * depth * (8192 // tile_p) * n_halo * 4 * nf
+        lowered = jax.jit(
+            ring_window_halo_packed_traced,
+            static_argnames=("wrap", "m", "interpret"),
+            donate_argnums=(0,),
+        ).lower(mk(p8), True, depth, False)
+        mem = lowered.compile().memory_analysis()
+        print(
+            f"{name} halo window P=8192 (m={depth}, tile_p={tile_p}): "
+            f"args {mem.argument_size_in_bytes / GB:.2f} GB, "
+            f"alias {mem.alias_size_in_bytes / GB:.2f} GB, "
+            f"temp {mem.temp_size_in_bytes / GB:.2f} GB",
+            flush=True,
+        )
+        assert mem.temp_size_in_bytes < snap_bytes * 1.6, (
+            name, mem.temp_size_in_bytes, snap_bytes)
+
     print("memcheck OK: every north-star program stays within one table")
 
 

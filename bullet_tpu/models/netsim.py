@@ -75,6 +75,25 @@ def _window_jit(table, wrap, m, interpret):
     return _WINDOW_JIT(table, wrap, m, interpret)
 
 
+_HALO_WINDOW_JIT = None
+
+
+def _halo_window_jit(table, wrap, m, interpret):
+    """Module-level PjitFunction for the windowed HALO fast_forward path
+    (P past the full-P stripe budget) — same caching rationale as
+    ``_window_jit``."""
+    global _HALO_WINDOW_JIT
+    if _HALO_WINDOW_JIT is None:
+        from ..ops.packed import ring_window_halo_packed_traced
+
+        _HALO_WINDOW_JIT = jax.jit(
+            ring_window_halo_packed_traced,
+            static_argnames=("wrap", "m", "interpret"),
+            donate_argnums=(0,),
+        )
+    return _HALO_WINDOW_JIT(table, wrap, m, interpret)
+
+
 # Convergence strategy table: (name, predicate, runner method name) —
 # FIRST match wins. ``run_until_converged`` resolves the cell, picks the
 # row, and calls the runner; the cell-coverage test enumerates every cell
@@ -1289,7 +1308,9 @@ class PeerNetworkSim:
     def _fast_forward_route(self) -> str:
         """Which implementation fast_forward uses for this sim state:
         "spmd" (shard_map window, one boundary collective per pass),
-        "pallas" (in-place single-device window kernel), "xla"
+        "pallas" (in-place single-device window kernel), "halo_window"
+        (in-place windowed halo kernel — window joins over m-row
+        boundary snapshots at P past the stripe budget), "xla"
         (whole-table XLA window twin — off-TPU only: it materializes
         rolled table copies, so on TPU it would break the one-table
         memory envelope at exactly the shapes that need it), or "step"
@@ -1309,13 +1330,22 @@ class PeerNetworkSim:
             return "xla"
         if self.mesh is not None or self.use_pallas is False:
             return "step"
-        from ..ops.packed import stripe_window, window_ring_supported
+        from ..ops.packed import (
+            stripe_window,
+            window_halo_supported,
+            window_ring_supported,
+        )
 
         p, n = self.table[0].shape
         if stripe_window(len(self.table)) > 0 and window_ring_supported(
             p, n, len(self.table)
         ):
             return "pallas"
+        if window_halo_supported(p, n, len(self.table)):
+            # past the full-P stripe budget (e.g. rank1 P=8192): the
+            # windowed HALO kernel keeps the O(log m) window join with
+            # m-row boundary snapshots instead of full-P blocks
+            return "halo_window"
         if self._frontier_tile() > 0:
             # no in-place window kernel for this arity/shape (e.g. packed
             # nf=3), but the fused frontier loop with max_rounds=k IS an
@@ -1401,6 +1431,13 @@ class PeerNetworkSim:
 
                     m = min(stripe_window(len(self.table)), left)
                     self.table, changed = _window_jit(
+                        self.table, wrap, m, False
+                    )
+                elif route == "halo_window":
+                    from ..ops.packed import halo_window
+
+                    m = min(halo_window(len(self.table)), left)
+                    self.table, changed = _halo_window_jit(
                         self.table, wrap, m, False
                     )
                 else:  # "xla"

@@ -1680,17 +1680,17 @@ def frontier_fuse(nf: int) -> int:
     return {1: 40, 2: 5}.get(nf, STRIPE_FUSE)
 
 
-def _merge_ext_round(ext, wrap: bool, tile_p: int, num_peers: int, i):
-    """One ring/chain round on an EXTENDED halo tile (8 snapshot rows +
-    tile_p center rows + 8 snapshot rows). Rolls wrap inside the extended
-    block; rows entering from the block edges are garbage, but trapezoidal
-    validity keeps them at least (8 - round) rows away from the center.
-    The change count covers CENTER rows only (each tile owns its rows;
-    boundary-region changes are counted by the neighboring tile).
+def _merge_ext_round(ext, wrap: bool, tile_p: int, num_peers: int, i, h=8):
+    """One ring/chain round on an EXTENDED halo tile (``h`` snapshot rows +
+    tile_p center rows + ``h`` snapshot rows). Rolls wrap inside the
+    extended block; rows entering from the block edges are garbage, but
+    trapezoidal validity keeps them at least (h - round) rows away from the
+    center. The change count covers CENTER rows only (each tile owns its
+    rows; boundary-region changes are counted by the neighboring tile).
     Returns (merged ext fields, center changed count)."""
     row = jax.lax.broadcasted_iota(jnp.int32, ext[0].shape, 0)
-    global_row = i * tile_p - 8 + row
-    center = (row >= 8) & (row < 8 + tile_p)
+    global_row = i * tile_p - h + row
+    center = (row >= h) & (row < h + tile_p)
 
     def shifted(direction: int):
         out = []
@@ -1844,22 +1844,213 @@ def frontier_halo_multiround_packed_traced(table, ids, wrap: bool,
     return type(table)(*outs[:nf]), outs[nf][0]
 
 
-def _halo_boundary_snapshots(table, tiles: int, tile_p: int, n: int):
+def _halo_boundary_snapshots(table, tiles: int, tile_p: int, n: int, h=8):
     """(tops, bottoms) pre-round boundary snapshots for the halo kernels:
-    each tile's adjacent 8-row blocks from the neighboring tiles,
-    [8*tiles, n] per field. Built from static slices + a roll over the
+    each tile's adjacent ``h``-row blocks from the neighboring tiles,
+    [h*tiles, n] per field. Built from static slices + a roll over the
     tiny tile axis — a row GATHER here lowers to a table/8-sized XLA temp,
     which blows the north-star HBM budget."""
 
     def edges(f):
         v = f.reshape(tiles, tile_p, n)
-        last8 = v[:, tile_p - 8 :, :]  # each tile's last 8 rows
-        first8 = v[:, :8, :]  # each tile's first 8 rows
-        top = jnp.roll(last8, 1, axis=0).reshape(tiles * 8, n)
-        bottom = jnp.roll(first8, -1, axis=0).reshape(tiles * 8, n)
+        last_h = v[:, tile_p - h :, :]  # each tile's last h rows
+        first_h = v[:, :h, :]  # each tile's first h rows
+        top = jnp.roll(last_h, 1, axis=0).reshape(tiles * h, n)
+        bottom = jnp.roll(first_h, -1, axis=0).reshape(tiles * h, n)
         return top, bottom
 
     return zip(*(edges(f) for f in table))
+
+
+def halo_window(nf: int) -> int:
+    """Tuned fused depth for the WINDOWED HALO kernel
+    (ring_window_halo_packed_traced: m rounds per block-load at peer
+    counts past the full-P stripe budget), per field-tuple arity; 0 =
+    unsupported. Same join-step bound as the stripe window (the limit is
+    unrolled join steps, not depth — see stripe_window); the halo ext
+    block is much smaller than a full-P stripe, so the depths carry over:
+    rank1 nf=1 m=120 (6 join steps), rank nf=2 m=40 (5 steps). Depths are
+    hardware-gated per CLAUDE.md: v5e timing at rank1 P=8192 x 256K
+    (benchmarks/halo_window_bench.py): m=40 3.90 T, m=80 6.74 T,
+    m=120 9.49 T logical merges/s (the 8-round trapezoidal halo: 599 B);
+    AOT memcheck: in-place alias, temp = snapshots only (~1.4 GB =
+    2*depth*(p/tile_p) rows of [n] + one roll copy). Change only with a
+    fresh timing run + benchmarks/memcheck.py audit."""
+    return {1: 120, 2: 40}.get(nf, 0)
+
+
+def window_halo_tiles(p: int, n: int, nf: int, depth: int):
+    """(tile_p, tile_n) for the windowed halo kernel, or (0, 0).
+
+    Constraints: tile_p an 8-aligned divisor of p with tile_p ≥ depth
+    (the chain-edge clamp argument needs every global-edge-clipped VALID
+    row to live in the edge tile — see the kernel docstring), tile_n a
+    128-aligned divisor of n, and the EXTENDED block
+    (tile_p + 2*depth) * tile_n within the arity-aware window budget.
+    tile_p is maximized: the boundary snapshots cost 2*depth*(p/tile_p)
+    rows of [n] per pass, so fewer, taller tiles keep the snapshot
+    gather small (P=8192 depth=120 tile_p=2048 → 11.7% of the table)."""
+    if depth <= 0 or p % 8 or n % 128 or depth % 8:
+        return 0, 0
+    budget = _STRIPE_MAX_ELEMS * (4 if nf == 1 else 1)
+    # tile_n = 128 (the native lane width): the snapshots are [*, n] FULL
+    # WIDTH regardless of tile_n, so the narrowest block maximizes tile_p
+    # under the budget and halves the snapshot HBM cost vs tile_n=256
+    # (P=8192 nf=1: tile_p 2048 vs 1024 → 11.7% vs 23% of the table)
+    tile_n = 128
+    max_tp = (budget // tile_n - 2 * depth) // 8 * 8
+    if max_tp < depth:
+        return 0, 0
+    tile_p = 0
+    cand = 8
+    while cand <= min(p, max_tp):
+        if p % cand == 0:
+            tile_p = cand
+        cand += 8
+    if tile_p < depth:
+        return 0, 0
+    return tile_p, tile_n
+
+
+def window_halo_supported(p: int, n: int, nf: int) -> bool:
+    """Shapes the windowed halo kernel can tile at this arity's tuned
+    depth. Complements window_ring_supported: the router prefers the
+    full-P stripe window (no snapshot traffic) and falls to this one
+    past the stripe budget (e.g. rank1 P=8192)."""
+    depth = halo_window(nf)
+    return depth > 0 and window_halo_tiles(p, n, nf, depth)[0] > 0
+
+
+def _halo_window_kernel_packed(nf: int, wrap: bool, tile_p: int,
+                               num_peers: int, h: int, m: int, *refs):
+    """Windowed halo tile body: m ring/chain rounds per block-load as a
+    radius-m window join over the EXTENDED tile (h snapshot rows +
+    tile_p center rows + h snapshot rows), h ≥ m.
+
+    Validity generalizes the 8-round trapezoid to window joins: after
+    the accumulated radius reaches r, extended rows [r, L-r) hold their
+    exact radius-r windows (each 3-way join consumes rows one step
+    closer to the block edges), so the center rows — h ≥ m rows in —
+    stay exact through radius m. Chain edges CLAMP shifted copies to
+    the row holding the global edge (ext row h / h+tile_p-1; the edge
+    row's own accumulated window is edge-clipped exact, and clamping is
+    a subset join, so idempotence keeps it exact — zero-filling loses
+    edge coverage, same as the stripe window). tile_p ≥ m guarantees a
+    VALID row needing the clamp only occurs in the tile that contains
+    that global edge row. The count output is the classic round-m
+    residual: the final round runs the classic single-round body and
+    counts center rows only, summed across tiles in SMEM."""
+    import jax.experimental.pallas as pl
+
+    c_refs = refs[:nf]
+    t_refs = refs[nf:2 * nf]
+    b_refs = refs[2 * nf:3 * nf]
+    out_refs, count_ref = refs[3 * nf:4 * nf], refs[4 * nf]
+
+    i = pl.program_id(0)
+    ext = [
+        jnp.concatenate([t[...], c[...], b[...]], axis=0)
+        for t, c, b in zip(t_refs, c_refs, b_refs)
+    ]
+    row = jax.lax.broadcasted_iota(jnp.int32, ext[0].shape, 0)
+    global_row = i * tile_p - h + row
+
+    def shifted(vals, s: int):
+        out = []
+        for f in range(nf):
+            rolled = jnp.roll(vals[f], s, axis=0)
+            if not wrap:
+                if s > 0:
+                    rolled = jnp.where(
+                        global_row - s < 0, vals[f][h:h + 1, :], rolled
+                    )
+                else:
+                    rolled = jnp.where(
+                        global_row - s > num_peers - 1,
+                        vals[f][h + tile_p - 1:h + tile_p, :],
+                        rolled,
+                    )
+            out.append(rolled)
+        return out
+
+    def lexmax(a_vals, b_vals):
+        gt = _lex_gt_packed(
+            table_keys(tuple(b_vals)), table_keys(tuple(a_vals))
+        )
+        return [jnp.where(gt, b, a) for a, b in zip(a_vals, b_vals)]
+
+    vals = list(ext)
+    for s in _window_chain(m - 1):
+        vals = lexmax(vals, shifted(vals, +s))
+        vals = lexmax(vals, shifted(vals, -s))
+    vals, c = _merge_ext_round(vals, wrap, tile_p, num_peers, i, h=h)
+    for out, v in zip(out_refs, vals):
+        out[...] = v[h:h + tile_p, :]
+
+    @pl.when((i == 0) & (pl.program_id(1) == 0))
+    def _():
+        count_ref[0, 0] = 0
+
+    count_ref[0, 0] += c
+
+
+def ring_window_halo_packed_traced(
+    table: PackedTable, wrap: bool, m: int, interpret: bool,
+    tiles=None,
+) -> Tuple[PackedTable, jax.Array]:
+    """m fused ring/chain rounds at HALO shapes (P past the full-P stripe
+    budget) in one in-place pallas_call: each (tile_p, tile_n) center
+    tile extends with m-row-deep boundary snapshots (rounded up to the
+    8-row sublane grain) and computes the radius-m window join in
+    O(log m) 3-way joins entirely in VMEM. State is bit-identical to m
+    classic rounds; the count is the classic ROUND-m residual (same
+    contract as ring_window_packed_traced). Shape support:
+    window_halo_supported; ``tiles`` overrides (tile_p, tile_n) for
+    interpret-mode tests (production callers pass the tuned depth via
+    halo_window)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nf = len(table)
+    p, n = table[0].shape
+    h = (m + 7) // 8 * 8  # snapshot depth: radius m on the sublane grain
+    if tiles is None:
+        tiles = window_halo_tiles(p, n, nf, max(h, halo_window(nf)))
+    tile_p, tile_n = tiles
+    if not (tile_p and tile_p % 8 == 0 and p % tile_p == 0
+            and tile_n and tile_n % 128 == 0 and n % tile_n == 0
+            and m <= tile_p and h <= tile_p):
+        raise ValueError(
+            f"windowed halo cannot tile ({p}, {n}) nf={nf} m={m}: "
+            f"tiles={tiles}"
+        )
+    n_tiles = p // tile_p
+    t_total = n // tile_n
+    tops, bottoms = _halo_boundary_snapshots(table, n_tiles, tile_p, n, h=h)
+
+    center_spec = pl.BlockSpec(
+        (tile_p, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec(
+        (h, tile_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    count_spec = pl.BlockSpec(
+        (1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _halo_window_kernel_packed, nf, wrap, tile_p, p, h, m
+        ),
+        grid=(n_tiles, t_total),
+        in_specs=[center_spec] * nf + [halo_spec] * (2 * nf),
+        out_specs=tuple([center_spec] * nf) + (count_spec,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((p, n), jnp.int32) for _ in range(nf)
+        ) + (jax.ShapeDtypeStruct((1, 1), jnp.int32),),
+        input_output_aliases={i: i for i in range(nf)},
+        interpret=interpret,
+    )(*table, *tops, *bottoms)
+    return type(table)(*outs[:nf]), outs[nf][0, 0]
 
 
 def frontier_halo_round_packed_traced(table, ids, wrap: bool,

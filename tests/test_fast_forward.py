@@ -168,11 +168,55 @@ def test_fast_forward_route_matrix(monkeypatch):
     assert route(xla_only, "tpu") == "step"  # explicit XLA-only switch
 
     # strict-budget boundary: the window predicate itself
-    from bullet_tpu.ops.packed import window_ring_supported
+    from bullet_tpu.ops.packed import (
+        window_halo_supported,
+        window_ring_supported,
+    )
 
     assert window_ring_supported(4096, 1 << 18, 1)
-    assert not window_ring_supported(8192, 1 << 18, 1)  # untested cell
+    assert not window_ring_supported(8192, 1 << 18, 1)  # past stripe budget
     assert not window_ring_supported(2048, 1 << 18, 2)
+    # ... and exactly those post-stripe cells ride the windowed HALO
+    # kernel instead of collapsing to the 8-round halo frontier
+    assert window_halo_supported(8192, 1 << 18, 1)
+    assert window_halo_supported(2048, 1 << 18, 2)
+    assert not window_halo_supported(8192, 1 << 18, 3)  # packed: frontier
+
+
+def test_fast_forward_halo_window_route_matches_step(monkeypatch):
+    """The halo_window route (rank1/rank past the stripe budget on TPU)
+    advances exactly k rounds with step's residual contract — driven in
+    interpret mode with small forced tiles (tile_p=8 → every peer tile
+    is snapshot-adjacent; k=7 needs the full 8-row snapshot depth)."""
+    import bullet_tpu.models.netsim as ns
+
+    for k in (2, 7):
+        a, b = _pair("rank1", "ring", seed=60 + k)
+        monkeypatch.setattr(
+            b, "_fast_forward_route", lambda: "halo_window"
+        )
+        monkeypatch.setattr(
+            ns, "_halo_window_jit",
+            lambda table, wrap, m, interpret: (
+                ns.jax.jit(
+                    _halo_window_interp, static_argnums=(1, 2)
+                )(table, wrap, m)
+            ),
+        )
+        ra = a.step(k)
+        rb = b.fast_forward(k)
+        monkeypatch.undo()
+        assert ra == rb, (k, ra, rb)
+        _tables_equal(a, b)
+        assert b.stats["windowed_rounds"] == k
+
+
+def _halo_window_interp(table, wrap, m):
+    from bullet_tpu.ops.packed import ring_window_halo_packed_traced
+
+    return ring_window_halo_packed_traced(
+        table, wrap, m, True, tiles=(8, 128)
+    )
 
 
 def test_fast_forward_frontier_route_matches_step(monkeypatch):

@@ -549,6 +549,63 @@ def test_window_matches_sequential(wrap):
 
 
 @pytest.mark.parametrize("wrap", [True, False])
+def test_window_halo_matches_sequential(wrap):
+    """The windowed HALO kernel (m rounds per block-load via radius-m
+    window joins over m-row boundary snapshots — the big-P twin of the
+    stripe window) must be bit-identical to m sequential classic rounds
+    with the classic round-m residual. tiles=(16, 128) forces 4 peer
+    tiles at P=64, covering inter-tile snapshots, the chain global-edge
+    clamp, and m == tile_p (the deepest window a tile admits)."""
+    from bullet_tpu.ops.packed import (
+        ring_round_packed_traced,
+        ring_window_halo_packed_traced,
+    )
+
+    for m in (1, 2, 3, 5, 8, 13, 16):
+        t0 = pack_table(random_dense(64, 256, seed=21))
+        a = PackedTable(*(jnp.array(f) for f in t0))
+        last = 0
+        for _ in range(m):
+            a, c = jax.jit(
+                ring_round_packed_traced, static_argnums=(1, 2)
+            )(a, wrap, True)
+            last = int(c)
+        b, cb = ring_window_halo_packed_traced(
+            PackedTable(*(jnp.array(f) for f in t0)), wrap, m, True,
+            tiles=(16, 128),
+        )
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y), (wrap, m))
+        assert last == int(cb), (wrap, m)
+
+
+def test_window_halo_tiles_bounds():
+    """Tile selection: 8-aligned tile_p ≥ depth dividing p, 128-aligned
+    tile_n dividing n, extended block within the arity-aware budget;
+    (0, 0) when impossible. P=8192 rank1 (the post-stripe-budget cell the
+    router sends here) must tile."""
+    from bullet_tpu.ops.packed import (
+        _STRIPE_MAX_ELEMS,
+        halo_window,
+        window_halo_supported,
+        window_halo_tiles,
+    )
+
+    tp, tn = window_halo_tiles(8192, 1 << 18, 1, 120)
+    assert tp > 0, "P=8192 rank1 must tile (wrong: falls to 8-round halo)"
+    assert tp % 8 == 0 and 8192 % tp == 0 and tp >= 120
+    assert tn % 128 == 0 and (1 << 18) % tn == 0
+    assert (tp + 240) * tn <= _STRIPE_MAX_ELEMS * 4
+    assert window_halo_supported(8192, 1 << 18, 1)
+    assert window_halo_supported(8192, 1 << 18, 2)  # rank, depth 40
+    assert halo_window(3) == 0  # packed nf=3: no hardware-validated depth
+    assert not window_halo_supported(8192, 1 << 18, 3)
+    assert window_halo_tiles(8192, 1 << 18, 1, 0) == (0, 0)
+    assert window_halo_tiles(8191, 1 << 18, 1, 120) == (0, 0)  # p % 8
+    assert window_halo_tiles(8192, 100, 1, 120) == (0, 0)  # n % 128
+
+
+@pytest.mark.parametrize("wrap", [True, False])
 def test_window_xla_matches_sequential(wrap):
     """The whole-table XLA window twin (fast_forward's off-TPU path, any
     shape — including non-stripe-tileable ones) must match m sequential

@@ -85,6 +85,29 @@ def test_window_fused_parity(wrap):
     assert int(c1) == int(c_last)
 
 
+@pytest.mark.parametrize("wrap", [True, False])
+def test_window_halo_fused_parity(wrap):
+    """The windowed HALO kernel on both rank arities: identical ranks,
+    identical classic round-m residuals, and bit-identity to the
+    sequential classic loop (m=13 spans two inter-tile snapshot hops)."""
+    p, n = 64, 256
+    t1, t2, *_ = _tables(p, n, seed=19)
+    m = 13
+    w1, c1 = pk.ring_window_halo_packed_traced(
+        t1, wrap, m, True, tiles=(16, 128)
+    )
+    w2, c2 = pk.ring_window_halo_packed_traced(
+        t2, wrap, m, True, tiles=(16, 128)
+    )
+    _assert_rank_equal(w1, w2)
+    assert int(c1) == int(c2)
+    seq = t1
+    for _ in range(m):
+        seq, c_last = pk.ring_round_packed_traced(seq, wrap, True)
+    _assert_rank_equal(w1, seq)
+    assert int(c1) == int(c_last)
+
+
 def test_halo_round_parity():
     # big-P shape that routes to the halo kernel
     t1, t2, *_ = _tables(64, 256, seed=3)
