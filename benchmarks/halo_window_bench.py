@@ -9,11 +9,13 @@ neighbors) with total rounds under the P/2 ring diameter so every
 simulated round genuinely advances protocol state.
 
 Usage:
-  python benchmarks/halo_window_bench.py                 # shipped depth
-  python benchmarks/halo_window_bench.py --sweep 40 80 120
-  python benchmarks/halo_window_bench.py --halo8         # the fallback
+  python benchmarks/halo_window_bench.py                      # rank1 8192
+  python benchmarks/halo_window_bench.py --layout packed --p 1024 --n 20 \
+      --sweep 16 24 40                                        # n = log2
+  python benchmarks/halo_window_bench.py --halo8              # the fallback
 """
 
+import argparse
 import functools
 import os
 import sys
@@ -29,32 +31,41 @@ from bench import _enable_compile_cache  # noqa: E402
 
 _enable_compile_cache()
 
-P, N = 8192, 1 << 18
 
-
-def build_rank1():
-    from bullet_tpu.ops.rank import Rank1Table
+def build(layout: str, p: int, n: int):
+    from bullet_tpu.ops.packed import PackedTable
+    from bullet_tpu.ops.rank import Rank1Table, RankTable
 
     @jax.jit
-    def build():
-        row = jax.lax.broadcasted_iota(jnp.int32, (P, N), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (P, N), 1)
+    def go():
+        row = jax.lax.broadcasted_iota(jnp.int32, (p, n), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (p, n), 1)
         h = (row * 1103515245 + col * 40503) & 0x7FFFFFFF
 
         def mix(salt, mod):
             return ((h ^ salt) * 1664525 & 0x7FFFFFFF) % mod
 
-        return Rank1Table(
-            rank=jnp.where(mix(1, 4) > 0, mix(8, 1 << 30) + 1, 0)
+        cls = mix(1, 4)
+        if layout == "rank1":
+            return Rank1Table(rank=jnp.where(cls > 0, mix(8, 1 << 30) + 1, 0))
+        if layout == "rank":
+            return RankTable(
+                rank=jnp.where(cls > 0, mix(8, 1 << 30) + 1, 0),
+                cv=(cls << 28) | mix(4, 1 << 20),
+            )
+        return PackedTable(
+            khi=mix(2, 2000) - 1000, klo=mix(3, 2000) - 1000,
+            cv=(cls << 28) | mix(4, 1 << 20),
         )
 
-    return build()
+    return go()
 
 
-def time_window(m: int) -> float:
+def time_window(layout: str, p: int, n: int, m: int) -> float:
     from bullet_tpu.ops.packed import ring_window_halo_packed_traced
 
-    rounds = 4 * m  # 4 passes; <= P/2 = 4096 ring diameter
+    passes = max(1, min(4, (p // 2) // m))  # rounds <= P/2 ring diameter
+    rounds = passes * m
 
     def one(_, t):
         t2, _c = ring_window_halo_packed_traced(t, True, m, False)
@@ -62,26 +73,26 @@ def time_window(m: int) -> float:
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(t):
-        out = jax.lax.fori_loop(0, rounds // m, one, t)
+        out = jax.lax.fori_loop(0, passes, one, t)
         return jnp.sum(out[-1]), out
 
-    s, warm = run(build_rank1())
+    s, warm = run(build(layout, p, n))
     int(s)
     del warm
-    t = build_rank1()
+    t = build(layout, p, n)
     int(jnp.sum(t[-1][:1, :128]))
     t0 = time.perf_counter()
     s, out = run(t)
     int(s)
     dt = time.perf_counter() - t0
     del out
-    rate = 2 * P * N * rounds / dt
-    print(f"halo window m={m}: {dt:.3f}s for {rounds} rounds "
-          f"-> {rate / 1e12:.2f} T logical merges/s", flush=True)
+    rate = 2 * p * n * rounds / dt
+    print(f"{layout} P={p} N={n} halo window m={m}: {dt:.3f}s for {rounds} "
+          f"rounds -> {rate / 1e12:.2f} T logical merges/s", flush=True)
     return rate
 
 
-def time_halo8() -> float:
+def time_halo8(layout: str, p: int, n: int) -> float:
     """The shipped fallback this kernel replaces: the HALO_FUSE=8
     trapezoidal frontier, all stripes dirty (the blind-jump case)."""
     from bullet_tpu.ops.packed import (
@@ -91,9 +102,9 @@ def time_halo8() -> float:
         _halo_tiles_packed,
     )
 
-    _tile_p, tile_n = _halo_tiles_packed(P, N)
-    t_total = N // tile_n
-    rounds = 480 // HALO_FUSE * HALO_FUSE
+    _tile_p, tile_n = _halo_tiles_packed(p, n)
+    t_total = n // tile_n
+    rounds = min(480, p // 2) // HALO_FUSE * HALO_FUSE
 
     def one(_, carry):
         t, ids = carry
@@ -110,31 +121,40 @@ def time_halo8() -> float:
         out, _ = jax.lax.fori_loop(0, rounds // HALO_FUSE, one, (t, ids))
         return jnp.sum(out[-1]), out
 
-    s, warm = run(build_rank1())
+    s, warm = run(build(layout, p, n))
     int(s)
     del warm
-    t = build_rank1()
+    t = build(layout, p, n)
     int(jnp.sum(t[-1][:1, :128]))
     t0 = time.perf_counter()
     s, out = run(t)
     int(s)
     dt = time.perf_counter() - t0
     del out
-    rate = 2 * P * N * rounds / dt
-    print(f"halo-8 frontier (all dirty): {dt:.3f}s for {rounds} rounds "
-          f"-> {rate / 1e9:.1f} B logical merges/s", flush=True)
+    rate = 2 * p * n * rounds / dt
+    print(f"{layout} P={p} N={n} halo-8 frontier (all dirty): {dt:.3f}s for "
+          f"{rounds} rounds -> {rate / 1e9:.1f} B logical merges/s",
+          flush=True)
     return rate
 
 
 if __name__ == "__main__":
-    args = sys.argv[1:]
-    if "--halo8" in args:
-        time_halo8()
-        args.remove("--halo8")
-    if args and args[0] == "--sweep":
-        for m in [int(x) for x in args[1:]]:
-            time_window(m)
-    else:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layout", default="rank1",
+                    choices=["packed", "rank", "rank1"])
+    ap.add_argument("--p", type=int, default=8192)
+    ap.add_argument("--n", type=int, default=18, help="log2 slots")
+    ap.add_argument("--halo8", action="store_true")
+    ap.add_argument("--sweep", type=int, nargs="*", default=None)
+    args = ap.parse_args()
+    p, n = args.p, 1 << args.n
+    if args.halo8:
+        time_halo8(args.layout, p, n)
+    if args.sweep is not None:
+        for m in args.sweep:
+            time_window(args.layout, p, n, m)
+    elif not args.halo8:
         from bullet_tpu.ops.packed import halo_window
 
-        time_window(halo_window(1))
+        nf = {"packed": 3, "rank": 2, "rank1": 1}[args.layout]
+        time_window(args.layout, p, n, halo_window(nf) or 8)
