@@ -86,6 +86,67 @@ def generate_peer_id(rng: Optional[random.Random] = None) -> str:
     return "".join(out)
 
 
+class MetaMap(dict):
+    """Path-keyed meta store with a maintained ancestor index, so
+    "which meta keys live strictly under path p" is O(1) to ask and
+    O(depth) to maintain — _apply_update drops superseded descendant
+    metas on every write (an applied write at p replaces p's WHOLE
+    subtree in the store, so descendant metas' clocks/stamps describe
+    values that no longer exist; left behind, they ship stale clocks
+    through _leaf_meta and can freeze anti-entropy into a permanent
+    split — see sync._collect_full_sync_data)."""
+
+    def __init__(self, *args, **kw) -> None:
+        super().__init__()
+        self._desc: Dict[str, set] = {}
+        if args or kw:
+            self.update(*args, **kw)
+
+    def __setitem__(self, key: str, value: dict) -> None:
+        if key not in self:
+            parts = key.split("/")
+            for i in range(1, len(parts)):
+                self._desc.setdefault("/".join(parts[:i]), set()).add(key)
+        super().__setitem__(key, value)
+
+    def __delitem__(self, key: str) -> None:
+        super().__delitem__(key)
+        parts = key.split("/")
+        for i in range(1, len(parts)):
+            anc = "/".join(parts[:i])
+            kids = self._desc.get(anc)
+            if kids is not None:
+                kids.discard(key)
+                if not kids:
+                    del self._desc[anc]
+
+    def pop(self, key, *default):
+        if key in self:
+            val = self[key]
+            del self[key]
+            return val
+        if default:
+            return default[0]
+        raise KeyError(key)
+
+    def update(self, *args, **kw) -> None:  # route through __setitem__
+        for src in args:
+            items = src.items() if hasattr(src, "items") else src
+            for k, v in items:
+                self[k] = v
+        for k, v in kw.items():
+            self[k] = v
+
+    def clear(self) -> None:
+        super().clear()
+        self._desc.clear()
+
+    def descendants(self, path: str) -> tuple:
+        """Meta keys STRICTLY under ``path`` (snapshot tuple — callers
+        delete while iterating)."""
+        return tuple(self._desc.get(path, ()))
+
+
 class Bullet:
     """A path-addressed, replicated JSON graph (reference: bullet.js:10-676)."""
 
@@ -94,7 +155,7 @@ class Bullet:
         self.store: Dict[str, Any] = {}
         self.listeners: Dict[str, List[Callable[[Any], None]]] = {}
         self.log: List[dict] = []
-        self.meta: Dict[str, dict] = {}
+        self.meta: MetaMap = MetaMap()
         self.id = self.options.get("peer_id") or generate_peer_id()
         self._save_timer: Optional[threading.Timer] = None
         self._closed = False
@@ -347,6 +408,12 @@ class Bullet:
             lastModified=now_ms,
         )
         self.meta[path] = meta
+        # this write replaced path's WHOLE subtree: descendant metas now
+        # describe values that no longer exist (stale clocks there ship
+        # through _leaf_meta and can freeze anti-entropy into permanent
+        # splits). O(1) when there are none — the hot scalar-leaf case.
+        for stale in self.meta.descendants(path):
+            del self.meta[stale]
 
         self.log.append(
             {

@@ -447,6 +447,21 @@ class BulletNetworkSync:
             # empty clock would lose every comparison and the entry
             # (which DID exist on the responder) would never apply
             clock = (entry.get("vectorClock") or None) if clocked else None
+            if clock is not None and self._scalar_ancestor_blocks(path):
+                # Pre-resolve the subtree-vs-scalar collision BY CLOCK
+                # before set_data's read can touch the store: a FALSY
+                # scalar ancestor (None/0/false/"") never raises the Q3
+                # TypeError — the autovivifying read would silently
+                # replace it with {} and the leaf would win REGARDLESS
+                # of clocks, while the scalar side of the same conflict
+                # resolves by clock. That asymmetry is a live resolution
+                # CYCLE (scalar beats dict by value at the root; leaf
+                # destroys scalar by vivification underneath), which
+                # either livelocks anti-entropy or — once watermarks
+                # pass both sides — freezes a permanent split (found by
+                # the system chaos soak).
+                if not self._resolve_scalar_ancestor(path, clock):
+                    continue  # scalar ancestor won; re-offer bump done
             try:
                 if entry.get("deleted"):
                     self.bullet.set_data(
@@ -516,6 +531,28 @@ class BulletNetworkSync:
             return self._collect_partial_sync_data(paths, since or 0)
         return self._collect_full_sync_data(since or 0)
 
+    def _scalar_ancestor_blocks(self, path: str) -> bool:
+        """True iff some STRICT ancestor of ``path`` holds a present,
+        non-dict value (scalar/None/array) in the store — the collision
+        _resolve_scalar_ancestor clock-resolves. Missing keys don't
+        block (set_data creates the chain). Non-destructive: no reads
+        through the vivifying walk. Advisory (the lock is taken by the
+        resolver, which re-walks); a racing write falls back to the
+        TypeError backstop."""
+        from ..utils.paths import split_path
+
+        parts = split_path(path or "")
+        if len(parts) < 2:
+            return False
+        node = self.bullet.store
+        for part in parts[:-1]:
+            if not isinstance(node, dict) or part not in node:
+                return False
+            node = node[part]
+            if not isinstance(node, dict):
+                return True
+        return False
+
     def _resolve_scalar_ancestor(self, path: str, clock: dict) -> bool:
         """Clock-resolve a child-leaf sync entry that collided with a
         non-dict local ancestor. True → the entry's clock DOMINATES the
@@ -537,9 +574,13 @@ class BulletNetworkSync:
             anc_parts = []
             for part in parts[:-1]:
                 anc_parts.append(part)
-                node = node.get(part) if isinstance(node, dict) else None
-                if node is None:
+                # key-PRESENCE check, not truthiness: a stored None IS a
+                # scalar ancestor that must clock-resolve (treating it
+                # as "vanished" would retry set_data, whose vivifying
+                # read destroys the None without any clock comparison)
+                if not isinstance(node, dict) or part not in node:
                     return True  # vanished meanwhile; just retry
+                node = node[part]
                 if not isinstance(node, dict):
                     anc_path = "/".join(anc_parts)
                     anc_meta = bullet.meta.get(anc_path) or {}
@@ -589,13 +630,28 @@ class BulletNetworkSync:
 
     def _collect_full_sync_data(self, since: int) -> List[dict]:
         """Recursive store traversal emitting leaf entries
-        (bullet-network-sync.js:592-664)."""
+        (bullet-network-sync.js:592-664).
+
+        The ``since`` filter uses an ANCESTOR-AWARE effective
+        lastModified: a leaf is re-offered when its own meta OR any
+        ancestor's meta is fresh. The re-offer touches (core.py's
+        loser-touch, _resolve_scalar_ancestor) land on the path where
+        the losing entry arrived — which, when the local winner is a
+        SUBTREE, is the subtree ROOT, not a store leaf. Filtering on
+        the leaf's own lastModified alone freezes exactly that case
+        into a permanent split: the winning child leaves keep their old
+        stamps, fall behind every watermark, and are never offered
+        again, while the remote scalar keeps losing here — both
+        replicas stable, forever different (found by the system chaos
+        soak: 4 peers holding a clock-dominated scalar null vs 2
+        holding the dominant dict, 300 anti-entropy rounds no-op)."""
         entries: List[dict] = []
 
-        def emit_leaf(path: str, value: Any) -> None:
+        def emit_leaf(path: str, value: Any, anc_lm: int = 0) -> None:
             meta = self._leaf_meta(path)
             last_modified = meta.get("lastModified", 0)
-            if since > 0 and last_modified and last_modified < since:
+            effective = max(last_modified or 0, anc_lm)
+            if since > 0 and effective and effective < since:
                 return
             entries.append(
                 {
@@ -607,16 +663,42 @@ class BulletNetworkSync:
                 }
             )
 
-        def traverse(obj: Any, prefix: str) -> None:
+        meta_map = self.bullet.meta
+
+        def traverse(obj: Any, prefix: str, anc_lm: int = 0) -> bool:
+            """Emit entries under ``prefix``; returns whether the subtree
+            contains ANY leaf (independent of the since filter)."""
+            if prefix:
+                own = meta_map.get(prefix)
+                if own:
+                    anc_lm = max(anc_lm, own.get("lastModified", 0) or 0)
             if not isinstance(obj, dict):
-                emit_leaf(prefix, obj)
-                return
+                emit_leaf(prefix, obj, anc_lm)
+                return True
+            has_leaf = False
             for key, value in obj.items():
                 path = f"{prefix}/{key}" if prefix else key
                 if isinstance(value, dict):
-                    traverse(value, path)
+                    has_leaf |= traverse(value, path, anc_lm)
                 else:
-                    emit_leaf(path, value)
+                    emit_leaf(path, value, anc_lm)
+                    has_leaf = True
+            if not has_leaf and prefix and meta_map.get(prefix):
+                # LEAFLESS subtree with its own clock (Q3 vivification
+                # and _resolve_scalar_ancestor both produce these, e.g.
+                # {} or {"n": {}}): no leaf exists to carry that clock,
+                # so a dominant leafless subtree would be a sync BLACK
+                # HOLE — remote dominated values keep losing into it
+                # while it can never propagate (found by the chaos soak:
+                # store {} with clock {A:11} vs a stable remote null
+                # with {A:10}, forever). Ship the empty object itself;
+                # the receiver resolves it through the CRT like any
+                # dict put. Guarded on has_leaf (not the since filter)
+                # so old-but-real leaves are never misrepresented as {}.
+                # The reference's traverse skips these (same latent
+                # divergence).
+                emit_leaf(prefix, {}, anc_lm)
+            return has_leaf
 
         lock = getattr(self.bullet, "_lock", None)
         if lock is not None:
@@ -641,13 +723,22 @@ class BulletNetworkSync:
         return entries
 
     def _collect_partial_sync_data(self, paths, since: int) -> List[dict]:
-        """(bullet-network-sync.js:673-705)"""
+        """(bullet-network-sync.js:673-705); the ``since`` filter is
+        ancestor-aware like _collect_full_sync_data's (a re-offer touch
+        at a subtree root must lift the subtree)."""
+        from ..utils.paths import ancestors
+
         entries = []
         for path in paths:
             data = self.bullet._get_data(path)
             meta = self._leaf_meta(path)
             last_modified = meta.get("lastModified", 0)
-            if since > 0 and last_modified and last_modified < since:
+            effective = last_modified or 0
+            for parent in ancestors(path):
+                pm = self.bullet.meta.get(parent)
+                if pm:
+                    effective = max(effective, pm.get("lastModified", 0) or 0)
+            if since > 0 and effective and effective < since:
                 continue
             entries.append(
                 {

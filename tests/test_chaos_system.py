@@ -42,6 +42,33 @@ def _leaves(store, prefix=""):
     return out
 
 
+def _divergence_report(peers) -> str:
+    """Self-diagnosing soak failure: the per-key value diff plus each
+    diverged path's meta (clock + lastModified) on every peer — a stuck
+    anti-entropy state is only debuggable from the clocks (this is how
+    the leafless-subtree black hole and the subtree-reoffer freeze were
+    found), and the soak is too rare-flaky to reproduce on demand."""
+    import json
+
+    sets = [_leaves(p.store) for p in peers]
+    keys = sorted(set().union(*map(set, sets)))
+    lines = []
+    for k in keys:
+        vals = [s.get(k, "<absent>") for s in sets]
+        if any(v != vals[0] for v in vals[1:]):
+            lines.append(f"{k}: values={vals!r}")
+            roots = {k, k.rsplit("/", 1)[0]}
+            for r in sorted(roots):
+                metas = [p.meta.get(r) for p in peers]
+                lines.append(f"  {r} meta: {json.dumps(metas, default=str)}")
+            for i, p in enumerate(peers):
+                node = p.store
+                for part in k.split("/")[:-1]:
+                    node = node.get(part) if isinstance(node, dict) else None
+                lines.append(f"  peer{i} parent-node: {node!r}")
+    return "\n".join(lines) or "(no per-key diff: store shapes differ)"
+
+
 def test_chaos_concurrent_writers_peer_death_and_mirror():
     p0 = bt.create({"storage": False, "port": 0, "host": "127.0.0.1"})
     p1 = bt.create({
@@ -131,7 +158,7 @@ def test_chaos_concurrent_writers_peer_death_and_mirror():
             if _leaves(p0.store) == _leaves(p1.store):
                 break
         assert _leaves(p0.store) == _leaves(p1.store), (
-            "survivors failed to converge"
+            "survivors failed to converge:\n" + _divergence_report([p0, p1])
         )
         leaves = _leaves(p0.store)
         assert leaves, "chaos produced an empty store?"
@@ -304,7 +331,7 @@ def test_chaos_big_mixed_links_partition_and_restart(tmp_path, seed):
                 break
         assert all(s == last[0] for s in last[1:]), (
             "peers failed to converge after partition+restart: sizes "
-            + str([len(s) for s in last])
+            + str([len(s) for s in last]) + "\n" + _divergence_report(peers)
         )
         leaves = last[0]
         assert leaves, "chaos produced an empty store?"

@@ -498,3 +498,92 @@ def test_clocked_sync_apply_switch():
         p1.close()
         p2.close()
         p3.close()
+
+
+def test_subtree_winner_reoffers_after_scalar_loss(pair):
+    """The frozen-split regression the system chaos soak uncovered: when
+    a replicated SCALAR loses to a local SUBTREE winner, the loser-touch
+    lands on the subtree ROOT's meta — which is not a store leaf — so a
+    leaf-lastModified-only ``since`` filter would never re-offer the
+    winning child leaves, and the scalar holder stays diverged forever
+    (4-vs-2 stable split, 300 anti-entropy rounds no-op). The collection
+    filter must be ancestor-aware: a touch anywhere above a leaf lifts
+    it over the watermark."""
+    p1, p2 = pair
+
+    # p2: the dominant subtree winner — child leaves with clock {w: 2}
+    # and ANCIENT lastModified (behind every watermark), plus a root
+    # meta whose clock dominates the scalar's
+    p2.set_data("data/k/n", 1, broadcast=False, incoming_clock={"w": 2})
+    p2.set_data("data/k/s", 2, broadcast=False, incoming_clock={"w": 2})
+    with p2._lock:
+        for leaf in ("data/k/n", "data/k/s"):
+            p2.meta[leaf] = {**p2.meta[leaf], "lastModified": 1000}
+        p2.meta["data/k"] = {"vectorClock": {"w": 2}, "lastModified": 1000}
+        p2.crt.vector_clocks["data/k"] = {"w": 2}
+
+    # both watermarks postdate the subtree's stamps: without the
+    # ancestor-aware filter, n/s can never be offered to p1 again
+    now_ms = int(time.time() * 1000)
+    for requester, responder in ((p1, p2), (p2, p1)):
+        st = requester.network.sync._peer_state(responder.id)
+        st["last_sync_time_ms"] = now_ms
+
+    # p1: the dominated scalar (clock {w: 1}), lastModified AFTER the
+    # watermarks — it still flows to p2, loses there, and the loser-touch
+    # lands on data/k (the subtree root, not a store leaf)
+    time.sleep(0.01)
+    p1.set_data("data/k", None, broadcast=False, incoming_clock={"w": 1})
+
+    def k(bullet):
+        # direct store probe: a _get_data read would AUTOVIVIFY through
+        # the scalar (Q3 reads-are-writes) and perturb the very state
+        # under test
+        return bullet.store.get("data", {}).get("k")
+
+    def converged():
+        # p2 pulls p1's fresh scalar (it loses, touching data/k's meta);
+        # p1 pulls p2's subtree (admitted only via the ancestor touch)
+        p2.network.request_sync(p1.id)
+        p1.network.request_sync(p2.id)
+        time.sleep(0.2)
+        return k(p1) == {"n": 1, "s": 2} and k(p2) == {"n": 1, "s": 2}
+
+    assert wait_for(converged, 20), (
+        "subtree winner was never re-offered: p1 data/k="
+        + repr(k(p1)) + " p2 data/k=" + repr(k(p2))
+    )
+
+
+def test_falsy_scalar_ancestor_resolves_by_clock(pair):
+    """A child-leaf sync entry whose local ancestor is a FALSY scalar
+    (None) must clock-resolve like the truthy-TypeError case — NOT slip
+    through the vivifying read and win unconditionally. Concurrent
+    clocks: the scalar stays (and the dict side of the same conflict
+    adopts the scalar, so both replicas converge); dominant entry clock:
+    the scalar clears and the leaf applies."""
+    p1, p2 = pair
+
+    # concurrent: scalar None (clock {a: 1}) vs leaf (clock {b: 1})
+    p1.set_data("c/k", None, broadcast=False, incoming_clock={"a": 1})
+    p1.network.sync._process_sync_entries(
+        [{"path": "c/k/n", "data": 7, "vectorClock": {"b": 1},
+          "lastModified": 1, "deleted": False}], "test-peer",
+    )
+    assert p1.store["c"]["k"] is None, "concurrent leaf must not vivify over the scalar"
+
+    # dominant: leaf clock descends from the scalar's ({a: 2} > {a: 1})
+    p1.network.sync._process_sync_entries(
+        [{"path": "c/k/n", "data": 9, "vectorClock": {"a": 2},
+          "lastModified": 2, "deleted": False}], "test-peer",
+    )
+    assert p1.store["c"]["k"] == {"n": 9}, p1.store["c"]
+
+    # the dict side of the concurrent conflict adopts the scalar
+    # (incomparable favors incoming), matching the scalar side's keep
+    p2.set_data("c/k/n", 7, broadcast=False, incoming_clock={"b": 1})
+    p2.network.sync._process_sync_entries(
+        [{"path": "c/k", "data": None, "vectorClock": {"a": 1},
+          "lastModified": 3, "deleted": False}], "test-peer",
+    )
+    assert p2.store["c"]["k"] is None, p2.store["c"]
