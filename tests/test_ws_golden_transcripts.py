@@ -459,3 +459,50 @@ def test_golden_sync_progress_cadence(server):
         assert seq == want, seq
     finally:
         sock.close()
+
+
+def test_golden_leafless_subtree_entry(server):
+    """Wire superset pin: LEAFLESS subtrees with their own clock ship as
+    explicit ``data: {}`` entries (docs/conflict-resolution.md #7 — a
+    dominant leafless subtree is otherwise a sync black hole). The entry
+    uses the standard field set, so a real bullet-js receiver resolves
+    it as an ordinary object put (bullet-network-sync.js:551-560 merges
+    object data through the CRT); the reference's own collector simply
+    never emits one (its traverse recurses into objects and finds no
+    leaves, :610-618)."""
+    server.get("nums/x").put(7)
+    # a leafless subtree exactly as Q3 vivification produces it: a null
+    # value whose child is then read — the walk replaces null with {}
+    # and vivifies the child, leaving meta (and the clock) at the root
+    server.set_data("ghost/node", None, broadcast=False)
+    server._get_data_raw("ghost/node/child")
+    assert server.store["ghost"]["node"] == {"child": {}}
+
+    sock, reader = connect_golden(server)
+    try:
+        sock.sendall(client_text_frame(json.dumps({
+            "type": "handshake", "id": "golden-msg-1",
+            "peerId": "golden-js-peer",
+        }).encode()))
+        read_server_message(reader)
+        sock.sendall(client_text_frame(json.dumps({
+            "type": "sync-request", "id": "golden-ghost-req",
+            "since": 0, "partial": False, "paths": [],
+        }).encode()))
+
+        response = read_server_message(reader)
+        assert response["totalEntries"] == 2  # nums/x + the {} entry
+        chunk = read_server_message(reader)
+        by_path = {e["path"]: e for e in chunk["entries"]}
+        assert set(by_path) == {"nums/x", "ghost/node"}
+        ghost = by_path["ghost/node"]
+        # standard entry field set — indistinguishable from a dict put
+        assert set(ghost) == {
+            "path", "data", "vectorClock", "lastModified", "deleted"
+        }, sorted(ghost)
+        assert ghost["data"] == {}
+        assert ghost["deleted"] is False
+        assert isinstance(ghost["vectorClock"], dict) and ghost["vectorClock"]
+        read_server_message(reader)  # sync-complete
+    finally:
+        sock.close()
