@@ -85,7 +85,9 @@ def _serve(build_payload: Callable[[], dict], host: str, port: int):
     """Start a threaded HTTP server for ``/status`` and return it."""
     handler = type("Handler", (_JsonHandler,), {"build_payload": staticmethod(build_payload)})
     server = ThreadingHTTPServer((host, port), handler)
-    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread = threading.Thread(
+        target=server.serve_forever, daemon=True, name="bullet-status"
+    )
     thread.start()
     return server, thread
 
@@ -154,6 +156,7 @@ class StatusServer:
     def close(self) -> None:
         self._server.shutdown()
         self._server.server_close()
+        self._thread.join(timeout=5.0)
 
     def __enter__(self) -> "StatusServer":
         return self
@@ -244,6 +247,9 @@ class MonitorServer:
         if self._server is not None:
             self._server.shutdown()
             self._server.server_close()
+            if self._thread is not None:
+                self._thread.join(timeout=5.0)
+                self._thread = None
 
     def __enter__(self) -> "MonitorServer":
         return self

@@ -114,7 +114,9 @@ class _PeerConnection:
         self._outbox: "queue.Queue[Optional[bytes]]" = queue.Queue(
             maxsize=self.MAX_OUTBOX
         )
-        self._writer = threading.Thread(target=self._write_loop, daemon=True)
+        self._writer = threading.Thread(
+            target=self._write_loop, daemon=True, name=f"bullet-write-{peer_id[:8]}"
+        )
         self._writer.start()
 
     def send_raw(self, data: bytes) -> None:
@@ -171,6 +173,11 @@ class _PeerConnection:
             self.socket.close()
         except OSError:
             pass
+        # Deterministic teardown: the writer must not outlive the link. The
+        # sentinel/shutdown above unblocks it from get()/sendall(); join
+        # unless close() is running ON the writer (send failure path).
+        if threading.current_thread() is not self._writer:
+            self._writer.join(timeout=5.0)
 
 
 class BulletNetwork(EventEmitter):
@@ -223,6 +230,9 @@ class BulletNetwork(EventEmitter):
         self.processed_messages: "dict[str, None]" = {}  # insertion-ordered set
         self._closed = False
         self._threads: List[threading.Thread] = []
+        # sockets mid-handshake/dial (no _PeerConnection yet): close() shuts
+        # them down so their threads wake instead of riding out timeouts
+        self._pending_socks: set = set()
         self._reconnect_timers: List[threading.Timer] = []
         self._lock = threading.RLock()
 
@@ -246,7 +256,10 @@ class BulletNetwork(EventEmitter):
             srv.listen(64)
             self.server_socket = srv
             self.port = srv.getsockname()[1]
-            t = threading.Thread(target=self._accept_loop, daemon=True)
+            t = threading.Thread(
+                target=self._accept_loop, daemon=True,
+                name=f"bullet-accept-{self.local_peer_id[:8]}",
+            )
             t.start()
             self._threads.append(t)
         except OSError as err:
@@ -258,9 +271,18 @@ class BulletNetwork(EventEmitter):
                 sock, _addr = self.server_socket.accept()
             except OSError:
                 return
-            threading.Thread(
-                target=self._handle_incoming_connection, args=(sock,), daemon=True
-            ).start()
+            if self._closed:
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+                return
+            t = threading.Thread(
+                target=self._handle_incoming_connection, args=(sock,),
+                daemon=True, name=f"bullet-handshake-{self.local_peer_id[:8]}",
+            )
+            t.start()
+            self._threads.append(t)
 
     def _handle_incoming_connection(self, sock: socket.socket) -> None:
         """Wait for the handshake, apply auth/duplicate policies
@@ -269,6 +291,15 @@ class BulletNetwork(EventEmitter):
         in the x-peer-id header, bullet-network.js:72); anything else is the
         NDJSON handshake message."""
         sock.settimeout(10.0)
+        with self._lock:
+            self._pending_socks.add(sock)
+        try:
+            self._handshake_incoming(sock)
+        finally:
+            with self._lock:
+                self._pending_socks.discard(sock)
+
+    def _handshake_incoming(self, sock: socket.socket) -> None:
         reader = sock.makefile("rb")
         try:
             line = reader.readline()
@@ -324,18 +355,27 @@ class BulletNetwork(EventEmitter):
         # dial in the background: a down peer must not block Bullet() startup
         # for its whole connect timeout (the reference dials asynchronously)
         for peer_url in self.options["peers"]:
-            threading.Thread(
-                target=self._connect_to_peer, args=(peer_url,), daemon=True
-            ).start()
+            t = threading.Thread(
+                target=self._connect_to_peer, args=(peer_url,), daemon=True,
+                name=f"bullet-dial-{self.local_peer_id[:8]}",
+            )
+            t.start()
+            self._threads.append(t)
 
     def _connect_to_peer(self, peer_url: str) -> None:
         """Dial a peer, send the handshake, await the response
         (bullet-network.js:139-218)."""
         if self._closed:
             return
+        sock = None
         try:
             host, port, framing = parse_peer_url(peer_url)
             sock = socket.create_connection((host, port), timeout=10.0)
+            with self._lock:
+                if self._closed:
+                    sock.close()
+                    return
+                self._pending_socks.add(sock)
             if framing == "wss":
                 # TLS-wrapped WebSocket (a plain socket to a TLS listener
                 # would otherwise fail silently into the reconnect loop).
@@ -344,7 +384,11 @@ class BulletNetwork(EventEmitter):
                 import ssl
 
                 ctx = self.options.get("ssl_context") or ssl.create_default_context()
+                with self._lock:
+                    self._pending_socks.discard(sock)
                 sock = ctx.wrap_socket(sock, server_hostname=host)
+                with self._lock:
+                    self._pending_socks.add(sock)
                 framing = "ws"
             headers = {"x-peer-id": self.local_peer_id}
             prepare = self.options["prepare_connection_headers"]
@@ -413,6 +457,10 @@ class BulletNetwork(EventEmitter):
         except (OSError, ValueError, ConnectionError) as err:
             self.emit("error", err)
             self._schedule_reconnect(peer_url)
+        finally:
+            if sock is not None:
+                with self._lock:
+                    self._pending_socks.discard(sock)
 
     def _schedule_reconnect(self, peer_url: str) -> None:
         if self._closed:
@@ -447,9 +495,12 @@ class BulletNetwork(EventEmitter):
                     "peerId": self.local_peer_id,
                 }
             )
-        threading.Thread(
-            target=self._read_loop, args=(conn, reader), daemon=True
-        ).start()
+        t = threading.Thread(
+            target=self._read_loop, args=(conn, reader), daemon=True,
+            name=f"bullet-read-{self.local_peer_id[:8]}",
+        )
+        t.start()
+        self._threads.append(t)
         self.emit("peer:connect", peer_id)
 
     def _read_loop(self, conn: _PeerConnection, reader) -> None:
@@ -481,8 +532,10 @@ class BulletNetwork(EventEmitter):
                 self._handle_peer_message(conn.peer_id, message)
             except Exception as err:  # noqa: BLE001
                 self.emit("error", err)
-        # disconnect handling (bullet-network.js:248-259)
-        conn.open = False
+        # disconnect handling (bullet-network.js:248-259); conn.close() tears
+        # down the socket AND joins the writer — a link whose reader exited
+        # must not leave its writer thread parked on the outbox forever
+        conn.close()
         with self._lock:
             if self.peers.get(conn.peer_id) is conn:
                 del self.peers[conn.peer_id]
@@ -639,7 +692,14 @@ class BulletNetwork(EventEmitter):
     # ----------------------------------------------------------------- close
 
     def close(self) -> None:
-        """Tear down sync, links, server (bullet-network.js:469-497)."""
+        """Tear down sync, links, server — deterministically. The reference's
+        ``close()`` really ends its accept path (``wss.close()``,
+        bullet-network.js:469-497); ours must too: a thread blocked in
+        ``accept()`` is NOT woken by ``close()`` on Linux, so shut the
+        listener down (and connect-to-self as a portable fallback), wake every
+        pending handshake/dial socket, then JOIN every thread this network
+        ever started. Anything else leaks one accept thread per test for the
+        life of the process."""
         self._closed = True
         if self.sync is not None:
             self.sync.close()
@@ -649,11 +709,47 @@ class BulletNetwork(EventEmitter):
             conns = list(self.peers.values())
             self.peers.clear()
             self.processed_messages.clear()
+            pending = list(self._pending_socks)
+            self._pending_socks.clear()
         for conn in conns:
             conn.close()
-        if self.server_socket is not None:
+        for sock in pending:  # wake handshake/dial threads blocked on IO
             try:
-                self.server_socket.close()
+                sock.shutdown(socket.SHUT_RDWR)
             except OSError:
                 pass
+            try:
+                sock.close()
+            except OSError:
+                pass
+        srv = self.server_socket
+        if srv is not None:
             self.server_socket = None
+            try:
+                # Linux wakes a blocked accept() with EINVAL on shutdown
+                srv.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                # some platforms refuse shutdown on a listener: dial
+                # ourselves so accept() returns, sees _closed, and exits
+                try:
+                    with socket.create_connection(
+                        ("127.0.0.1", self.port), timeout=1.0
+                    ):
+                        pass
+                except OSError:
+                    pass
+            try:
+                srv.close()
+            except OSError:
+                pass
+        deadline = time.time() + 10.0
+        for t in self._threads:
+            if t is threading.current_thread():
+                continue
+            t.join(timeout=max(0.1, deadline - time.time()))
+            if t.is_alive():  # pragma: no cover - teardown diagnostics
+                self.emit(
+                    "error",
+                    RuntimeError(f"thread {t.name} survived network close()"),
+                )
+        self._threads.clear()

@@ -18,7 +18,41 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import threading  # noqa: E402
+import time  # noqa: E402
+
 import pytest  # noqa: E402
+
+# Network threads are named bullet-{accept,read,write,handshake,dial,status}.
+# BulletNetwork.close() joins all of them; a test that leaves any alive is a
+# teardown bug (the round-4 suite accumulated 100 leaked threads by test #674,
+# masking a segfault's stack). Fail loudly instead.
+_LEAK_PREFIX = "bullet-"
+
+
+def _live_bullet_threads():
+    return [
+        t for t in threading.enumerate()
+        if t.name.startswith(_LEAK_PREFIX) and t.is_alive()
+    ]
+
+
+@pytest.fixture(autouse=True)
+def _no_leaked_network_threads(request):
+    before = set(id(t) for t in _live_bullet_threads())
+    yield
+    deadline = time.time() + 5.0  # grace for in-flight teardown
+    leaked = [t for t in _live_bullet_threads() if id(t) not in before]
+    while leaked and time.time() < deadline:
+        time.sleep(0.05)
+        leaked = [t for t in _live_bullet_threads() if id(t) not in before]
+    if leaked:
+        names = sorted(t.name for t in leaked)
+        pytest.fail(
+            f"{request.node.nodeid} leaked {len(leaked)} network thread(s): "
+            f"{names} — some BulletNetwork/StatusServer was not close()d",
+            pytrace=False,
+        )
 
 
 @pytest.fixture
