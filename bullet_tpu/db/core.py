@@ -41,6 +41,11 @@ DEFAULT_OPTIONS = {
     "disable_crt": False,
     "validate_on_write": True,  # fix of reference quirk Q1
     "autovivify": True,  # reference quirk Q3 (reads create empty objects)
+    # "js" = reference comparator (bullet-crt.js:11-15; incomparable pairs
+    # resolve by arrival order — a documented divergence residual), "total" =
+    # antisymmetric total order (identical-clock conflicts always converge),
+    # or any callable (incoming, existing) -> -1|0|1
+    "compare": "js",
     "host": "0.0.0.0",
     "port": 8765,
 }
@@ -192,6 +197,15 @@ class Bullet:
         # reader threads exist (disable_crt accepted for option parity only —
         # conflict resolution is integral here)
         self.crt = BulletCRT(self)
+        cmp_opt = self.options["compare"]
+        if cmp_opt == "total":
+            from ..utils.jsvalues import total_compare
+
+            self.crt.set_compare(total_compare)
+        elif callable(cmp_opt):
+            self.crt.set_compare(cmp_opt)
+        elif cmp_opt != "js":
+            raise ValueError(f"unknown compare option: {cmp_opt!r}")
         # restarted instances with a pinned peer_id must resume their clocks
         # from persisted meta, or the first write per path is dropped as
         # historical (random-id boots, like the reference, start concurrent)

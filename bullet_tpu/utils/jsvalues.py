@@ -222,6 +222,64 @@ def js_compare(incoming: Any, existing: Any) -> int:
     return 1
 
 
+def _float_order_bits(f: float) -> int:
+    """Monotone u64 key over floats (same transform as the engine's
+    ``utils.encode.number_key``): negatives bit-flipped, non-negatives get
+    the sign bit forced, NaN canonicalized above +Infinity."""
+    import struct
+
+    if f != f:  # NaN: one canonical slot, above every ordered float
+        u = 0x7FF8000000000000
+    else:
+        if f == 0.0:
+            f = 0.0  # -0.0 === 0 in JS: one canonical zero
+        u = struct.unpack("<Q", struct.pack("<d", f))[0]
+    if u >> 63:
+        u = (~u) & 0xFFFFFFFFFFFFFFFF
+    else:
+        u |= 1 << 63
+    return u
+
+
+def total_order_key(v: Any):
+    """Deterministic total-order key over JSON-shaped values. Type-tag order
+    matches the engine's value classes (utils/encode.py CLS_*: null < number
+    < string < opaque); numbers order numerically (booleans sort just above
+    their numeric equal so ``true`` vs ``1`` still has a winner), strings by
+    UTF-16 code units, and opaque values (arrays/objects) by canonical JSON —
+    the one piece the engine resolves by global vid instead (host replicas
+    have no shared vid space, canonical bytes are the portable equivalent)."""
+    if v is None:
+        return (1,)
+    if isinstance(v, bool):
+        return (2, _float_order_bits(1.0 if v else 0.0), 1)
+    if isinstance(v, (int, float)):
+        return (2, _float_order_bits(float(v)), 0)
+    if isinstance(v, str):
+        return (3, utf16_key(v))
+    import json
+
+    canon = json.dumps(v, sort_keys=True, separators=(",", ":"), default=str)
+    return (4, utf16_key(canon))
+
+
+def total_compare(incoming: Any, existing: Any) -> int:
+    """Total-order comparator closing the reference's last divergence hole:
+    ``js_compare`` (bullet-crt.js:11-15) returns "incoming wins" for
+    JS-incomparable pairs (string-vs-number, bool-vs-number, NaN), so
+    identical-clock conflicts between such values resolve by ARRIVAL ORDER
+    and replicas can permanently disagree. This comparator is antisymmetric
+    over all value pairs — every identical-clock conflict has one global
+    winner regardless of delivery order. Opt in with ``compare: "total"``
+    (default stays ``js_compare`` for reference parity). Same-type pairs
+    order exactly as JS does (numeric / UTF-16 string order); cross-type
+    pairs order by type tag like the engine's rank order, NOT by JS's
+    ToNumber coercion (which is not antisymmetric: ``"2" < 3`` but
+    ``"2" > "12"``, so no total order can honor it)."""
+    ka, kb = total_order_key(incoming), total_order_key(existing)
+    return -1 if ka < kb else (1 if ka > kb else 0)
+
+
 def deep_merge_values(incoming: Any, current: Any, compare=js_compare) -> Any:
     """``mergeValues`` (/root/reference/src/bullet-crt.js:122-153): deep merge
     when both are plain objects; otherwise comparator-LWW (ties keep incoming).
