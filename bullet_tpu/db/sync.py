@@ -585,9 +585,12 @@ class BulletNetworkSync:
                     anc_path = "/".join(anc_parts)
                     anc_meta = bullet.meta.get(anc_path) or {}
                     anc_clock = anc_meta.get("vectorClock")
-                    if (
-                        anc_clock is None
-                        or compare_vector_clocks(clock, anc_clock) > 0
+                    cmp0 = (
+                        1 if anc_clock is None
+                        else compare_vector_clocks(clock, anc_clock)
+                    )
+                    if cmp0 > 0 or (
+                        cmp0 == 0 and self._subtree_beats_scalar(node)
                     ):
                         parent = bullet.store
                         for p in anc_parts[:-1]:
@@ -607,6 +610,38 @@ class BulletNetworkSync:
                     }
                     return False
             return True  # no blocking ancestor found; retry as-is
+
+    def _subtree_beats_scalar(self, scalar_value) -> bool:
+        """Clock-TIE (equal or concurrent) subtree-vs-scalar tie-break,
+        symmetric with the dict side of the same conflict: there, the
+        incoming SCALAR resolves against the local dict through
+        ``compare(scalar, dict)`` (crt.resolve's identical-clock branch /
+        deep_merge_values' comparator-LWW), so this side must adopt the
+        subtree exactly when that side keeps its dict. That mirroring is
+        only sound when the comparator is ANTISYMMETRIC on the cross-type
+        pair — ``total_compare`` is (dict/opaque outranks every scalar);
+        the reference's ``js_compare`` is NOT (incomparable ⇒ "incoming
+        wins" on BOTH sides, bullet-crt.js:11-15), and under it the dict
+        side ADOPTS the scalar, so the scalar must stay here for both
+        replicas to land on the scalar. Probe antisymmetry instead of
+        special-casing comparator identity so custom comparators get the
+        convergent behavior iff they earn it. The ``{}`` stand-in gives
+        the same verdict as the real subtree for any type-tag-first order
+        (content only breaks opaque-vs-opaque ties; the blocking ancestor
+        is a non-dict by construction, and for the one opaque non-dict —
+        an array — canonical JSON puts every ``[...]`` below every
+        ``{...}``, so the stand-in's verdict still matches the real
+        subtree's). Found by the wire-fuzz chaos soak:
+        identical-clock scalar-vs-dict conflicts under ``compare:
+        "total"`` froze one replica on the scalar while the dict side
+        kept the dict."""
+        compare = self.bullet.crt.compare
+        try:
+            fwd = compare({}, scalar_value)
+            rev = compare(scalar_value, {})
+        except Exception:  # noqa: BLE001 - custom comparator errors
+            return False
+        return fwd > 0 and rev < 0
 
     def _leaf_meta(self, path: str) -> dict:
         """A leaf's meta, falling back to the NEAREST ANCESTOR with meta:

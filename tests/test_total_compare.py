@@ -171,19 +171,20 @@ def _partitioned_conflict(compare_opt, first_syncer):
     p1 = bt.create({
         "storage": False, "port": 0, "host": "127.0.0.1",
         "compare": compare_opt, "connect_sync_delay": 3600.0,
-        "peers": [f"tcp://127.0.0.1:{p0.network.port}"],
     })
     try:
-        # partitioned writes: conflicting, JS-incomparable, same keys.
-        # (The connection is up but floods only carry NEW puts; these are
-        # pre-connect writes, so only anti-entropy can reconcile them.)
+        # partitioned writes: conflicting, JS-incomparable, same keys,
+        # written BEFORE the peers ever connect — put floods can't carry
+        # them, so only anti-entropy (in the controlled order below)
+        # reconciles, making the js-mode order dependence deterministic.
+        for k in range(4):
+            p0.get(f"c/k{k}").put(f"s{k}x")  # non-numeric string
+            p1.get(f"c/k{k}").put(float(k + 1))
+        p1.network._connect_to_peer(f"tcp://127.0.0.1:{p0.network.port}")
         deadline = time.time() + 10
         while not p0.network.peers and time.time() < deadline:
             time.sleep(0.02)
         assert p0.network.peers, "peers failed to connect"
-        for k in range(4):
-            p0.get(f"c/k{k}").put(f"s{k}x")  # non-numeric string
-            p1.get(f"c/k{k}").put(float(k + 1))
         order = (p0, p1) if first_syncer == 0 else (p1, p0)
         for requester in order:
             requester.network.request_sync()
@@ -303,3 +304,73 @@ def test_type_flapping_soak_converges_under_total(seed):
     finally:
         for p in peers:
             p.close()
+
+
+# ----------------------------------------------- scalar-vs-subtree tie
+
+
+def _partitioned_subtree_conflict(compare_opt, first_syncer):
+    """p0 writes a DICT subtree, p1 writes a scalar to the same key while
+    partitioned (concurrent clocks), then anti-entropy runs in a
+    controlled order. The dict side resolves through the decision table
+    (compare(scalar, dict)); the scalar side resolves through
+    sync._resolve_scalar_ancestor (child leaves colliding with a scalar
+    ancestor) — the two MUST pick the same winner in both sync orders.
+    Found by the wire-fuzz chaos soak: under ``total`` the dict side kept
+    its dict while the scalar side froze on the scalar (the clock-tie
+    rule there predated the comparator and always kept the scalar)."""
+    p0 = bt.create({
+        "storage": False, "port": 0, "host": "127.0.0.1",
+        "compare": compare_opt, "connect_sync_delay": 3600.0,
+    })
+    p1 = bt.create({
+        "storage": False, "port": 0, "host": "127.0.0.1",
+        "compare": compare_opt, "connect_sync_delay": 3600.0,
+    })
+    try:
+        # truly partitioned writes (pre-connect): floods never carry
+        # them, so BOTH resolution paths run under the controlled sync
+        # order alone — deterministic in each direction.
+        for k in range(3):
+            p0.get(f"t/k{k}").put({"n": k + 1, "s": f"d{k}"})
+            p1.get(f"t/k{k}").put(f"s{k}x")
+        p1.network._connect_to_peer(f"tcp://127.0.0.1:{p0.network.port}")
+        deadline = time.time() + 10
+        while not p0.network.peers and time.time() < deadline:
+            time.sleep(0.02)
+        assert p0.network.peers, "peers failed to connect"
+        order = (p0, p1) if first_syncer == 0 else (p1, p0)
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            if all(
+                p0.get(f"t/k{k}").value() == p1.get(f"t/k{k}").value()
+                for k in range(3)
+            ):
+                break
+            for requester in order:
+                requester.network.request_sync()
+            time.sleep(0.3)
+        vals0 = {k: p0.get(f"t/k{k}").value() for k in range(3)}
+        vals1 = {k: p1.get(f"t/k{k}").value() for k in range(3)}
+        assert vals0 == vals1, (
+            f"scalar-vs-subtree pair failed to converge: {vals0} vs {vals1}"
+        )
+        return vals0
+    finally:
+        p1.close()
+        p0.close()
+
+
+@pytest.mark.parametrize("first_syncer", [0, 1])
+@pytest.mark.parametrize("compare_opt", ["js", "total"])
+def test_scalar_vs_subtree_clock_tie_converges(compare_opt, first_syncer):
+    """Both comparators must converge the scalar-vs-subtree clock tie in
+    BOTH sync orders — under ``js`` to the scalar (the dict side adopts
+    the incoming scalar, incomparable ⇒ incoming wins, so the scalar side
+    keeps it), under ``total`` to the dict (opaque outranks every scalar,
+    so the scalar side must adopt the subtree)."""
+    vals = _partitioned_subtree_conflict(compare_opt, first_syncer)
+    if compare_opt == "total":
+        assert vals == {k: {"n": k + 1, "s": f"d{k}"} for k in range(3)}
+    else:
+        assert vals == {k: f"s{k}x" for k in range(3)}
