@@ -14,6 +14,25 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# SIGSEGV mitigation (ROUND5_NOTES.md "full-suite segfault"): XLA:CPU splits
+# each program into up to 32 LLVM modules compiled in parallel, and every
+# split's ORC object __register_frame()s its eh_frame into libgcc. This
+# image ships libgcc 12.2.0, whose lock-free eh_frame btree has known
+# insert/lookup races (fixed upstream in GCC 12.3) — after ~690 tests of
+# accumulated registrations, loading the suite's largest program
+# (interpret-mode Pallas under shard_map) died inside libgcc's FDE
+# classification (faulting PC between _Unwind_Backtrace and
+# __register_frame_info_bases, i.e. the static btree/classify helpers),
+# manifesting as SIGSEGV in jax's backend_compile_and_load. One module per
+# program ⇒ one registration per load ⇒ no concurrent btree writers.
+if "xla_cpu_parallel_codegen_split_count" not in os.environ.get(
+    "XLA_FLAGS", ""
+):
+    os.environ["XLA_FLAGS"] = (
+        os.environ["XLA_FLAGS"]
+        + " --xla_cpu_parallel_codegen_split_count=1"
+    ).strip()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
