@@ -531,6 +531,11 @@ class PeerNetworkSim:
             [] for _ in range(num_peers)
         ]
         self._pending_bulk: List[Tuple[np.ndarray, ...]] = []
+        # write-path device staging (_stage_device_apply): reduced op
+        # batches whose h2d transfers are already in flight; logically
+        # still "pending" (snapshot flushes them, restore discards them)
+        self._staged_apply: List[dict] = []
+        self._stage_on_cpu = False  # test hook: exercise staging off-TPU
         # live-bridge fabric (models/bridge.py): ONE lock serializes every
         # bridge pump/flush/view-query against this sim, and the stage
         # registry lets any pump drain EVERY attached bridge's staged
@@ -818,6 +823,7 @@ class PeerNetworkSim:
             # apply-time _sync_rank_index then finds nothing new and the
             # fresh-load fold stops serializing behind the insert
             self._stage_rank_inserts()
+        self._stage_device_apply()
 
     def _enqueue_bulk(self, peers, slots, cls, khi, klo, vid) -> None:
         """Stamp per-op Lamport counters (clock[peer] + within-batch
@@ -1012,6 +1018,102 @@ class PeerNetworkSim:
                 )
             self.rank_index.needs_rekey = False
 
+    def _stage_device_apply(self) -> None:
+        """Write-path staging (packed layout, TPU): lattice pre-reduce +
+        block-build + START the op-stream h2d at INGEST time, so the next
+        apply (reconcile/step/read flush) pays only the device kernel.
+        The tunnel charges ~10 ms latency per dispatch and ~30 MB/s for
+        the 24 MB/1M-op stream — front-loading it into put_bulk moves it
+        off the anti-entropy critical path (VERDICT r4 item 1 /
+        r5 item 3: reconcile_s p50 ≤ 0.6 at 1024×1M).
+
+        Staged batches are logically still pending: snapshot() flushes
+        them, restore() discards them, and _apply_pending_packed consumes
+        them — applying the pre-staged device segments when the validity
+        tokens (table shape, value-interner epoch, ingress inertness)
+        still hold, else re-entering the reduced rows through the normal
+        flat path (a reduced batch is just ordinary ops). Rank layouts
+        don't stage: their rank stamps would dangle across a respread."""
+        if self.layout != "packed" or self.mesh is not None:
+            return
+        if jax.default_backend() != "tpu" and not self._stage_on_cpu:
+            return
+        if self.use_pallas is False:
+            return
+        if self.hooks._traced_put or (
+            self.validation.active and self.validation.rules() is not None
+        ):
+            return
+        if self.host.needs_rekey:
+            return
+        from ..ops.packed import (
+            CV_SHIFT,
+            MAX_VID,
+            VID_MASK,
+            block_apply_supported,
+            chunk_block_ops,
+            dense_batch_density,
+            reduce_flat_ops,
+            stage_flat_blocked,
+            stage_flat_windowed,
+            window_apply_supported,
+            window_block_ops,
+            window_min_density,
+        )
+
+        p_, n_ = self.table[0].shape
+        if not block_apply_supported(p_, n_):
+            return
+        if len(self.host.values) > MAX_VID:
+            return  # let the apply-time guard raise the typed error
+        # fresh paths past capacity: the table grows before the apply —
+        # leave the queue alone (block coords would be built on the old n)
+        for bulk in self._pending_bulk:
+            if len(bulk[1]) and int(bulk[1].max()) >= n_:
+                return
+        for ops in self._pending:
+            for op in ops:
+                if op[0] >= n_:
+                    return
+        flat = self._drain_flat()
+        if flat is None:
+            return
+        peer, slot, cls, khi, klo, vid = flat
+        reduced = reduce_flat_ops(
+            peer, slot, cls, khi, klo, vid, block_shape=(p_, n_)
+        )
+        if reduced is None:
+            return
+        tile_n = self._frontier_tile()
+        dirty_tiles = (
+            np.unique(reduced[1] // tile_n) if tile_n else None
+        )
+        if window_apply_supported(p_, n_) and dense_batch_density(
+            reduced[0], reduced[1], n_
+        ) >= window_min_density(len(self.table)):
+            kind, segs = "windowed", stage_flat_windowed(
+                *window_block_ops(*reduced, p_, n_)
+            )
+        else:
+            kind, segs = "chunked", stage_flat_blocked(
+                *chunk_block_ops(*reduced, p_, n_)
+            )
+        r_peer, r_slot, r_khi, r_klo, r_cv = reduced
+        self._staged_apply.append({
+            "kind": kind,
+            "segs": segs,
+            "shape": (p_, n_),
+            "vals_epoch": self.host.values.epoch,
+            "dirty_tiles": dirty_tiles,
+            # reduced rows as ordinary flat ops — the stale-token path
+            # re-enters them through the normal apply
+            "flat": (
+                r_peer, r_slot,
+                (r_cv >> CV_SHIFT).astype(np.int32), r_khi, r_klo,
+                (r_cv & VID_MASK).astype(np.int32),
+            ),
+        })
+
     def _apply_pending(self) -> int:
         """Drain + ingress + apply, layout-dispatched; returns applied count."""
         if self.layout in PACKED_FAMILY:
@@ -1067,12 +1169,58 @@ class PeerNetworkSim:
         from ..ops.packed import (
             MAX_VID,
             apply_flat_packed_stacked,
+            apply_flat_blocked_staged,
+            apply_flat_windowed_staged,
             reduce_flat_ops,
         )
 
+        # consume write-path staged batches first (_stage_device_apply):
+        # token-valid entries apply their pre-staged device segments
+        # directly; stale ones re-enter the flat path below as ordinary
+        # (already-reduced) ops
+        applied_staged = 0
+        stale_flats = []
+        if self._staged_apply:
+            staged, self._staged_apply = self._staged_apply, []
+            p_s, n_s = self.table[0].shape
+            ingress_live = self.hooks._traced_put or (
+                self.validation.active
+                and self.validation.rules() is not None
+            )
+            for entry in staged:
+                if (
+                    ingress_live
+                    or entry["shape"] != (p_s, n_s)
+                    or entry["vals_epoch"] != self.host.values.epoch
+                ):
+                    stale_flats.append(entry["flat"])
+                    continue
+                if self._frontier_dirty is not None:
+                    tiles = entry["dirty_tiles"]
+                    tile_n = self._frontier_tile()
+                    if (
+                        tiles is not None and tile_n
+                        and len(self._frontier_dirty) == n_s // tile_n
+                    ):
+                        self._frontier_dirty[tiles] = True
+                    else:
+                        self._frontier_dirty = None
+                apply_staged = (
+                    apply_flat_windowed_staged
+                    if entry["kind"] == "windowed"
+                    else apply_flat_blocked_staged
+                )
+                self.table, a = apply_staged(self.table, entry["segs"])
+                applied_staged += int(a)
+
         flat = self._drain_flat()
+        if stale_flats:
+            chunks = stale_flats + ([flat] if flat is not None else [])
+            flat = tuple(
+                np.concatenate([c[i] for c in chunks]) for i in range(6)
+            )
         if flat is None:
-            return 0
+            return applied_staged
         if len(self.host.values) > MAX_VID:
             raise RuntimeError(
                 f"packed layout caps distinct values at 2^28; interner "
@@ -1138,7 +1286,7 @@ class PeerNetworkSim:
                 block_shape=(p_, n_) if use_blocked else None,
             )
         if reduced is None:
-            return 0
+            return applied_staged
         if self._frontier_dirty is not None:
             tile_n = self._frontier_tile()
             if tile_n and len(self._frontier_dirty) == (
@@ -1171,7 +1319,7 @@ class PeerNetworkSim:
                 self.table, applied = apply_flat_blocked(
                     self.table, *chunk_block_ops(*reduced, p_, n_)
                 )
-            return int(applied)
+            return applied_staged + int(applied)
         # ONE stacked h2d transfer for the whole reduced batch (the tunnel
         # charges per-transfer latency; five separate array uploads cost
         # noticeably more than one [5, K] block)
@@ -1192,7 +1340,7 @@ class PeerNetworkSim:
             self.table, applied = apply_flat_packed_stacked(
                 self.table, jnp.asarray(np.stack(reduced))
             )
-        return int(applied)
+        return applied_staged + int(applied)
 
     def warm_apply_buckets(self, max_ops: int = 1 << 16) -> int:
         """Precompile the flat-apply bucket ladder up to ``max_ops``.
@@ -2451,7 +2599,7 @@ class PeerNetworkSim:
         different times used to capture diverging snapshots). The
         restore twin of this contract discards the queue instead —
         together they make snapshot→restore a clean timeline cut."""
-        if any(self._pending) or self._pending_bulk:
+        if any(self._pending) or self._pending_bulk or self._staged_apply:
             self.step(rounds=0)
         self._sync_device_state()
         snap = {
@@ -2484,6 +2632,7 @@ class PeerNetworkSim:
         for ops in self._pending:
             ops.clear()
         self._pending_bulk.clear()
+        self._staged_apply.clear()
         self._frontier_dirty = None
         if self.layout in RANK_FAMILY:
             # bring the index current BEFORE swapping tables: a pending

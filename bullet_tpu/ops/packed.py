@@ -401,6 +401,57 @@ def _chunk_apply_kernel(nf: int, *refs):
     count_ref[0, 0] += applied
 
 
+def _bucket_i32(x, min_cap=256):
+    """Pad a host int32 array to the next power-of-two length so the
+    staged apply jits a BOUNDED set of programs (one per bucket)."""
+    import numpy as np
+
+    ln = len(x)
+    cap = max(min_cap, 1 << max(0, ln - 1).bit_length())
+    if cap == ln:
+        return x
+    out = np.zeros((cap,) + x.shape[1:], np.int32)
+    out[:ln] = x
+    return out
+
+
+def stage_flat_blocked(meta_rc, meta_cf, ops5):
+    """Host→device staging half of apply_flat_blocked: segment at chunk
+    granularity, bucket-pad, and START every h2d transfer now
+    (jnp.asarray dispatches asynchronously). The write path stages at
+    ingest time so a later reconcile/step pays only the device kernel
+    (VERDICT r4 item 1 / r5 item 3). Returns opaque segments for
+    apply_flat_blocked_staged."""
+    segs = []
+    for s in range(0, len(meta_rc), MAX_BLOCK_CHUNKS):
+        e = min(s + MAX_BLOCK_CHUNKS, len(meta_rc))
+        cf = meta_cf[s:e]
+        if s > 0 and not (cf[0] >> 5):
+            cf = cf.copy()
+            cf[0] |= 1 << 5  # segment start: force a fresh HBM read
+        segs.append((
+            jnp.asarray(_bucket_i32(meta_rc[s:e])),
+            jnp.asarray(_bucket_i32(cf)),
+            jnp.asarray(_bucket_i32(ops5[s:e])),
+            e - s,
+        ))
+    return segs
+
+
+def apply_flat_blocked_staged(
+    table: PackedTable, segs
+) -> Tuple[PackedTable, jax.Array]:
+    """Device half of apply_flat_blocked over pre-staged segments."""
+    interpret = jax.default_backend() != "tpu"
+    applied = jnp.int32(0)
+    for meta_rc, meta_cf, ops5, n_chunks in segs:
+        table, a = _apply_flat_blocked_jit(
+            table, meta_rc, meta_cf, ops5, jnp.int32(n_chunks), interpret,
+        )
+        applied = applied + a
+    return table, applied
+
+
 def apply_flat_blocked(
     table: PackedTable, meta_rc, meta_cf, ops5
 ) -> Tuple[PackedTable, jax.Array]:
@@ -412,35 +463,13 @@ def apply_flat_blocked(
     HBM block). Each segment pads to a power-of-two bucket so the jit
     compiles a BOUNDED set of programs (the dynamic grid still runs
     exactly n_chunks steps). Returns (table, applied)."""
-    import numpy as np
-
-    def bucket(x, min_cap=256):
-        ln = len(x)
-        cap = max(min_cap, 1 << max(0, ln - 1).bit_length())
-        if cap == ln:
-            return x
-        out = np.zeros((cap,) + x.shape[1:], np.int32)
-        out[:ln] = x
-        return out
-
     if len(meta_rc) == 0:
         # a zero-chunk pallas call would still flush its (uninitialized)
         # padded step's output block over table block (0, 0)
         return table, jnp.int32(0)
-    interpret = jax.default_backend() != "tpu"
-    applied = jnp.int32(0)
-    for s in range(0, len(meta_rc), MAX_BLOCK_CHUNKS):
-        e = min(s + MAX_BLOCK_CHUNKS, len(meta_rc))
-        cf = meta_cf[s:e]
-        if s > 0 and not (cf[0] >> 5):
-            cf = cf.copy()
-            cf[0] |= 1 << 5  # segment start: force a fresh HBM read
-        table, a = _apply_flat_blocked_jit(
-            table, jnp.asarray(bucket(meta_rc[s:e])), jnp.asarray(bucket(cf)),
-            jnp.asarray(bucket(ops5[s:e])), jnp.int32(e - s), interpret,
-        )
-        applied = applied + a
-    return table, applied
+    return apply_flat_blocked_staged(
+        table, stage_flat_blocked(meta_rc, meta_cf, ops5)
+    )
 
 
 @functools.partial(
@@ -636,39 +665,49 @@ def _window_apply_kernel(nf: int, *refs):
     count_ref[0, 0] += jnp.sum(win.astype(jnp.int32))
 
 
-def apply_flat_windowed(
-    table: PackedTable, meta, ops5
-) -> Tuple[PackedTable, jax.Array]:
-    """Windowed dense apply over host-windowed ops (see window_block_ops);
-    segments past the SMEM meta budget like apply_flat_blocked. Returns
-    (table, applied)."""
-    import numpy as np
-
-    def bucket(x, min_cap=256):
-        ln = len(x)
-        cap = max(min_cap, 1 << max(0, ln - 1).bit_length())
-        if cap == ln:
-            return x
-        out = np.zeros((cap,) + x.shape[1:], np.int32)
-        out[:ln] = x
-        return out
-
-    if len(meta) == 0:
-        return table, jnp.int32(0)
-    interpret = jax.default_backend() != "tpu"
-    applied = jnp.int32(0)
+def stage_flat_windowed(meta, ops5):
+    """Host→device staging half of apply_flat_windowed — see
+    stage_flat_blocked for the write-path staging contract."""
+    segs = []
     for s in range(0, len(meta), MAX_BLOCK_CHUNKS):
         e = min(s + MAX_BLOCK_CHUNKS, len(meta))
         mseg = meta[s:e]
         if s > 0 and not ((mseg[0] >> 30) & 1):
             mseg = mseg.copy()
             mseg[0] |= 1 << 30  # segment start: force a fresh HBM read
+        segs.append((
+            jnp.asarray(_bucket_i32(mseg)),
+            jnp.asarray(_bucket_i32(ops5[s:e])),
+            e - s,
+        ))
+    return segs
+
+
+def apply_flat_windowed_staged(
+    table: PackedTable, segs
+) -> Tuple[PackedTable, jax.Array]:
+    """Device half of apply_flat_windowed over pre-staged segments."""
+    interpret = jax.default_backend() != "tpu"
+    applied = jnp.int32(0)
+    for meta, ops5, n_win in segs:
         table, a = _apply_flat_windowed_jit(
-            table, jnp.asarray(bucket(mseg)), jnp.asarray(bucket(ops5[s:e])),
-            jnp.int32(e - s), interpret,
+            table, meta, ops5, jnp.int32(n_win), interpret,
         )
         applied = applied + a
     return table, applied
+
+
+def apply_flat_windowed(
+    table: PackedTable, meta, ops5
+) -> Tuple[PackedTable, jax.Array]:
+    """Windowed dense apply over host-windowed ops (see window_block_ops);
+    segments past the SMEM meta budget like apply_flat_blocked. Returns
+    (table, applied)."""
+    if len(meta) == 0:
+        return table, jnp.int32(0)
+    return apply_flat_windowed_staged(
+        table, stage_flat_windowed(meta, ops5)
+    )
 
 
 @functools.partial(
