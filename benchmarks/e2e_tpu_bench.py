@@ -161,9 +161,18 @@ def main() -> None:
         # the returned residual is the exact final-round change count
         # (0 = the jump landed on the fixed point)
         ff_rounds = num_peers // 2 + 1
-        # warm the window programs on the converged table (a fixed point is
-        # its own window join, so the warm-up jump is state-free) — the
-        # one-time Pallas compiles cost seconds through the tunnel
+        # warm the window programs with an UN-TIMED full write+jump cycle
+        # that mirrors the timed iterations: routing is sparsity-aware
+        # (a clean tracked table rides the compacting frontier; a fresh
+        # 1M-write flood rides the windowed halo), so warming on the
+        # converged table alone would leave the halo programs cold and
+        # the first timed run would pay their Pallas compiles — seconds
+        # through the tunnel
+        sim.put_bulk(
+            rng.integers(0, num_peers, writes).astype(np.int32),
+            slots[rng.integers(0, keys, writes)],
+            rng.integers(0, 1 << 30, writes).astype(np.float64),
+        )
         sim.fast_forward(ff_rounds)
         _ = int(np.asarray(sim.table[-1][0, 0]))
         ff_times = []

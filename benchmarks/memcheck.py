@@ -225,21 +225,25 @@ def main() -> None:
     )
     from bullet_tpu.ops.rank import RankTable
 
-    for name, nf, n_halo, mk in (
-        ("rank1", 1, 1 << 18, lambda s: Rank1Table(s)),
+    for name, nf, p_halo, n_halo, mk in (
+        ("rank1", 1, 8192, 1 << 18, lambda s: Rank1Table(s)),
         # rank's 2 fields at 2^18 slots would be 17.2 GB — past HBM; its
         # P=8192 halo cell ships at 2^17 slots (8.6 GB)
-        ("rank", 2, 1 << 17, lambda s: RankTable(s, s)),
+        ("rank", 2, 8192, 1 << 17, lambda s: RankTable(s, s)),
+        # packed nf=3 has no full-P stripe window at ANY depth, so its
+        # halo cell is the north-star shape itself (12.9 GB): the halo
+        # window is packed fast_forward's blind-jump route there
+        ("packed", 3, 1024, 1 << 20, lambda s: PackedTable(s, s, s)),
     ):
         depth = halo_window(nf)
-        p8 = jax.ShapeDtypeStruct((8192, n_halo), jnp.int32)
-        tile_p, tile_n = window_halo_tiles(8192, n_halo, nf, depth)
+        p8 = jax.ShapeDtypeStruct((p_halo, n_halo), jnp.int32)
+        tile_p, tile_n = window_halo_tiles(p_halo, n_halo, nf, depth)
         # design bound: the snapshots themselves (2*depth*(p/tile_p) rows
         # of [n] per field) plus one side's un-fused roll copy (measured:
         # XLA materializes tops+bottoms and one roll temp — 1.51 GB at
         # nf=1 = exactly 2.5 sides vs 1.0 GB of snapshots; cap at 1.6x
         # so a second un-fused roll FAILS the audit)
-        snap_bytes = 2 * depth * (8192 // tile_p) * n_halo * 4 * nf
+        snap_bytes = 2 * depth * (p_halo // tile_p) * n_halo * 4 * nf
         lowered = jax.jit(
             ring_window_halo_packed_traced,
             static_argnames=("wrap", "m", "interpret"),
@@ -247,7 +251,7 @@ def main() -> None:
         ).lower(mk(p8), True, depth, False)
         mem = lowered.compile().memory_analysis()
         print(
-            f"{name} halo window P=8192 (m={depth}, tile_p={tile_p}): "
+            f"{name} halo window P={p_halo} (m={depth}, tile_p={tile_p}): "
             f"args {mem.argument_size_in_bytes / GB:.2f} GB, "
             f"alias {mem.alias_size_in_bytes / GB:.2f} GB, "
             f"temp {mem.temp_size_in_bytes / GB:.2f} GB",

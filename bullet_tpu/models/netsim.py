@@ -1492,8 +1492,17 @@ class PeerNetworkSim:
         if window_halo_supported(p, n, len(self.table)):
             # past the full-P stripe budget (e.g. rank1 P=8192): the
             # windowed HALO kernel keeps the O(log m) window join with
-            # m-row boundary snapshots instead of full-P blocks
-            return "halo_window"
+            # m-row boundary snapshots instead of full-P blocks.
+            # packed nf=3 (no stripe window at any depth) adds a
+            # sparsity crossover: the halo window joins the FULL table
+            # every pass (0.74 T logical merges/s at depth 64, v5e
+            # north-star shape) while the compacting frontier skips
+            # settled slot stripes entirely (~94 B blind = all dirty,
+            # but gossip never spreads across slot columns, so its
+            # effective rate is blind_rate / dirty_fraction) — when
+            # tracking shows a small dirty set, the frontier wins
+            if len(self.table) < 3 or not self._frontier_wins_sparse():
+                return "halo_window"
         if self._frontier_tile() > 0:
             # no in-place window kernel for this arity/shape (e.g. packed
             # nf=3), but the fused frontier loop with max_rounds=k IS an
@@ -1518,11 +1527,19 @@ class PeerNetworkSim:
         (``ring_window_shardmap_packed`` — passes capped at the
         per-device row count). Single-device on TPU, the in-place Pallas
         window runs at shapes/arities ``window_ring_supported`` admits
-        (rank1 to P=4096, rank to P=1024); arities/shapes without a
-        window kernel but with a frontier kernel (e.g. packed nf=3 at
-        the north star) run the fused FRONTIER loop with max_rounds=k —
-        an exact in-place k-round advancement with the exact cutoff
-        residual, at frontier speed. Off-TPU, the whole-table XLA window
+        (rank1 to P=4096, rank to P=1024); past the stripe budget the
+        windowed HALO kernel takes over (rank1 P=8192 m=120; packed
+        nf=3 — which has NO stripe window at any depth — jumps blind at
+        m=64, its HBM-bound depth at the 1024x1M north star), with a
+        sparsity crossover: valid dirty-stripe tracking at <= 1/16 of
+        stripes dirty routes to the fused FRONTIER loop with
+        max_rounds=k instead — an exact in-place k-round advancement
+        with the exact cutoff residual that skips settled stripes.
+        Shapes no kernel tiles also take the frontier when it fits.
+        Every window route early-exits between passes when the round-m
+        residual is 0 (an identity round ⇒ fixed point ⇒ the remaining
+        rounds are no-ops, so exactness and the classic residual are
+        preserved). Off-TPU, the whole-table XLA window
         twin covers everything, including data-mesh sharding (the rolls
         lower to XLA collectives). Everything else — dense layouts,
         generic topologies, TPU data-mesh — delegates to
@@ -1546,6 +1563,12 @@ class PeerNetworkSim:
         self.tick += 1
         self.stats["ops_applied"] += self._apply_pending()
         self.hooks.fire_after_puts()
+        # re-resolve: the apply refreshed dirty-stripe tracking (the
+        # packed halo-vs-frontier sparsity crossover) and capacity
+        # growth can change which kernels tile the new shape
+        route = self._fast_forward_route()
+        if route == "step":  # capacity growth outgrew every kernel
+            return self.step(rounds)
         wrap = self.topology.kind == "ring"
         p, n = self.table[0].shape
 
@@ -1597,6 +1620,19 @@ class PeerNetworkSim:
                     )
                 left -= m
                 residual = int(changed)
+                if residual == 0:
+                    # round-m residual 0 ⇒ round m was the identity ⇒
+                    # fixed point: every remaining round is a no-op, so
+                    # skipping them preserves the exact-k contract (and
+                    # the classic loop's last-round residual, also 0).
+                    # The table is settled until new ops land — the same
+                    # fact _finish_frontier records on convergence.
+                    tile_n = self._frontier_tile()
+                    if tile_n:
+                        self._frontier_dirty = np.zeros(
+                            self.table[0].shape[1] // tile_n, dtype=bool
+                        )
+                    break
         self.stats["gossip_rounds"] += rounds
         self.stats["windowed_rounds"] += rounds
         self.stats["merged_entries"] += residual
@@ -1643,6 +1679,25 @@ class PeerNetworkSim:
             if pred(cell):
                 return name, getattr(self, method)
         raise AssertionError("unreachable: dense-loop matches every cell")
+
+    def _frontier_wins_sparse(self) -> bool:
+        """True when valid dirty-stripe tracking shows a working set
+        small enough that the compacting frontier beats the windowed
+        halo's full-table passes. Crossover from the v5e packed
+        north-star measurements (benchmarks/halo_window_bench.py
+        --layout packed: depth-64 halo window 0.74 T vs ~94 B blind
+        frontier ⇒ break-even at ~13% of stripes dirty); shipped at 1/16
+        so the frontier is only chosen when it clearly wins. Dirty slot
+        stripes never spread (gossip merges across peers WITHIN a slot
+        column), so the fraction is round-invariant."""
+        d = self._frontier_dirty
+        tile_n = self._frontier_tile()
+        if d is None or not tile_n:
+            return False
+        t_total = self.table[0].shape[1] // tile_n
+        if len(d) != t_total:
+            return False
+        return int(d.sum()) * 16 <= t_total
 
     def _frontier_seed(self, t_total: int) -> jax.Array:
         """Dirty-stripe seed for a frontier loop: the incrementally tracked

@@ -1908,14 +1908,20 @@ def halo_window(nf: int) -> int:
     unsupported. Same join-step bound as the stripe window (the limit is
     unrolled join steps, not depth — see stripe_window); the halo ext
     block is much smaller than a full-P stripe, so the depths carry over:
-    rank1 nf=1 m=120 (6 join steps), rank nf=2 m=40 (5 steps). Depths are
-    hardware-gated per CLAUDE.md: v5e timing at rank1 P=8192 x 256K
-    (benchmarks/halo_window_bench.py): m=40 3.90 T, m=80 6.74 T,
-    m=120 9.49 T logical merges/s (the 8-round trapezoidal halo: 599 B);
-    AOT memcheck: in-place alias, temp = snapshots only (~1.4 GB =
-    2*depth*(p/tile_p) rows of [n] + one roll copy). Change only with a
-    fresh timing run + benchmarks/memcheck.py audit."""
-    return {1: 120, 2: 40}.get(nf, 0)
+    rank1 nf=1 m=120 (6 join steps), rank nf=2 m=40 (5 steps), packed
+    nf=3 m=64 (6 steps). Depths are hardware-gated per CLAUDE.md: v5e
+    timing at rank1 P=8192 x 256K (benchmarks/halo_window_bench.py):
+    m=40 3.90 T, m=80 6.74 T, m=120 9.49 T logical merges/s (the 8-round
+    trapezoidal halo: 599 B); packed at its halo cell — the 1024 x 1M
+    north star itself, no full-P stripe window exists at ANY nf=3 depth —
+    m=16/24/32/40/48/56/64: 0.26/0.37/0.49/0.59/0.58/0.66/0.74 T
+    (the blind 8-round frontier: ~94 B), m=80 OOMs HBM (snapshot roll
+    temps 4.4 GB on the 12 GB table > 15.75 GB). AOT memcheck: in-place
+    alias, temp = snapshots only (~1.4 GB at nf=1 = 2*depth*(p/tile_p)
+    rows of [n] + one roll copy; ~3.5 GB at nf=3 m=64, within the
+    snapshot-aware 1.6x cap). Change only with a fresh timing run +
+    benchmarks/memcheck.py audit."""
+    return {1: 120, 2: 40, 3: 64}.get(nf, 0)
 
 
 def window_halo_tiles(p: int, n: int, nf: int, depth: int):

@@ -579,6 +579,39 @@ def test_window_halo_matches_sequential(wrap):
         assert last == int(cb), (wrap, m)
 
 
+@pytest.mark.parametrize("wrap", [True, False])
+def test_window_halo_packed_shipped_depth(wrap):
+    """Bit-parity at the SHIPPED packed depth (halo_window(3) = 64, the
+    round-5 hardware-timed value): 64 rounds as one radius-64 window
+    join (6 join steps — one more than m=40's schedule) must bit-match
+    64 sequential classic rounds with the classic round-64 residual.
+    tiles=(64, 128) keeps tile_p ≥ m (the chain-edge clamp locality
+    invariant) with 2 peer tiles at P=128, so inter-tile snapshots at
+    full depth are exercised."""
+    from bullet_tpu.ops.packed import (
+        halo_window,
+        ring_round_packed_traced,
+        ring_window_halo_packed_traced,
+    )
+
+    m = halo_window(3)
+    assert m == 64
+    t0 = pack_table(random_dense(128, 256, seed=47))
+    a = PackedTable(*(jnp.array(f) for f in t0))
+    step = jax.jit(ring_round_packed_traced, static_argnums=(1, 2))
+    last = 0
+    for _ in range(m):
+        a, c = step(a, wrap, True)
+        last = int(c)
+    b, cb = ring_window_halo_packed_traced(
+        PackedTable(*(jnp.array(f) for f in t0)), wrap, m, True,
+        tiles=(64, 128),
+    )
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y), wrap)
+    assert last == int(cb), wrap
+
+
 def test_window_halo_tiles_bounds():
     """Tile selection: 8-aligned tile_p ≥ depth dividing p, 128-aligned
     tile_n dividing n, extended block within the arity-aware budget;
@@ -598,8 +631,12 @@ def test_window_halo_tiles_bounds():
     assert (tp + 240) * tn <= _STRIPE_MAX_ELEMS * 4
     assert window_halo_supported(8192, 1 << 18, 1)
     assert window_halo_supported(8192, 1 << 18, 2)  # rank, depth 40
-    assert halo_window(3) == 0  # packed nf=3: no hardware-validated depth
-    assert not window_halo_supported(8192, 1 << 18, 3)
+    # packed nf=3: hardware-validated depth 64 (m=80 OOMs HBM at the
+    # north star; see halo_window's timing table) — the 1024 x 1M north
+    # star itself is packed's halo cell
+    assert halo_window(3) == 64
+    assert window_halo_supported(1024, 1 << 20, 3)
+    assert window_halo_supported(8192, 1 << 18, 3)
     assert window_halo_tiles(8192, 1 << 18, 1, 0) == (0, 0)
     assert window_halo_tiles(8191, 1 << 18, 1, 120) == (0, 0)  # p % 8
     assert window_halo_tiles(8192, 100, 1, 120) == (0, 0)  # n % 128
