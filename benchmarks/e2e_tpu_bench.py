@@ -161,12 +161,12 @@ def main() -> None:
         # the returned residual is the exact final-round change count
         # (0 = the jump landed on the fixed point)
         ff_rounds = num_peers // 2 + 1
-        # warm the window programs with an UN-TIMED full write+jump cycle
-        # that mirrors the timed iterations: routing is sparsity-aware
-        # (a clean tracked table rides the compacting frontier; a fresh
-        # 1M-write flood rides the windowed halo), so warming on the
-        # converged table alone would leave the halo programs cold and
-        # the first timed run would pay their Pallas compiles — seconds
+        # warm the jump programs with an UN-TIMED full write+jump cycle
+        # that mirrors the timed iterations: the tracked post-flood jump
+        # rides the compacting frontier at max_rounds=ff_rounds — a
+        # DIFFERENT static variant than the convergence phase's, so
+        # warming on the converged table alone would leave it cold and
+        # the first timed run would pay its Pallas compile — seconds
         # through the tunnel
         sim.put_bulk(
             rng.integers(0, num_peers, writes).astype(np.int32),

@@ -1493,15 +1493,19 @@ class PeerNetworkSim:
             # past the full-P stripe budget (e.g. rank1 P=8192): the
             # windowed HALO kernel keeps the O(log m) window join with
             # m-row boundary snapshots instead of full-P blocks.
-            # packed nf=3 (no stripe window at any depth) adds a
-            # sparsity crossover: the halo window joins the FULL table
+            # packed nf=3 (no stripe window at any depth) sends only
+            # BLIND jumps here — the halo window joins the FULL table
             # every pass (0.74 T logical merges/s at depth 64, v5e
-            # north-star shape) while the compacting frontier skips
-            # settled slot stripes entirely (~94 B blind = all dirty,
-            # but gossip never spreads across slot columns, so its
-            # effective rate is blind_rate / dirty_fraction) — when
-            # tracking shows a small dirty set, the frontier wins
-            if len(self.table) < 3 or not self._frontier_wins_sparse():
+            # north-star shape), which bounds a blind k-round jump at
+            # ceil(k/64) passes (~1.5 s for the 513-round diameter)
+            # where the blind frontier risks k sustained full-table
+            # rounds (~94 B class, up to ~11 s). With VALID dirty
+            # tracking the self-compacting frontier wins at ANY dirty
+            # fraction: it early-exits at the fixed point and its
+            # active set shrinks per round as stripes settle (e2e
+            # measured 0.082 s for the same post-flood 513-round jump
+            # the halo route did in ~0.7 s of full-table passes)
+            if len(self.table) < 3 or not self._frontier_tracking_valid():
                 return "halo_window"
         if self._frontier_tile() > 0:
             # no in-place window kernel for this arity/shape (e.g. packed
@@ -1529,13 +1533,15 @@ class PeerNetworkSim:
         window runs at shapes/arities ``window_ring_supported`` admits
         (rank1 to P=4096, rank to P=1024); past the stripe budget the
         windowed HALO kernel takes over (rank1 P=8192 m=120; packed
-        nf=3 — which has NO stripe window at any depth — jumps blind at
-        m=64, its HBM-bound depth at the 1024x1M north star), with a
-        sparsity crossover: valid dirty-stripe tracking at <= 1/16 of
-        stripes dirty routes to the fused FRONTIER loop with
-        max_rounds=k instead — an exact in-place k-round advancement
-        with the exact cutoff residual that skips settled stripes.
-        Shapes no kernel tiles also take the frontier when it fits.
+        nf=3 — which has NO stripe window at any depth — jumps BLIND at
+        m=64, its HBM-bound depth at the 1024x1M north star). Packed
+        jumps with VALID dirty-stripe tracking route to the fused
+        FRONTIER loop with max_rounds=k instead — an exact in-place
+        k-round advancement with the exact cutoff residual whose
+        active set self-compacts per round and early-exits at the
+        fixed point, beating fixed full-table window passes at any
+        dirty fraction. Shapes no kernel tiles also take the frontier
+        when it fits.
         Every window route early-exits between passes when the round-m
         residual is 0 (an identity round ⇒ fixed point ⇒ the remaining
         rounds are no-ops, so exactness and the classic residual are
@@ -1680,24 +1686,24 @@ class PeerNetworkSim:
                 return name, getattr(self, method)
         raise AssertionError("unreachable: dense-loop matches every cell")
 
-    def _frontier_wins_sparse(self) -> bool:
-        """True when valid dirty-stripe tracking shows a working set
-        small enough that the compacting frontier beats the windowed
-        halo's full-table passes. Crossover from the v5e packed
-        north-star measurements (benchmarks/halo_window_bench.py
-        --layout packed: depth-64 halo window 0.74 T vs ~94 B blind
-        frontier ⇒ break-even at ~13% of stripes dirty); shipped at 1/16
-        so the frontier is only chosen when it clearly wins. Dirty slot
-        stripes never spread (gossip merges across peers WITHIN a slot
-        column), so the fraction is round-invariant."""
+    def _frontier_tracking_valid(self) -> bool:
+        """True when dirty-stripe tracking is live for the current shape
+        — the signal that a fast_forward jump is NOT blind. A tracked
+        jump always prefers the compacting frontier over full-table
+        window passes, regardless of the dirty fraction: the frontier's
+        active set shrinks per round as stripes settle and it
+        early-exits at the fixed point, so even an all-dirty post-flood
+        jump beats the halo window's fixed ceil(k/m) full-table passes
+        (e2e at the packed north star: 0.082 s tracked-frontier vs
+        ~0.7 s halo for the same 513-round jump). Blind jumps (restore,
+        untracked gossip, traced put transforms) take the halo window,
+        whose worst case is bounded — the blind frontier's is k
+        sustained full-table rounds."""
         d = self._frontier_dirty
         tile_n = self._frontier_tile()
         if d is None or not tile_n:
             return False
-        t_total = self.table[0].shape[1] // tile_n
-        if len(d) != t_total:
-            return False
-        return int(d.sum()) * 16 <= t_total
+        return len(d) == self.table[0].shape[1] // tile_n
 
     def _frontier_seed(self, t_total: int) -> jax.Array:
         """Dirty-stripe seed for a frontier loop: the incrementally tracked

@@ -189,12 +189,15 @@ def test_fast_forward_route_matrix(monkeypatch):
 
 
 def test_fast_forward_packed_halo_vs_frontier_crossover(monkeypatch):
-    """Packed nf=3 routing crossover: blind jumps (untracked or large
-    dirty set) ride the windowed HALO kernel (0.74 T full-table logical
-    merges/s at depth 64 vs ~94 B for the blind frontier on v5e); valid
-    dirty-stripe tracking at ≤ 1/16 of stripes flips to the compacting
-    frontier, whose effective rate is blind_rate / dirty_fraction
-    (dirty slot stripes never spread across slot columns). The route is
+    """Packed nf=3 routing split: only BLIND jumps (dirty-stripe
+    tracking invalid — restore, untracked gossip, traced transforms)
+    ride the windowed HALO kernel, which bounds the worst case at
+    ceil(k/64) full-table passes (0.74 T logical merges/s on v5e).
+    Tracked jumps keep the self-compacting frontier at ANY dirty
+    fraction — per-round active-set shrinkage + fixed-point early exit
+    beat fixed full-table passes even from all-dirty (e2e: 0.082 s vs
+    ~0.7 s for the same post-flood 513-round jump; a fraction-based
+    crossover shipped briefly and regressed it). The route is
     re-resolved after the apply inside fast_forward, so fresh writes
     refresh the tracked set before the choice is made."""
     import bullet_tpu.models.netsim as ns
@@ -208,15 +211,14 @@ def test_fast_forward_packed_halo_vs_frontier_crossover(monkeypatch):
     tile_n = sim._frontier_tile()
     assert tile_n > 0
     t_total = n // tile_n
-    assert t_total >= 16, "shape too small to express a 1/16 dirty set"
     monkeypatch.setattr(ns.jax, "default_backend", lambda: "tpu")
 
     sim._frontier_dirty = None  # untracked: blind jump
     assert sim._fast_forward_route() == "halo_window"
-    sim._frontier_dirty = np.ones(t_total, dtype=bool)  # everything dirty
-    assert sim._fast_forward_route() == "halo_window"
+    sim._frontier_dirty = np.ones(t_total, dtype=bool)  # tracked, all dirty
+    assert sim._fast_forward_route() == "frontier"
     d = np.zeros(t_total, dtype=bool)
-    d[: t_total // 16] = True  # small tracked working set
+    d[: max(1, t_total // 16)] = True  # tracked, small working set
     sim._frontier_dirty = d
     assert sim._fast_forward_route() == "frontier"
     sim._frontier_dirty = np.zeros(0, dtype=bool)  # stale length: blind
